@@ -1,0 +1,214 @@
+"""DINO Vision Transformer (ViT-S/16) — TPU-native JAX implementation.
+
+Functional re-design of the spatial encoder used by the reference for
+per-frame feature extraction (reference: dino-main/vision_transformer.py:
+PatchEmbed :116-131, Attention :68-92, Block :95-113, VisionTransformer
+:134-233, vit_small :243-247).  Differences from the PyTorch original are
+deliberate and TPU-first:
+
+- parameters are a plain pytree (nested dict), so the whole model jits,
+  shards with jax.sharding, and donates cleanly;
+- the strided conv patch embedding is expressed as patch-reshape + matmul,
+  which maps directly onto the MXU instead of relying on conv lowering;
+- compute dtype is a parameter (bfloat16 on TPU); layernorm/softmax run in
+  float32 for stability;
+- attention of the last block is returned on demand (reference
+  `get_last_selfattention`, vision_transformer.py:216-223) without a second
+  forward pass.
+
+Weight parity with the reference checkpoints is provided by
+`sais_tpu.port.torch_port.vit_params_from_torch`, tested against a golden
+functional PyTorch implementation to <=1e-5.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sais_tpu.config import ViTConfig
+
+Params = Dict[str, Any]
+
+
+def _layer_norm(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
+                eps: float) -> jnp.ndarray:
+    """LayerNorm over the last axis, computed in float32."""
+    dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+
+
+def _linear(x: jnp.ndarray, w: jnp.ndarray, b: Optional[jnp.ndarray]) -> jnp.ndarray:
+    y = jnp.dot(x, w.astype(x.dtype), preferred_element_type=x.dtype)
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def patchify(images: jnp.ndarray, patch: int) -> jnp.ndarray:
+    """(B, H, W, C) -> (B, H/p * W/p, p*p*C) with (kh, kw, c) pixel order.
+
+    The pixel order inside each patch is chosen so a reshaped torch conv
+    kernel (O, C, kh, kw) -> (kh, kw, C, O) multiplies to the identical
+    result as the reference's strided Conv2d patch embedding.
+    """
+    b, h, w, c = images.shape
+    gh, gw = h // patch, w // patch
+    x = images.reshape(b, gh, patch, gw, patch, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5)  # (B, gh, gw, kh, kw, c)
+    return x.reshape(b, gh * gw, patch * patch * c)
+
+
+def attention(x: jnp.ndarray, p: Params, num_heads: int,
+              return_weights: bool = False
+              ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Pre-norm ViT attention (vision_transformer.py:80-92).
+
+    x: (B, N, D).  Returns (out, attn) where attn is (B, heads, N, N)
+    post-softmax weights (only materialized when requested).
+    """
+    b, n, d = x.shape
+    h = num_heads
+    dh = d // h
+    qkv = _linear(x, p["qkv_w"], p.get("qkv_b"))  # (B, N, 3D)
+    qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)  # (3, B, h, N, dh)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    scale = dh ** -0.5
+    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    weights = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhnm,bhmd->bhnd", weights.astype(x.dtype), v,
+                     preferred_element_type=x.dtype)
+    out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+    out = _linear(out, p["proj_w"], p["proj_b"])
+    return out, (weights if return_weights else None)
+
+
+def _mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
+    """Transformer MLP with exact (erf) GELU, matching torch nn.GELU."""
+    y = _linear(x, p["fc1_w"], p["fc1_b"])
+    y = jax.nn.gelu(y.astype(jnp.float32), approximate=False).astype(x.dtype)
+    return _linear(y, p["fc2_w"], p["fc2_b"])
+
+
+def block(x: jnp.ndarray, p: Params, cfg: ViTConfig,
+          return_weights: bool = False
+          ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Pre-norm transformer block (vision_transformer.py:95-113)."""
+    y, w = attention(_layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.layernorm_eps),
+                     p["attn"], cfg.num_heads, return_weights)
+    x = x + y
+    x = x + _mlp(_layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.layernorm_eps),
+                 p["mlp"])
+    return x, w
+
+
+def interpolate_pos_embed(pos_embed: jnp.ndarray, npatch: int, gh: int,
+                          gw: int) -> jnp.ndarray:
+    """Bicubic pos-embedding interpolation for non-224 inputs
+    (vision_transformer.py:174-194).  pos_embed: (1, N+1, D)."""
+    n = pos_embed.shape[1] - 1
+    if npatch == n and gh == gw:
+        return pos_embed
+    cls_pe = pos_embed[:, :1]
+    patch_pe = pos_embed[:, 1:]
+    dim = pos_embed.shape[-1]
+    side = int(math.sqrt(n))
+    grid = patch_pe.reshape(1, side, side, dim)
+    grid = jax.image.resize(grid, (1, gh, gw, dim), method="bicubic")
+    return jnp.concatenate([cls_pe, grid.reshape(1, gh * gw, dim)], axis=1)
+
+
+def prepare_tokens(params: Params, images: jnp.ndarray,
+                   cfg: ViTConfig) -> jnp.ndarray:
+    """Patch-embed + CLS token + positional embedding
+    (vision_transformer.py:196-207).  images: (B, H, W, C) normalized."""
+    b, h, w, _ = images.shape
+    patches = patchify(images, cfg.patch_size)
+    x = _linear(patches, params["patch_embed"]["w"], params["patch_embed"]["b"])
+    cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
+                           (b, 1, cfg.embed_dim))
+    x = jnp.concatenate([cls, x], axis=1)
+    gh, gw = h // cfg.patch_size, w // cfg.patch_size
+    pe = interpolate_pos_embed(params["pos_embed"], gh * gw, gh, gw)
+    return x + pe.astype(x.dtype)
+
+
+def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
+                *, return_last_attention: bool = False,
+                compute_dtype: jnp.dtype = jnp.float32
+                ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Full ViT forward: returns (cls_features (B, D), last_attn or None).
+
+    Equivalent to VisionTransformer.forward returning x[:, 0]
+    (vision_transformer.py:209-214); with `return_last_attention` it also
+    yields the final block's post-softmax weights (B, heads, N+1, N+1),
+    the quantity exposed by get_last_selfattention (:216-223).
+    """
+    x = prepare_tokens(params, images.astype(compute_dtype), cfg)
+    last_attn = None
+    depth = len(params["blocks"])
+    for i in range(depth):
+        want = return_last_attention and (i == depth - 1)
+        x, w = block(x, params["blocks"][i], cfg, return_weights=want)
+        if want:
+            last_attn = w
+    x = _layer_norm(x, params["ln_s"], params["ln_b"], cfg.layernorm_eps)
+    return x[:, 0].astype(jnp.float32), last_attn
+
+
+def vit_features(params: Params, images: jnp.ndarray, cfg: ViTConfig,
+                 compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """CLS feature extraction — the hot loop of the reference pipeline
+    (extract_representations.py:351-378, batch 1024)."""
+    return vit_forward(params, images, cfg, compute_dtype=compute_dtype)[0]
+
+
+def _trunc_normal(key: jax.Array, shape: Tuple[int, ...],
+                  std: float = 0.02) -> jnp.ndarray:
+    """Truncated normal init matching dino-main/utils.py trunc_normal_
+    (truncation at +/-2 std)."""
+    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+
+
+def vit_init(key: jax.Array, cfg: ViTConfig) -> Params:
+    """Random initialization mirroring the reference scheme
+    (vision_transformer.py:161-172): trunc-normal(0.02) linear weights and
+    pos/cls embeddings, zero biases, unit layernorm."""
+    keys = iter(jax.random.split(key, 6 + 8 * cfg.depth))
+    d, md = cfg.embed_dim, cfg.mlp_dim
+    pdim = cfg.patch_size * cfg.patch_size * cfg.in_channels
+
+    def lin(kw, fan_in, fan_out):
+        return _trunc_normal(kw, (fan_in, fan_out))
+
+    blocks = []
+    for _ in range(cfg.depth):
+        blocks.append({
+            "ln1_s": jnp.ones((d,)), "ln1_b": jnp.zeros((d,)),
+            "attn": {
+                "qkv_w": lin(next(keys), d, 3 * d),
+                "qkv_b": jnp.zeros((3 * d,)) if cfg.qkv_bias else None,
+                "proj_w": lin(next(keys), d, d),
+                "proj_b": jnp.zeros((d,)),
+            },
+            "ln2_s": jnp.ones((d,)), "ln2_b": jnp.zeros((d,)),
+            "mlp": {
+                "fc1_w": lin(next(keys), d, md), "fc1_b": jnp.zeros((md,)),
+                "fc2_w": lin(next(keys), md, d), "fc2_b": jnp.zeros((d,)),
+            },
+        })
+    return {
+        "patch_embed": {"w": lin(next(keys), pdim, d), "b": jnp.zeros((d,))},
+        "cls_token": _trunc_normal(next(keys), (1, 1, d)),
+        "pos_embed": _trunc_normal(next(keys), (1, cfg.num_patches + 1, d)),
+        "blocks": blocks,
+        "ln_s": jnp.ones((d,)), "ln_b": jnp.zeros((d,)),
+    }
