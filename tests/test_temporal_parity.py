@@ -1,0 +1,145 @@
+"""Parity: JAX temporal model + converter vs golden torch fullModel.
+
+Gate 3 of the build plan (SURVEY.md section 7): logits / video reps /
+attention maps must match the PyTorch semantics (patched torch-1.8
+TransformerEncoder) to <=1e-3; we hold f32 to ~1e-4.
+"""
+
+import dataclasses
+
+import numpy as np
+import torch
+
+import jax.numpy as jnp
+
+from sais_tpu.config import ModelConfig, TemporalConfig
+from sais_tpu.models import heads
+from sais_tpu.models.full_model import (classification_forward,
+                                        full_model_init, mil_forward,
+                                        prototypes_forward)
+from sais_tpu.port.torch_port import (full_model_params_from_torch,
+                                      prototypes_from_torch)
+from tests.golden.torch_temporal import (golden_mil_forward, golden_nce_loss,
+                                         golden_prototypes_forward,
+                                         random_full_model_state_dict)
+
+DIM, FFN, LAYERS, HEADS, POS = 64, 128, 3, 4, 32
+
+
+def _cfg(**kw):
+    t = TemporalConfig(rep_dim=DIM, num_layers=LAYERS, num_heads=HEADS,
+                       ffn_dim=FFN, max_positions=POS)
+    return ModelConfig(rep_dim=DIM, temporal=t, **kw)
+
+
+def _sd_and_params(seed=0, importance=True):
+    gen = torch.Generator().manual_seed(seed)
+    sd = random_full_model_state_dict(gen, dim=DIM, ffn=FFN, layers=LAYERS,
+                                      pos_slots=POS, importance=importance)
+    params = full_model_params_from_torch(sd, num_layers=LAYERS)
+    return gen, sd, params
+
+
+def _batch(gen, b=3, s=2, f=9):
+    x = torch.randn(b, s, f, DIM, generator=gen)
+    lens = torch.randint(3, f + 1, (b,), generator=gen)
+    pad = torch.zeros(b, s, f + 1, dtype=torch.bool)
+    for i, ln in enumerate(lens):
+        pad[i, :, ln + 1:] = True  # CLS slot 0 always valid (collator semantics)
+    return x, pad
+
+
+def test_prototypes_forward_rgb_flow_parity():
+    gen, sd, params = _sd_and_params(0)
+    rgb, rgb_pad = _batch(gen)
+    flow, flow_pad = _batch(gen, f=4)
+
+    g_rep, g_logits, g_attn, g_imp = golden_prototypes_forward(
+        sd, rgb, rgb_pad, flow, flow_pad, layers=LAYERS, heads=HEADS,
+        importance=True)
+
+    cfg = _cfg(modalities="RGB-Flow", importance_head=True)
+    out = prototypes_forward(params, cfg, jnp.asarray(rgb.numpy()),
+                             jnp.asarray(pad_np(rgb_pad)),
+                             jnp.asarray(flow.numpy()),
+                             jnp.asarray(pad_np(flow_pad)))
+    np.testing.assert_allclose(np.asarray(out.video_rep), g_rep.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.aux_logits), g_logits.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.attn), g_attn.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.importances), g_imp.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def pad_np(pad):
+    return pad.numpy()
+
+
+def test_prototypes_forward_rgb_only_parity():
+    gen, sd, params = _sd_and_params(1)
+    rgb, rgb_pad = _batch(gen, b=2, s=1, f=15)
+    g_rep, _, g_attn, _ = golden_prototypes_forward(
+        sd, rgb, rgb_pad, layers=LAYERS, heads=HEADS)
+    cfg = _cfg(modalities="RGB")
+    out = prototypes_forward(params, cfg, jnp.asarray(rgb.numpy()),
+                             jnp.asarray(rgb_pad.numpy()))
+    np.testing.assert_allclose(np.asarray(out.video_rep), g_rep.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.attn), g_attn.numpy(),
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_mil_forward_parity():
+    gen, sd, params = _sd_and_params(2)
+    rgb, rgb_pad = _batch(gen, b=2, s=5, f=7)
+    g_logits, g_attn = golden_mil_forward(sd, rgb, rgb_pad, nclasses=3,
+                                          layers=LAYERS, heads=HEADS)
+    cfg = _cfg(modalities="RGB", nclasses=3)
+    logits, attn = mil_forward(params, cfg, jnp.asarray(rgb.numpy()),
+                               jnp.asarray(rgb_pad.numpy()))
+    np.testing.assert_allclose(np.asarray(logits), g_logits.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    for c in range(3):
+        np.testing.assert_allclose(np.asarray(attn[c]), g_attn[c].numpy(),
+                                   rtol=1e-4, atol=1e-5)
+
+
+def test_nce_loss_and_probs_parity():
+    gen = torch.Generator().manual_seed(3)
+    reps = torch.randn(6, 32, generator=gen)
+    proto = {"0": torch.rand(1, 32, generator=gen),
+             "1": torch.rand(1, 32, generator=gen),
+             "2": torch.rand(1, 32, generator=gen)}
+    labels = [0, 1, 2, 0, 1, 7]  # 7 matches no key -> column 0 quirk
+
+    keys, mat = prototypes_from_torch(proto)
+    g_loss = golden_nce_loss(reps, torch.vstack(list(proto.values())), keys,
+                             labels)
+    cols = heads.labels_to_prototype_columns(labels, keys)
+    assert cols.tolist() == [0, 1, 2, 0, 1, 0]
+    loss = heads.nce_loss(jnp.asarray(reps.numpy()), mat, jnp.asarray(cols))
+    np.testing.assert_allclose(float(loss), float(g_loss), rtol=1e-5)
+
+    # prototype softmax probs (process_inference_results.py:76-91)
+    p = torch.vstack(list(proto.values()))
+    p = p / p.norm(dim=1, keepdim=True)
+    s = reps / reps.norm(dim=1, keepdim=True)
+    g_probs = torch.exp(s @ p.T)
+    g_probs = g_probs / g_probs.sum(dim=1, keepdim=True)
+    probs = heads.prototype_probs(jnp.asarray(reps.numpy()), mat)
+    np.testing.assert_allclose(np.asarray(probs), g_probs.numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
+def test_classification_head_shapes():
+    import jax
+    cfg = dataclasses.replace(_cfg(modalities="RGB-Flow", nclasses=2),
+                              data_type="raw")
+    params = full_model_init(jax.random.key(0), cfg)
+    rgb = jnp.ones((2, 3, 5, DIM))
+    flow = jnp.ones((2, 3, 4, DIM))
+    logits = classification_forward(params, cfg, rgb, None, flow, None)
+    assert logits.shape == (2, 2)
+    assert np.isfinite(np.asarray(logits)).all()
