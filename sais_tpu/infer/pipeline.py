@@ -1,0 +1,179 @@
+"""End-to-end gesture decoding pipeline (the reference main.sh path).
+
+Stage layout mirrors SAIS/main.sh but pipelined on one process instead of six
+OS processes communicating through the filesystem:
+
+  decode (host, OpenCV thread) ==> preprocess+ViT (TPU) ==> feature store
+  windows (host index math)    ==> temporal+prototypes (TPU, 3 TTA variants)
+  ==> TTA/fold ensembling ==> post-processing ==> gestures CSV
+
+Device work is double-buffered against host decode: batches are enqueued
+from a producer thread while the previous batch computes (XLA's async
+dispatch keeps the TPU busy).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+
+from sais_tpu.config import PipelineConfig
+from sais_tpu.data.windows import (TTABatch, WindowManifest,
+                                   build_tta_batches, build_window_manifest)
+from sais_tpu.infer.postprocess import decode_gesture_intervals, ensemble_probs
+from sais_tpu.io.video import VideoReader
+from sais_tpu.models.full_model import prototypes_forward
+from sais_tpu.models.heads import prototype_probs
+from sais_tpu.models.vit import vit_features
+from sais_tpu.ops.preprocess import preprocess_batch
+
+
+class FeatureExtractor:
+    """Batched DINO feature extraction on device — the reference's hot loop
+    (extract_representations.py:351-378) redesigned for TPU throughput."""
+
+    def __init__(self, vit_params, cfg: PipelineConfig, batch_size: int = 256):
+        self.cfg = cfg
+        self.batch_size = batch_size
+        compute = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
+
+        def _fn(params, frames_u8):
+            x = preprocess_batch(frames_u8, cfg.preprocess, dtype=compute)
+            return vit_features(params, x, cfg.vit, compute_dtype=compute)
+
+        self._fn = jax.jit(_fn)
+        self._params = vit_params
+
+    def extract_array(self, frames_u8: np.ndarray) -> np.ndarray:
+        """(N, H, W, 3) uint8 -> (N, D) float32 CLS features."""
+        n = frames_u8.shape[0]
+        out = []
+        for i in range(0, n, self.batch_size):
+            chunk = frames_u8[i:i + self.batch_size]
+            pad = self.batch_size - chunk.shape[0]
+            if pad:
+                chunk = np.concatenate(
+                    [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
+            feats = self._fn(self._params, chunk)
+            out.append(np.asarray(feats[:self.batch_size - pad]))
+        return np.concatenate(out) if out else np.zeros((0, self.cfg.vit.embed_dim),
+                                                        np.float32)
+
+    def extract_video(self, video_path: str,
+                      prefetch: int = 4) -> np.ndarray:
+        """Stream a video file: decode on a producer thread, compute on
+        device, overlap via a bounded queue."""
+        q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=prefetch)
+
+        def producer():
+            try:
+                with VideoReader(video_path) as r:
+                    for batch in r.batches(self.batch_size):
+                        q.put(batch)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        outs: List[Tuple[jax.Array, int]] = []
+        while True:
+            batch = q.get()
+            if batch is None:
+                break
+            n = batch.shape[0]
+            if n < self.batch_size:
+                batch = np.concatenate(
+                    [batch,
+                     np.zeros((self.batch_size - n,) + batch.shape[1:],
+                              batch.dtype)])
+            # async dispatch: don't block; keep the queue draining
+            outs.append((self._fn(self._params, batch), n))
+        t.join()
+        if not outs:
+            return np.zeros((0, self.cfg.vit.embed_dim), np.float32)
+        return np.concatenate([np.asarray(f)[:n] for f, n in outs])
+
+
+class GestureDecoder:
+    """Sliding-window gesture inference with TTA + fold ensembling +
+    post-processing (reference stages 5-6: run_experiments.py --inference
+    then process_inference_results.py)."""
+
+    def __init__(self, fold_params: Sequence[Tuple[dict, jnp.ndarray]],
+                 cfg: PipelineConfig, device_batch: int = 512):
+        """fold_params: per fold, (full_model param pytree, (P, 256)
+        prototype matrix)."""
+        self.cfg = cfg
+        self.folds = list(fold_params)
+        self.device_batch = device_batch
+
+        mcfg = cfg.model
+
+        def _fn(params, protos, rgb, rgb_mask, flow, flow_mask):
+            out = prototypes_forward(params, mcfg, rgb, rgb_mask, flow,
+                                     flow_mask)
+            return prototype_probs(out.video_rep, protos), out.attn
+
+        self._fn = jax.jit(_fn)
+
+    def _run_batch(self, params, protos, tta: TTABatch) -> np.ndarray:
+        """Chunked, padded execution of one TTA variant -> (W, P) probs."""
+        w = tta.rgb.shape[0]
+        bs = self.device_batch
+        probs_out = []
+        for i in range(0, w, bs):
+            sl = slice(i, min(i + bs, w))
+            n = sl.stop - sl.start
+            pad = bs - n
+
+            def padded(a):
+                if pad == 0:
+                    return a[sl]
+                reps = np.concatenate(
+                    [a[sl], np.repeat(a[sl][-1:], pad, axis=0)])
+                return reps
+
+            probs, _ = self._fn(params, protos,
+                                jnp.asarray(padded(tta.rgb)),
+                                jnp.asarray(padded(tta.rgb_mask)),
+                                jnp.asarray(padded(tta.flow)),
+                                jnp.asarray(padded(tta.flow_mask)))
+            probs_out.append(np.asarray(probs[:n], np.float64))
+        return np.concatenate(probs_out)
+
+    def decode(self, video: str, rgb_reps: np.ndarray,
+               flow_reps: Optional[np.ndarray]) -> pd.DataFrame:
+        """Per-video window decode -> merged gesture interval table."""
+        manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
+        if len(manifest) == 0:
+            return pd.DataFrame()
+        if flow_reps is None:
+            flow_reps = np.zeros((1, rgb_reps.shape[1]), np.float32)
+        tta_batches = build_tta_batches(rgb_reps, flow_reps, manifest,
+                                        self.cfg.window)
+        fold_tta: List[List[np.ndarray]] = []
+        for params, protos in self.folds:
+            fold_tta.append([self._run_batch(params, protos, t)
+                             for t in tta_batches])
+        probs = ensemble_probs(fold_tta)
+        return decode_gesture_intervals(probs, manifest.start_frames,
+                                        manifest.end_frames, video,
+                                        self.cfg.postprocess)
+
+    def window_probs(self, video: str, rgb_reps: np.ndarray,
+                     flow_reps: Optional[np.ndarray]) -> np.ndarray:
+        """Ensembled per-window probabilities (pre post-processing)."""
+        manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
+        if flow_reps is None:
+            flow_reps = np.zeros((1, rgb_reps.shape[1]), np.float32)
+        tta_batches = build_tta_batches(rgb_reps, flow_reps, manifest,
+                                        self.cfg.window)
+        fold_tta = [[self._run_batch(p, pr, t) for t in tta_batches]
+                    for p, pr in self.folds]
+        return ensemble_probs(fold_tta)

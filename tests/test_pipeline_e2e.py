@@ -1,0 +1,103 @@
+"""End-to-end smoke: synthetic mp4 -> features -> windows -> gestures CSV.
+
+Mirrors `bash ./SAIS/main.sh -f video` (reference stages 1-6) on a tiny
+model, all on CPU.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from sais_tpu.config import (ModelConfig, PipelineConfig, PreprocessConfig,
+                             TemporalConfig, ViTConfig)
+from sais_tpu.infer.pipeline import FeatureExtractor, GestureDecoder
+from sais_tpu.models.full_model import full_model_init, prototypes_init
+from sais_tpu.models.vit import vit_init
+from sais_tpu.ops.preprocess import preprocess_batch, preprocess_reference_host
+
+DIM = 64
+
+
+def tiny_cfg():
+    return PipelineConfig(
+        vit=ViTConfig(image_size=32, patch_size=8, embed_dim=DIM, depth=2,
+                      num_heads=4),
+        preprocess=PreprocessConfig(resize=32),
+        model=ModelConfig(rep_dim=DIM, modalities="RGB",
+                          temporal=TemporalConfig(rep_dim=DIM, num_layers=2,
+                                                  num_heads=4, ffn_dim=128)),
+        compute_dtype="float32",
+    )
+
+
+def synth_video(path, nframes=90, h=48, w=64):
+    import cv2
+    writer = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (w, h))
+    assert writer.isOpened()
+    rng = np.random.default_rng(0)
+    for i in range(nframes):
+        frame = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        frame[:, : (i * w // nframes)] = (255, 0, 0)
+        writer.write(frame)
+    writer.release()
+
+
+def test_decode_pipeline_end_to_end(tmp_path):
+    cfg = tiny_cfg()
+    video_path = str(tmp_path / "vid.mp4")
+    synth_video(video_path)
+
+    vit_params = vit_init(jax.random.key(0), cfg.vit)
+    fx = FeatureExtractor(vit_params, cfg, batch_size=32)
+    reps = fx.extract_video(video_path)
+    assert reps.shape == (90, DIM)
+    assert np.isfinite(reps).all()
+
+    # streaming path == array path
+    from sais_tpu.io.video import VideoReader
+    with VideoReader(video_path) as r:
+        frames = np.stack(list(r.frames()))
+    reps2 = fx.extract_array(frames)
+    np.testing.assert_allclose(reps, reps2, atol=1e-5)
+
+    model_params = full_model_init(jax.random.key(1), cfg.model)
+    _, protos = prototypes_init(jax.random.key(2), 2)
+    dec = GestureDecoder([(model_params, protos)], cfg, device_batch=8)
+    df = dec.decode("vid", reps, None)
+    # 90 frames -> 6 windows; schema matches the reference CSV
+    for col in (0, 1, "StartFrame", "EndFrame", "Entropy", "pred",
+                "Gesture", "Video", "StartTime", "EndTime", "Path"):
+        assert col in df.columns or len(df) == 0, col
+    probs = dec.window_probs("vid", reps, None)
+    assert probs.shape == (6, 2)
+    np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-6)
+
+
+def test_preprocess_device_matches_pil_reference():
+    rng = np.random.default_rng(1)
+    frames = rng.integers(0, 255, (3, 100, 140, 3), dtype=np.uint8)
+    cfg = PreprocessConfig()
+    dev = np.asarray(preprocess_batch(jnp.asarray(frames), cfg))
+    host = preprocess_reference_host(frames, cfg)
+    assert dev.shape == host.shape == (3, 224, 224, 3)
+    # PIL and jax antialiased bilinear agree closely; normalized units
+    err = np.abs(dev - host).mean()
+    assert err < 0.03, err
+    assert np.abs(dev - host).max() < 0.35
+
+
+def test_feature_store_roundtrip(tmp_path):
+    from sais_tpu.io.feature_store import FeatureStore
+    p = str(tmp_path / "results" / "reps.h5")
+    with FeatureStore(p, "w") as fs:
+        fs.write_video("a", np.ones((5, 4), np.float32))
+        fs.append_video("b", np.zeros((3, 4), np.float32))
+        fs.append_video("b", np.ones((2, 4), np.float32))
+    with FeatureStore(p) as fs:
+        assert fs.videos() == ["a", "b"]
+        assert fs.read_video("b").shape == (5, 4)
+        assert fs.read_video("b")[3:].sum() == 8
