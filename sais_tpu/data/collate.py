@@ -1,0 +1,98 @@
+"""Batch collation: ragged labeled segments -> static-shaped padded arrays.
+
+The reference pad_collate (prepare_dataset.py:2808-2935) pads each batch to
+its max frame count, which on TPU would trigger one XLA compile per distinct
+length.  Here frame counts are rounded up to a small set of BUCKET lengths
+(SURVEY.md section 7 'ragged windows vs XLA static shapes') so every batch
+reuses one of a handful of compiled programs.  Mask semantics are identical:
+mask[i, :, len_i+1:] = True with slot 0 the always-valid CLS
+(createPaddingMask, prepare_dataset.py:2798-2806).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+
+from sais_tpu.config import WindowConfig
+from sais_tpu.data.windows import flow_indices_for, segment_frame_indices
+
+
+def bucket_for(n: int, buckets: Sequence[int]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"length {n} exceeds largest bucket {buckets[-1]}")
+
+
+def collate_segments(rows: pd.DataFrame, rgb_store, flow_store,
+                     label_to_col: Dict[str, int], wcfg: WindowConfig,
+                     buckets: Sequence[int] = (16, 32, 64, 128),
+                     tta_offset: int = 0,
+                     use_flow: bool = True) -> Dict[str, np.ndarray]:
+    """Build one training batch from segment rows.
+
+    rows: DataFrame with Video/StartFrame/EndFrame/Gesture columns;
+    rgb_store/flow_store: objects with read_video(name) -> (N, D).
+    Returns the batch dict consumed by PrototypeTrainer.
+    """
+    rgb_list: List[np.ndarray] = []
+    rgb_lens: List[int] = []
+    flow_list: List[np.ndarray] = []
+    flow_valid: List[np.ndarray] = []
+    cols: List[int] = []
+    for _, row in rows.iterrows():
+        reps = rgb_store.read_video(row["Video"])
+        idx = segment_frame_indices(int(row["StartFrame"]),
+                                    int(row["EndFrame"]), wcfg, tta_offset)
+        rgb_list.append(reps[idx])
+        rgb_lens.append(len(idx))
+        if use_flow and flow_store is not None:
+            freps = flow_store.read_video(row["Video"])
+            fidx, fvalid = flow_indices_for(idx[None], len(freps), wcfg)
+            flow_list.append(freps[fidx[0]] * fvalid[0][:, None])
+            flow_valid.append(fvalid[0])
+        cols.append(label_to_col[row["Gesture"]])
+
+    b = len(rgb_list)
+    d = rgb_list[0].shape[1]
+    fb = bucket_for(max(rgb_lens), buckets)
+    rgb = np.zeros((b, 1, fb, d), np.float32)
+    rgb_mask = np.zeros((b, 1, fb + 1), bool)
+    for i, (arr, ln) in enumerate(zip(rgb_list, rgb_lens)):
+        rgb[i, 0, :ln] = arr
+        rgb_mask[i, 0, ln + 1:] = True
+
+    batch = {
+        "rgb": rgb, "rgb_mask": rgb_mask,
+        "label_cols": np.asarray(cols, np.int32),
+        "labels": np.asarray(cols, np.int32),
+    }
+    if flow_list:
+        fmax = bucket_for(max(f.shape[0] for f in flow_list),
+                          [2, 4, 8, 16, *buckets])
+        flow = np.zeros((b, 1, fmax, d), np.float32)
+        flow_mask = np.zeros((b, 1, fmax + 1), bool)
+        for i, (arr, valid) in enumerate(zip(flow_list, flow_valid)):
+            n = arr.shape[0]
+            flow[i, 0, :n] = arr
+            flow_mask[i, 0, 1:n + 1] = ~valid
+            flow_mask[i, 0, n + 1:] = True
+        batch["flow"] = flow
+        batch["flow_mask"] = flow_mask
+    return batch
+
+
+def segment_batches(dataset_rows: pd.DataFrame, rgb_store, flow_store,
+                    classes: Sequence[str], wcfg: WindowConfig,
+                    batch_size: int, shuffle: bool, seed: int = 0,
+                    use_flow: bool = True):
+    """Yield collated batches over a phase's segment table."""
+    from sais_tpu.data.datasets import batched_indices
+    label_to_col = {c: i for i, c in enumerate(classes)}
+    for idx in batched_indices(len(dataset_rows), batch_size, shuffle, seed):
+        yield collate_segments(dataset_rows.iloc[idx], rgb_store, flow_store,
+                               label_to_col, wcfg, tta_offset=0,
+                               use_flow=use_flow)

@@ -1,0 +1,199 @@
+"""Training loop: SupCon-prototype training with early stopping.
+
+Reference semantics (train.py:46-96, prepare_model.py:555-567,
+perform_training.py:49-227):
+- SGD over model parameters AND prototypes jointly;
+- per-epoch phases train/val/test; early stop when val loss fails to improve
+  max_patience=5 consecutive epochs; best snapshot (params + prototypes)
+  kept from the best-val-loss epoch;
+- NCE prototype loss (+ optional importance loss during train).
+
+TPU redesign: the step is one jit-compiled program over a device mesh —
+batch sharded on the data axis, parameters replicated, gradient all-reduce
+inserted by XLA (the DDP equivalent).  Rather than looping python-side over
+ragged samples, batches arrive as static-shaped padded arrays from
+sais_tpu.data collators.
+"""
+
+from __future__ import annotations
+
+import copy
+import dataclasses
+from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sais_tpu.config import ModelConfig, TrainConfig
+from sais_tpu.models.full_model import prototypes_forward
+from sais_tpu.models.heads import prototype_probs
+from sais_tpu.parallel import mesh as mesh_lib
+from sais_tpu.train import metrics as metrics_lib
+from sais_tpu.train.losses import importance_loss_reference, nce_loss
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class TrainState:
+    """Joint trainable state: model params + prototype matrix."""
+
+    model: Any
+    prototypes: jnp.ndarray
+    opt_state: Any
+
+
+class PrototypeTrainer:
+    """Prototypes-task trainer (the reference's main training mode)."""
+
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 model_params: Any, prototype_keys: Sequence[str],
+                 prototypes: jnp.ndarray,
+                 mesh: Optional["jax.sharding.Mesh"] = None,
+                 use_importance: Optional[bool] = None):
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.prototype_keys = list(prototype_keys)
+        self.mesh = mesh
+        self.use_importance = (train_cfg.importance_loss
+                               if use_importance is None else use_importance)
+        self.optimizer = optax.sgd(train_cfg.lr)
+        trainable = {"model": model_params, "prototypes": prototypes}
+        self.state = TrainState(model_params, prototypes,
+                                self.optimizer.init(trainable))
+
+        mcfg = self.model_cfg
+        use_imp = self.use_importance
+
+        def loss_fn(trainable, batch):
+            out = prototypes_forward(trainable["model"], mcfg,
+                                     batch.get("rgb"), batch.get("rgb_mask"),
+                                     batch.get("flow"), batch.get("flow_mask"))
+            weight = batch.get("weight")
+            if weight is None:
+                loss = nce_loss(out.video_rep, trainable["prototypes"],
+                                batch["label_cols"])
+            else:
+                # padded-batch path: masked mean over real samples
+                from sais_tpu.models.heads import prototype_similarities
+                sim = prototype_similarities(out.video_rep,
+                                             trainable["prototypes"])
+                logp = jax.nn.log_softmax(sim, -1)
+                picked = jnp.take_along_axis(
+                    logp, batch["label_cols"][:, None], 1)[:, 0]
+                loss = -jnp.sum(picked * weight) / jnp.maximum(
+                    jnp.sum(weight), 1.0)
+            if use_imp:
+                labels = batch["labels"]
+                if weight is not None:
+                    # padded rows must not count as low-skill (label 0)
+                    labels = jnp.where(weight > 0, labels, -1)
+                loss = loss + importance_loss_reference(
+                    out.importances, batch["importance"], batch["ipad"],
+                    labels)
+            return loss, out.video_rep
+
+        def train_step(state: TrainState, batch):
+            trainable = {"model": state.model, "prototypes": state.prototypes}
+            (loss, reps), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(trainable, batch)
+            updates, opt_state = self.optimizer.update(grads, state.opt_state,
+                                                       trainable)
+            new = optax.apply_updates(trainable, updates)
+            return TrainState(new["model"], new["prototypes"],
+                              opt_state), loss, reps
+
+        def eval_step(state: TrainState, batch):
+            trainable = {"model": state.model, "prototypes": state.prototypes}
+            loss, reps = loss_fn(trainable, batch)
+            probs = prototype_probs(reps, state.prototypes)
+            return loss, reps, probs
+
+        if mesh is not None:
+            # params/opt-state replicated, batches arrive data-sharded via
+            # _device_batch; jit respects the argument shardings and inserts
+            # the gradient all-reduce over the data axis (DDP equivalent).
+            self.state = mesh_lib.replicate(self.state, mesh)
+        self._train_step = jax.jit(train_step, donate_argnums=(0,))
+        self._eval_step = jax.jit(eval_step)
+
+    # -- batch prep ---------------------------------------------------------
+
+    def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        if self.mesh is not None:
+            batch = mesh_lib.pad_batch_with_weight(
+                batch, self.mesh.shape[mesh_lib.DATA_AXIS])
+            return mesh_lib.shard_batch(batch, self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
+    # -- epochs -------------------------------------------------------------
+
+    def run_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
+                  train: bool) -> Tuple[float, Dict[str, float]]:
+        """One pass; returns (mean loss, metrics).  Metrics follow
+        calcNCEMetrics (probs vs label columns)."""
+        losses: List[float] = []
+        sizes: List[int] = []
+        all_probs: List[np.ndarray] = []
+        all_cols: List[np.ndarray] = []
+        for batch in batches:
+            cols = batch["label_cols"]
+            b = self._device_batch(batch)
+            if train:
+                self.state, loss, reps = self._train_step(self.state, b)
+                probs = np.asarray(prototype_probs(
+                    reps, self.state.prototypes))[:len(cols)]
+            else:
+                loss, reps, probs = self._eval_step(self.state, b)
+                probs = np.asarray(probs)[:len(cols)]
+            losses.append(float(loss) * len(cols))
+            sizes.append(len(cols))
+            all_probs.append(probs)
+            all_cols.append(np.asarray(cols))
+        n = max(sum(sizes), 1)
+        mean_loss = sum(losses) / n
+        probs = np.concatenate(all_probs) if all_probs else np.zeros((0, 2))
+        cols = np.concatenate(all_cols) if all_cols else np.zeros((0,), int)
+        m = metrics_lib.prototype_metrics(
+            [probs], [self.prototype_keys[c] for c in cols],
+            self.prototype_keys) if len(cols) else {}
+        m["loss"] = mean_loss
+        return mean_loss, m
+
+    def fit(self, loaders: Dict[str, Callable[[], Iterable]],
+            nepochs: Optional[int] = None,
+            log: Callable[[str], None] = print) -> Dict[str, Any]:
+        """Epoch loop with early stopping (train.py:46-96).
+
+        loaders: phase -> callable yielding an iterable of batches.
+        Returns {'model', 'prototypes', 'metrics', 'best_epoch'}.
+        """
+        nepochs = nepochs or self.train_cfg.nepochs
+        tracker = metrics_lib.MetricsTracker()
+        min_loss = float("inf")
+        patience = 1
+        best = None
+        best_epoch = 0
+        epoch = 1
+        while epoch <= nepochs and patience <= self.train_cfg.max_patience:
+            for phase, make in loaders.items():
+                train = phase == "train"
+                loss, m = self.run_epoch(make(), train)
+                log(metrics_lib.format_metrics(phase, m))
+                if phase == "val":
+                    tracker.update(m)
+                    if loss < min_loss:
+                        min_loss = loss
+                        patience = 1
+                        best_epoch = epoch
+                        best = (jax.tree.map(np.asarray, self.state.model),
+                                np.asarray(self.state.prototypes))
+                    else:
+                        patience += 1
+            epoch += 1
+        if best is None:
+            best = (jax.tree.map(np.asarray, self.state.model),
+                    np.asarray(self.state.prototypes))
+        return {"model": best[0], "prototypes": best[1],
+                "metrics": tracker.history, "best_epoch": best_epoch}
