@@ -106,6 +106,38 @@ def cmd_extract(args):
           f"({reps.shape[0] / dt:.0f} frames/s)")
 
 
+def cmd_flow(args):
+    """RAFT flow -> flow-RGB -> DINO flow reps (reference main.sh:18+24)."""
+    import jax
+    from sais_tpu.infer.pipeline import FlowExtractor
+    from sais_tpu.io.feature_store import FeatureStore, flow_store_path
+    from sais_tpu.io.video import VideoReader
+    from sais_tpu.models.raft import raft_init, raft_params_from_torch
+    cfg = _pipeline_config(args)
+    if args.raft_weights:
+        from sais_tpu.port.torch_port import load_torch_pickle
+        sd = load_torch_pickle(args.raft_weights)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        raft_params = raft_params_from_torch(sd)
+    else:
+        if not args.random_init:
+            sys.exit("need --raft-weights or --random-init")
+        raft_params = raft_init(jax.random.key(3), cfg.raft)
+    vit_params = _load_vit(args, cfg)
+    fx = FlowExtractor(raft_params, vit_params, cfg,
+                       pair_batch=args.flow_batch)
+    with VideoReader(os.path.join(args.path, "videos",
+                                  args.videoname + ".mp4")) as r:
+        frames = np.stack(list(r.frames()))
+    t0 = time.time()
+    reps, _ = fx.extract(frames)
+    dt = time.time() - t0
+    with FeatureStore(flow_store_path(args.path), "a") as fs:
+        fs.write_video(args.videoname, reps)
+    print(f"extracted flow reps {reps.shape} in {dt:.1f}s")
+
+
 def cmd_decode(args):
     from sais_tpu.infer.pipeline import GestureDecoder
     from sais_tpu.io.feature_store import (FeatureStore, flow_store_path,
@@ -131,6 +163,8 @@ def cmd_decode(args):
 def cmd_pipeline(args):
     t0 = time.time()
     cmd_extract(args)
+    if args.modalities != "RGB":
+        cmd_flow(args)
     cmd_decode(args)
     print(f"total {time.time() - t0:.1f}s")
 
@@ -139,13 +173,15 @@ def build_parser():
     p = argparse.ArgumentParser(prog="sais")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("frames", cmd_frames), ("paths", cmd_paths),
-                     ("extract", cmd_extract), ("decode", cmd_decode),
-                     ("pipeline", cmd_pipeline)]:
+                     ("extract", cmd_extract), ("flow", cmd_flow),
+                     ("decode", cmd_decode), ("pipeline", cmd_pipeline)]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("-f", "--videoname", required=True)
         sp.add_argument("-p", "--path", default=".")
         sp.add_argument("--dino-weights")
+        sp.add_argument("--raft-weights")
+        sp.add_argument("--flow-batch", type=int, default=2)
         sp.add_argument("--params-dir")
         sp.add_argument("--random-init", action="store_true")
         sp.add_argument("--nfolds", type=int, default=1)

@@ -100,6 +100,59 @@ class FeatureExtractor:
         return np.concatenate([np.asarray(f)[:n] for f, n in outs])
 
 
+class FlowExtractor:
+    """Motion-stream features: RAFT flow over frame pairs -> flow RGB ->
+    DINO reps (reference stages 3+5b: extract_representations.py
+    --optical_flow then --optical_flow_to_reps, collapsed into one pass
+    with no JPEG round-trip)."""
+
+    def __init__(self, raft_params, vit_params, cfg: PipelineConfig,
+                 pair_batch: int = 2, iters: Optional[int] = None):
+        from sais_tpu.models.raft import (pad_to_multiple_of_8, raft_forward,
+                                          unpad)
+        self.cfg = cfg
+        self.pair_batch = pair_batch
+        self._unpad = unpad
+        self._pad = pad_to_multiple_of_8
+        iters = iters or cfg.raft.iters
+        raft_cfg = cfg.raft
+
+        def _flow(params, i1, i2):
+            return raft_forward(params, i1, i2, raft_cfg, iters=iters)
+
+        self._flow_fn = jax.jit(_flow)
+        self._raft_params = raft_params
+        self._features = FeatureExtractor(vit_params, cfg, batch_size=64)
+
+    def flow_fields(self, frames: np.ndarray) -> np.ndarray:
+        """frames: (N, H, W, 3) uint8 -> (P, H, W, 2) flow for pairs
+        (i, i+jump) at stride jump (generate_paths.py:43-54 pairing)."""
+        jump = self.cfg.window.flow_jump_factor
+        n = frames.shape[0]
+        starts = np.arange(0, n - jump, jump)
+        flows = []
+        for i in range(0, len(starts), self.pair_batch):
+            chunk = starts[i:i + self.pair_batch]
+            i1 = frames[chunk]
+            i2 = frames[chunk + jump]
+            p1, pads = self._pad(jnp.asarray(i1, jnp.float32))
+            p2, _ = self._pad(jnp.asarray(i2, jnp.float32))
+            flow = self._flow_fn(self._raft_params, p1, p2)
+            flows.append(np.asarray(self._unpad(flow, pads)))
+        return (np.concatenate(flows) if flows
+                else np.zeros((0,) + frames.shape[1:3] + (2,), np.float32))
+
+    def extract(self, frames: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+        """(N, H, W, 3) uint8 video frames -> (flow_reps (P, D), flow RGB
+        uint8 (P, H, W, 3))."""
+        from sais_tpu.ops.flow_viz import flow_to_rgb_uint8
+        fields = self.flow_fields(frames)
+        rgb = np.stack([flow_to_rgb_uint8(f) for f in fields]) if len(fields) \
+            else np.zeros((0,) + frames.shape[1:3] + (3,), np.uint8)
+        reps = self._features.extract_array(rgb)
+        return reps, rgb
+
+
 class GestureDecoder:
     """Sliding-window gesture inference with TTA + fold ensembling +
     post-processing (reference stages 5-6: run_experiments.py --inference

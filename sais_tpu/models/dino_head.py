@@ -1,0 +1,81 @@
+"""DINO projection head (reference: dino-main/vision_transformer.py:257-291).
+
+3-layer MLP (in -> 2048 -> 2048 -> bottleneck 256) with GELU, L2
+normalization, then a weight-normalized linear to the prototype dimension
+(65536 by default) whose per-row gain g is frozen at 1 when
+norm_last_layer=True (the reference default for ViT-S) — i.e. the final
+weight rows are unit-normalized at every step.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Mapping
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+Params = Dict[str, Any]
+
+
+def dino_head_forward(params: Params, x: jnp.ndarray,
+                      norm_last_layer: bool = True) -> jnp.ndarray:
+    """x: (B, in_dim) -> (B, out_dim) prototype logits."""
+    h = x
+    n = len(params["mlp"])
+    for i, layer in enumerate(params["mlp"]):
+        h = jnp.dot(h, layer["w"].astype(h.dtype)) + layer["b"].astype(h.dtype)
+        if i < n - 1:  # GELU between hidden layers, none after bottleneck
+            h = jax.nn.gelu(h.astype(jnp.float32),
+                            approximate=False).astype(h.dtype)
+    h = h / jnp.linalg.norm(h.astype(jnp.float32), axis=-1, keepdims=True)
+    v = params["last_v"]            # (bottleneck, out) column-per-prototype
+    g = params["last_g"]            # (out,)
+    w = v / jnp.linalg.norm(v, axis=0, keepdims=True)
+    if not norm_last_layer:
+        w = w * g[None, :]
+    return jnp.dot(h.astype(jnp.float32), w)
+
+
+def dino_head_init(key: jax.Array, in_dim: int, out_dim: int,
+                   hidden: int = 2048, bottleneck: int = 256) -> Params:
+    """trunc-normal(0.02) weights, zero bias, g=1 (reference init)."""
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+
+    def tn(k, fi, fo):
+        return 0.02 * jax.random.truncated_normal(k, -2, 2, (fi, fo))
+
+    return {
+        "mlp": [
+            {"w": tn(k1, in_dim, hidden), "b": jnp.zeros((hidden,))},
+            {"w": tn(k2, hidden, hidden), "b": jnp.zeros((hidden,))},
+            {"w": tn(k3, hidden, bottleneck), "b": jnp.zeros((bottleneck,))},
+        ],
+        "last_v": tn(k4, bottleneck, out_dim),
+        "last_g": jnp.ones((out_dim,)),
+    }
+
+
+def dino_head_params_from_torch(sd: Mapping[str, Any],
+                                prefix: str = "") -> Params:
+    """torch DINOHead state_dict -> pytree.  Keys: mlp.0/2/4.{weight,bias},
+    last_layer.weight_g (out,1), last_layer.weight_v (out, bottleneck)."""
+
+    def _np(x):
+        return x.detach().cpu().numpy() if hasattr(x, "detach") else np.asarray(x)
+
+    mlp = []
+    for i in (0, 2, 4):
+        mlp.append({"w": jnp.asarray(_np(sd[f"{prefix}mlp.{i}.weight"]).T),
+                    "b": jnp.asarray(_np(sd[f"{prefix}mlp.{i}.bias"]))})
+    g_key = (f"{prefix}last_layer.weight_g"
+             if f"{prefix}last_layer.weight_g" in sd
+             else f"{prefix}last_layer.parametrizations.weight.original0")
+    v_key = (f"{prefix}last_layer.weight_v"
+             if f"{prefix}last_layer.weight_v" in sd
+             else f"{prefix}last_layer.parametrizations.weight.original1")
+    return {
+        "mlp": mlp,
+        "last_v": jnp.asarray(_np(sd[v_key]).T),           # (bottleneck, out)
+        "last_g": jnp.asarray(_np(sd[g_key]).reshape(-1)),
+    }

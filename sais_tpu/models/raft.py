@@ -1,0 +1,430 @@
+"""RAFT optical-flow estimator — TPU-native JAX implementation.
+
+The reference computes optical flow with ptlflow's RAFT ('things'
+checkpoint) over frame pairs 15 frames apart, one CPU batch of 2 at a time
+(extract_representations.py:33,264-288).  This is a from-scratch JAX
+implementation of the RAFT architecture (Teed & Deng, ECCV 2020; the
+ptlflow module mirrors princeton-vl/RAFT's parameter naming, which the
+converter below consumes):
+
+- feature encoder (instance-norm residual CNN, 1/8 resolution, 256-d)
+  shared across both frames — batched as a single 2B conv pass;
+- context encoder (batch-norm, split into 128-d GRU state + 128-d input);
+- all-pairs 4-level correlation pyramid with radius-4 bilinear lookup;
+- separable ConvGRU update block iterated with lax.scan (static iteration
+  count -> a single compiled program, no python loop);
+- convex upsampling of the 1/8-res flow with the learned 9-way mask.
+
+TPU-first choices: NHWC layout throughout, correlation lookup as masked
+take_along_axis gathers (no scatter), scan instead of unrolled python, and
+bf16-friendly matmuls with f32 normalization statistics.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Mapping, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sais_tpu.config import RAFTConfig
+
+Params = Dict[str, Any]
+
+_DN = ("NHWC", "HWIO", "NHWC")
+
+
+def _conv(x, p, stride=1):
+    # torch-style symmetric k//2 padding (XLA 'SAME' pads asymmetrically for
+    # strided convs, which would break checkpoint parity)
+    kh, kw = p["w"].shape[0], p["w"].shape[1]
+    pad = ((kh // 2, kh // 2), (kw // 2, kw // 2))
+    y = jax.lax.conv_general_dilated(
+        x, p["w"].astype(x.dtype), (stride, stride), pad,
+        dimension_numbers=_DN)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def _instance_norm(x, eps=1e-5):
+    """torch nn.InstanceNorm2d default: affine=False, per-sample stats."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.var(x32, axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def _batch_norm(x, p, eps=1e-5):
+    """Eval-mode BatchNorm2d with running statistics."""
+    scale = (p["w"] * jax.lax.rsqrt(p["rv"] + eps)).astype(x.dtype)
+    bias = (p["b"] - p["rm"] * p["w"] * jax.lax.rsqrt(p["rv"] + eps)).astype(x.dtype)
+    return x * scale + bias
+
+
+def _norm(x, p, kind):
+    if kind == "instance":
+        return _instance_norm(x)
+    if kind == "batch":
+        return _batch_norm(x, p)
+    return x  # 'none'
+
+
+def _residual_block(x, p, kind, stride):
+    y = jax.nn.relu(_norm(_conv(x, p["conv1"], stride), p.get("norm1"), kind))
+    y = jax.nn.relu(_norm(_conv(y, p["conv2"]), p.get("norm2"), kind))
+    if "down" in p:
+        x = _norm(_conv(x, p["down"], stride), p.get("norm3"), kind)
+    return jax.nn.relu(x + y)
+
+
+def basic_encoder(x, p, kind):
+    """BasicEncoder: conv7x7/2 + 3 residual stages + 1x1 projection.
+    x: (B, H, W, 3) in [-1, 1] -> (B, H/8, W/8, out)."""
+    x = jax.nn.relu(_norm(_conv(x, p["conv1"], 2), p.get("norm1"), kind))
+    for i, stride in ((1, 1), (2, 2), (3, 2)):
+        blocks = p[f"layer{i}"]
+        x = _residual_block(x, blocks[0], kind, stride)
+        x = _residual_block(x, blocks[1], kind, 1)
+    return _conv(x, p["conv2"])
+
+
+# ---------------------------------------------------------------------------
+# Correlation pyramid + lookup
+# ---------------------------------------------------------------------------
+
+def corr_pyramid(f1: jnp.ndarray, f2: jnp.ndarray, levels: int):
+    """All-pairs correlation (B, H*W, H, W)/sqrt(D) + avg-pool pyramid."""
+    b, h, w, d = f1.shape
+    corr = jnp.einsum("bxd,byd->bxy", f1.reshape(b, h * w, d),
+                      f2.reshape(b, h * w, d),
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.float32(d))
+    corr = corr.reshape(b, h * w, h, w)
+    pyramid = [corr]
+    for _ in range(levels - 1):
+        c = pyramid[-1]
+        # avg_pool2d(k=2, s=2) with floor semantics for odd dims
+        c = jax.lax.reduce_window(c, 0.0, jax.lax.add,
+                                  (1, 1, 2, 2), (1, 1, 2, 2), "VALID") / 4.0
+        pyramid.append(c)
+    return pyramid
+
+
+def _lookup_level(corr: jnp.ndarray, coords: jnp.ndarray,
+                  radius: int) -> jnp.ndarray:
+    """Bilinear radius lookup on one pyramid level.
+
+    corr: (B, N, Hl, Wl); coords: (B, N, 2) xy in level-pixel units.
+    Returns (B, N, (2r+1)^2) with zero padding outside the level, matching
+    grid_sample(align_corners=True, padding_mode='zeros').
+    """
+    b, n, hl, wl = corr.shape
+    r = radius
+    k = 2 * r + 1
+    dx = jnp.arange(-r, r + 1, dtype=jnp.float32)
+    # Match the official CorrBlock ordering quirk exactly: delta is stacked
+    # as meshgrid(dy, dx) but added to (x, y) coords, so the ROW offset
+    # lands on x and the COLUMN offset on y.  The trained weights of
+    # convc1 depend on this channel ordering.
+    off = jnp.stack(jnp.meshgrid(dx, dx, indexing="ij"), -1)  # (k, k, 2)
+    offx = off[..., 0].reshape(-1)
+    offy = off[..., 1].reshape(-1)
+    px = coords[..., 0:1] + offx[None, None]   # (B, N, K)
+    py = coords[..., 1:2] + offy[None, None]
+
+    x0 = jnp.floor(px)
+    y0 = jnp.floor(py)
+    wx1 = px - x0
+    wy1 = py - y0
+    flat = corr.reshape(b, n, hl * wl)
+
+    def corner(xi, yi, wgt):
+        valid = (xi >= 0) & (xi <= wl - 1) & (yi >= 0) & (yi <= hl - 1)
+        xi_c = jnp.clip(xi, 0, wl - 1).astype(jnp.int32)
+        yi_c = jnp.clip(yi, 0, hl - 1).astype(jnp.int32)
+        idx = yi_c * wl + xi_c
+        vals = jnp.take_along_axis(flat, idx, axis=2)
+        return vals * (wgt * valid.astype(jnp.float32))
+
+    out = (corner(x0, y0, (1 - wx1) * (1 - wy1)) +
+           corner(x0 + 1, y0, wx1 * (1 - wy1)) +
+           corner(x0, y0 + 1, (1 - wx1) * wy1) +
+           corner(x0 + 1, y0 + 1, wx1 * wy1))
+    return out
+
+
+def corr_lookup(pyramid, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
+    """coords: (B, H, W, 2) xy at 1/8 res -> (B, H, W, levels*(2r+1)^2)."""
+    b, h, w, _ = coords.shape
+    flat = coords.reshape(b, h * w, 2)
+    outs = []
+    for i, corr in enumerate(pyramid):
+        outs.append(_lookup_level(corr, flat / (2 ** i), radius))
+    return jnp.concatenate(outs, axis=-1).reshape(b, h, w, -1)
+
+
+# ---------------------------------------------------------------------------
+# Update block
+# ---------------------------------------------------------------------------
+
+def motion_encoder(flow, corr, p):
+    c = jax.nn.relu(_conv(corr, p["convc1"]))
+    c = jax.nn.relu(_conv(c, p["convc2"]))
+    f = jax.nn.relu(_conv(flow, p["convf1"]))
+    f = jax.nn.relu(_conv(f, p["convf2"]))
+    out = jax.nn.relu(_conv(jnp.concatenate([c, f], -1), p["conv"]))
+    return jnp.concatenate([out, flow], -1)          # 126 + 2 = 128
+
+
+def sep_conv_gru(h, x, p):
+    """Two sequential GRUs with (1,5) then (5,1) separable convolutions."""
+    for sfx in ("1", "2"):
+        hx = jnp.concatenate([h, x], -1)
+        z = jax.nn.sigmoid(_conv(hx, p["convz" + sfx]))
+        r = jax.nn.sigmoid(_conv(hx, p["convr" + sfx]))
+        q = jnp.tanh(_conv(jnp.concatenate([r * h, x], -1), p["convq" + sfx]))
+        h = (1 - z) * h + z * q
+    return h
+
+
+def flow_head(x, p):
+    return _conv(jax.nn.relu(_conv(x, p["conv1"])), p["conv2"])
+
+
+def update_block(net, inp, corr, flow, p):
+    motion = motion_encoder(flow, corr, p["encoder"])
+    net = sep_conv_gru(net, jnp.concatenate([inp, motion], -1), p["gru"])
+    delta = flow_head(net, p["flow_head"])
+    mask = 0.25 * _conv(jax.nn.relu(_conv(net, p["mask0"])), p["mask2"])
+    return net, mask, delta
+
+
+def upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Convex 8x upsampling.  flow: (B, H, W, 2); mask: (B, H, W, 64*9)."""
+    b, h, w, _ = flow.shape
+    m = mask.reshape(b, h, w, 9, 8, 8)
+    m = jax.nn.softmax(m, axis=3)
+    # 3x3 neighborhood of 8*flow, zero padded (F.unfold semantics)
+    f = 8.0 * flow
+    fpad = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    patches = jnp.stack([fpad[:, dy:dy + h, dx:dx + w, :]
+                         for dy in range(3) for dx in range(3)], axis=3)
+    # (B, H, W, 9, 2) x (B, H, W, 9, 8, 8) -> (B, H, W, 8, 8, 2)
+    up = jnp.einsum("bhwkc,bhwkuv->bhwuvc", patches, m)
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
+
+
+# ---------------------------------------------------------------------------
+# Full model
+# ---------------------------------------------------------------------------
+
+def pad_to_multiple_of_8(img: jnp.ndarray) -> Tuple[jnp.ndarray, Tuple[int, ...]]:
+    """Replicate-pad H/W to multiples of 8, split symmetrically like RAFT's
+    InputPadder / ptlflow IOAdapter."""
+    b, h, w, c = img.shape
+    ph = (8 - h % 8) % 8
+    pw = (8 - w % 8) % 8
+    pads = (ph // 2, ph - ph // 2, pw // 2, pw - pw // 2)
+    img = jnp.pad(img, ((0, 0), (pads[0], pads[1]), (pads[2], pads[3]),
+                        (0, 0)), mode="edge")
+    return img, pads
+
+
+def unpad(flow: jnp.ndarray, pads: Tuple[int, ...]) -> jnp.ndarray:
+    t, bm, l, r = pads
+    h, w = flow.shape[1], flow.shape[2]
+    return flow[:, t:h - bm if bm else h, l:w - r if r else w, :]
+
+
+def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
+                 cfg: RAFTConfig = RAFTConfig(),
+                 iters: Optional[int] = None,
+                 compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """Estimate flow image1 -> image2.
+
+    images: (B, H, W, 3) uint8/float RGB in [0, 255], H and W divisible
+    by 8 (use pad_to_multiple_of_8 otherwise).  Returns (B, H, W, 2) flow
+    in pixels (x, y).
+    """
+    iters = iters or cfg.iters
+    x1 = (2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0).astype(compute_dtype)
+    x2 = (2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0).astype(compute_dtype)
+
+    # single batched pass over both frames (reference runs fnet([i1, i2]))
+    fmap = basic_encoder(jnp.concatenate([x1, x2], 0), params["fnet"],
+                         "instance")
+    fmap = fmap.astype(jnp.float32)
+    f1, f2 = jnp.split(fmap, 2, axis=0)
+    pyramid = corr_pyramid(f1, f2, cfg.corr_levels)
+
+    cnet = basic_encoder(x1, params["cnet"], "batch")
+    net, inp = jnp.split(cnet, 2, axis=-1)
+    net = jnp.tanh(net).astype(jnp.float32)
+    inp = jax.nn.relu(inp).astype(jnp.float32)
+
+    b, h, w, _ = net.shape
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords0 = jnp.stack([gx, gy], -1)[None].repeat(b, 0)  # (B, H, W, 2) xy
+
+    def step(carry, _):
+        net, coords1 = carry
+        corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
+        flow = coords1 - coords0
+        net2, mask, delta = update_block(net, inp, corr, flow,
+                                         params["update"])
+        return (net2, coords1 + delta), mask
+
+    (net, coords1), masks = jax.lax.scan(step, (net, coords0), None,
+                                         length=iters)
+    return upsample_flow(coords1 - coords0, masks[-1])
+
+
+# ---------------------------------------------------------------------------
+# Weight port (princeton-vl / ptlflow naming)
+# ---------------------------------------------------------------------------
+
+def _np(x):
+    if hasattr(x, "detach"):
+        x = x.detach().cpu().numpy()
+    return np.asarray(x)
+
+
+def _conv_p(sd, prefix):
+    p = {"w": jnp.asarray(_np(sd[prefix + ".weight"]).transpose(2, 3, 1, 0))}
+    if prefix + ".bias" in sd:
+        p["b"] = jnp.asarray(_np(sd[prefix + ".bias"]))
+    return p
+
+
+def _bn_p(sd, prefix):
+    return {"w": jnp.asarray(_np(sd[prefix + ".weight"])),
+            "b": jnp.asarray(_np(sd[prefix + ".bias"])),
+            "rm": jnp.asarray(_np(sd[prefix + ".running_mean"])),
+            "rv": jnp.asarray(_np(sd[prefix + ".running_var"]))}
+
+
+def _encoder_p(sd, enc, kind):
+    def block(i, j):
+        p = f"{enc}.layer{i}.{j}"
+        out = {"conv1": _conv_p(sd, p + ".conv1"),
+               "conv2": _conv_p(sd, p + ".conv2")}
+        if kind == "batch":
+            out["norm1"] = _bn_p(sd, p + ".norm1")
+            out["norm2"] = _bn_p(sd, p + ".norm2")
+        if p + ".downsample.0.weight" in sd:
+            out["down"] = _conv_p(sd, p + ".downsample.0")
+            if kind == "batch" and p + ".downsample.1.weight" in sd:
+                out["norm3"] = _bn_p(sd, p + ".downsample.1")
+            elif kind == "batch":
+                out["norm3"] = _bn_p(sd, p + ".norm3")
+        return out
+
+    out = {"conv1": _conv_p(sd, enc + ".conv1"),
+           "conv2": _conv_p(sd, enc + ".conv2"),
+           "layer1": [block(1, 0), block(1, 1)],
+           "layer2": [block(2, 0), block(2, 1)],
+           "layer3": [block(3, 0), block(3, 1)]}
+    if kind == "batch":
+        out["norm1"] = _bn_p(sd, enc + ".norm1")
+    return out
+
+
+def raft_params_from_torch(sd: Mapping[str, Any]) -> Params:
+    """RAFT state_dict (official/ptlflow naming: fnet.*, cnet.*,
+    update_block.*) -> param pytree.  Accepts an optional 'model.' or
+    'module.' prefix."""
+    sd = { (k.split(".", 1)[1] if k.split(".", 1)[0] in ("model", "module")
+            else k): v for k, v in sd.items() }
+    u = "update_block"
+    return {
+        "fnet": _encoder_p(sd, "fnet", "instance"),
+        "cnet": _encoder_p(sd, "cnet", "batch"),
+        "update": {
+            "encoder": {k: _conv_p(sd, f"{u}.encoder.{k}")
+                        for k in ("convc1", "convc2", "convf1", "convf2",
+                                  "conv")},
+            "gru": {k: _conv_p(sd, f"{u}.gru.{k}")
+                    for k in ("convz1", "convr1", "convq1",
+                              "convz2", "convr2", "convq2")},
+            "flow_head": {"conv1": _conv_p(sd, f"{u}.flow_head.conv1"),
+                          "conv2": _conv_p(sd, f"{u}.flow_head.conv2")},
+            "mask0": _conv_p(sd, f"{u}.mask.0"),
+            "mask2": _conv_p(sd, f"{u}.mask.2"),
+        },
+    }
+
+
+def raft_init(key: jax.Array, cfg: RAFTConfig = RAFTConfig()) -> Params:
+    """Random init with the same shapes as the 'things' checkpoint."""
+    ks = list(jax.random.split(key, 64))
+
+    def conv(cin, cout, k, bias=True):
+        kk = ks.pop()
+        fan = cin * k * k
+        p = {"w": jax.random.normal(kk, (k, k, cin, cout)) * (2.0 / fan) ** 0.5}
+        if bias:
+            p["b"] = jnp.zeros((cout,))
+        return p
+
+    def conv_rect(cin, cout, kh, kw):
+        kk = ks.pop()
+        fan = cin * kh * kw
+        return {"w": jax.random.normal(kk, (kh, kw, cin, cout)) * (2.0 / fan) ** 0.5,
+                "b": jnp.zeros((cout,))}
+
+    def bn(c):
+        return {"w": jnp.ones((c,)), "b": jnp.zeros((c,)),
+                "rm": jnp.zeros((c,)), "rv": jnp.ones((c,))}
+
+    def encoder(kind, out_dim):
+        chans = [(64, 64, 1), (64, 96, 2), (96, 128, 2)]
+        enc = {"conv1": conv(3, 64, 7), "conv2": conv(128, out_dim, 1)}
+        if kind == "batch":
+            enc["norm1"] = bn(64)
+        for i, (cin, cout, stride) in enumerate(chans, start=1):
+            blocks = []
+            for j in range(2):
+                bi = cin if j == 0 else cout
+                st = stride if j == 0 else 1
+                blk = {"conv1": conv(bi, cout, 3), "conv2": conv(cout, cout, 3)}
+                if kind == "batch":
+                    blk["norm1"] = bn(cout)
+                    blk["norm2"] = bn(cout)
+                if j == 0 and stride != 1:
+                    blk["down"] = conv(bi, cout, 1)
+                    if kind == "batch":
+                        blk["norm3"] = bn(cout)
+                blocks.append(blk)
+            enc[f"layer{i}"] = blocks
+        return enc
+
+    cor_planes = cfg.corr_levels * (2 * cfg.corr_radius + 1) ** 2
+    return {
+        "fnet": encoder("instance", cfg.feature_dim),
+        "cnet": encoder("batch", cfg.hidden_dim + cfg.context_dim),
+        "update": {
+            "encoder": {
+                "convc1": conv(cor_planes, 256, 1),
+                "convc2": conv(256, 192, 3),
+                "convf1": conv(2, 128, 7),
+                "convf2": conv(128, 64, 3),
+                "conv": conv(256, 126, 3),
+            },
+            "gru": {
+                "convz1": conv_rect(256 + 128, 128, 1, 5),
+                "convr1": conv_rect(256 + 128, 128, 1, 5),
+                "convq1": conv_rect(256 + 128, 128, 1, 5),
+                "convz2": conv_rect(256 + 128, 128, 5, 1),
+                "convr2": conv_rect(256 + 128, 128, 5, 1),
+                "convq2": conv_rect(256 + 128, 128, 5, 1),
+            },
+            "flow_head": {"conv1": conv(128, 256, 3),
+                          "conv2": conv(256, 2, 3)},
+            "mask0": conv(128, 256, 3),
+            "mask2": conv(256, 64 * 9, 1),
+        },
+    }

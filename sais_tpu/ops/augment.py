@@ -1,0 +1,182 @@
+"""Device-side DINO multi-crop augmentation.
+
+TPU-native rebuild of DataAugmentationDINO (dino-main/main_dino.py:637-682),
+which the reference runs per-sample on CPU workers through PIL/torchvision.
+Here the whole batch is augmented on device inside the jit'd step: random
+resized crops (area scale + aspect jitter, bicubic), horizontal flip,
+color jitter (brightness 0.4 / contrast 0.4 / saturation 0.2 / hue 0.1,
+p=0.8), random grayscale (p=0.2), Gaussian blur (sigma ~ U[0.1, 2]),
+solarization (p=0.2 on the second global crop), ImageNet normalization.
+
+Augmentations are stochastic; parity with the torchvision stack is
+distributional rather than bitwise (the reference's RNG is not
+reproducible across frameworks anyway).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+@dataclasses.dataclass(frozen=True)
+class CropSpec:
+    size: int
+    scale: Tuple[float, float]
+    blur_p: float
+    solarize_p: float = 0.0
+
+
+GLOBAL_1 = CropSpec(224, (0.4, 1.0), blur_p=1.0)
+GLOBAL_2 = CropSpec(224, (0.4, 1.0), blur_p=0.1, solarize_p=0.2)
+LOCAL = CropSpec(96, (0.05, 0.4), blur_p=0.5)
+
+
+def _rgb_to_gray(x):
+    w = jnp.asarray([0.299, 0.587, 0.114], x.dtype)
+    g = jnp.sum(x * w, axis=-1, keepdims=True)
+    return jnp.broadcast_to(g, x.shape)
+
+
+def _adjust_hue(x, delta):
+    """Approximate hue rotation in YIQ space (delta in turns, [-0.1, 0.1])."""
+    theta = delta * 2 * jnp.pi
+    cos, sin = jnp.cos(theta), jnp.sin(theta)
+    t_yiq = jnp.asarray([[0.299, 0.587, 0.114],
+                         [0.596, -0.274, -0.322],
+                         [0.211, -0.523, 0.312]], x.dtype)
+    t_rgb = jnp.asarray([[1.0, 0.956, 0.621],
+                         [1.0, -0.272, -0.647],
+                         [1.0, -1.106, 1.703]], x.dtype)
+    yiq = x @ t_yiq.T
+    y = yiq[..., 0:1]
+    i = yiq[..., 1:2] * cos - yiq[..., 2:3] * sin
+    q = yiq[..., 1:2] * sin + yiq[..., 2:3] * cos
+    return jnp.concatenate([y, i, q], -1) @ t_rgb.T
+
+
+def _color_jitter(key, x):
+    """brightness 0.4, contrast 0.4, saturation 0.2, hue 0.1 (all uniform
+    factor ranges like torchvision ColorJitter)."""
+    kb, kc, ks, kh = jax.random.split(key, 4)
+    b = jax.random.uniform(kb, (), minval=0.6, maxval=1.4)
+    c = jax.random.uniform(kc, (), minval=0.6, maxval=1.4)
+    s = jax.random.uniform(ks, (), minval=0.8, maxval=1.2)
+    h = jax.random.uniform(kh, (), minval=-0.1, maxval=0.1)
+    x = x * b
+    mean = jnp.mean(_rgb_to_gray(x), axis=(-3, -2, -1), keepdims=True)
+    x = (x - mean) * c + mean
+    gray = _rgb_to_gray(x)
+    x = (x - gray) * s + gray
+    x = _adjust_hue(x, h)
+    return jnp.clip(x, 0.0, 1.0)
+
+
+def _gaussian_blur(key, x, size):
+    """Separable depthwise Gaussian with sigma ~ U[0.1, 2] (reference
+    GaussianBlur radius range, dino-main/utils.py GaussianBlur)."""
+    del size
+    sigma = jax.random.uniform(key, (), minval=0.1, maxval=2.0)
+    r = 4
+    t = jnp.arange(-r, r + 1, dtype=x.dtype)
+    k = jnp.exp(-0.5 * (t / sigma) ** 2)
+    k = k / jnp.sum(k)
+    img = x[None]                                   # (1, H, W, 3)
+
+    def depthwise(img, kern):
+        kern = jnp.broadcast_to(kern[..., None, None],
+                                kern.shape + (1, 3))  # (kh, kw, 1, 3)
+        return jax.lax.conv_general_dilated(
+            img, kern, (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=3)
+
+    img = jnp.pad(img, ((0, 0), (r, r), (0, 0), (0, 0)), mode="edge")
+    img = depthwise(img, k[:, None])
+    img = jnp.pad(img, ((0, 0), (0, 0), (r, r), (0, 0)), mode="edge")
+    img = depthwise(img, k[None, :])
+    return img[0]
+
+
+def _random_resized_crop(key, img, out_size, scale):
+    """Area-scale + aspect-jitter crop, bicubic resize (torchvision
+    RandomResizedCrop semantics with log-uniform aspect in [3/4, 4/3])."""
+    h, w, _ = img.shape
+    ka, ks2, kx, ky = jax.random.split(key, 4)
+    area = h * w * jax.random.uniform(ka, (), minval=scale[0], maxval=scale[1])
+    log_ratio = jax.random.uniform(ks2, (), minval=jnp.log(3 / 4),
+                                   maxval=jnp.log(4 / 3))
+    ratio = jnp.exp(log_ratio)
+    cw = jnp.clip(jnp.sqrt(area * ratio), 8.0, float(w))
+    ch = jnp.clip(jnp.sqrt(area / ratio), 8.0, float(h))
+    x0 = jax.random.uniform(kx, ()) * (w - cw)
+    y0 = jax.random.uniform(ky, ()) * (h - ch)
+    # sample the crop on a fixed out_size x out_size grid (bilinear gather;
+    # one fused gather instead of dynamic-slice + resize, jit-friendly
+    # because all shapes are static)
+    ys = y0 + (jnp.arange(out_size) + 0.5) * ch / out_size - 0.5
+    xs = x0 + (jnp.arange(out_size) + 0.5) * cw / out_size - 0.5
+    y0i = jnp.clip(jnp.floor(ys), 0, h - 1).astype(jnp.int32)
+    x0i = jnp.clip(jnp.floor(xs), 0, w - 1).astype(jnp.int32)
+    y1i = jnp.clip(y0i + 1, 0, h - 1)
+    x1i = jnp.clip(x0i + 1, 0, w - 1)
+    wy = jnp.clip(ys - y0i, 0.0, 1.0)[:, None, None]
+    wx = jnp.clip(xs - x0i, 0.0, 1.0)[None, :, None]
+    g00 = img[y0i][:, x0i]
+    g01 = img[y0i][:, x1i]
+    g10 = img[y1i][:, x0i]
+    g11 = img[y1i][:, x1i]
+    return ((1 - wy) * ((1 - wx) * g00 + wx * g01) +
+            wy * ((1 - wx) * g10 + wx * g11))
+
+
+def augment_crop(key: jax.Array, img: jnp.ndarray, spec: CropSpec
+                 ) -> jnp.ndarray:
+    """One augmented crop of one image.  img: (H, W, 3) float in [0,1]."""
+    k = jax.random.split(key, 7)
+    x = _random_resized_crop(k[0], img, spec.size, spec.scale)
+    flip = jax.random.bernoulli(k[1], 0.5)
+    x = jnp.where(flip, x[:, ::-1, :], x)
+    do_jitter = jax.random.bernoulli(k[2], 0.8)
+    x = jnp.where(do_jitter, _color_jitter(k[3], x), x)
+    do_gray = jax.random.bernoulli(k[4], 0.2)
+    x = jnp.where(do_gray, _rgb_to_gray(x), x)
+    do_blur = jax.random.bernoulli(k[5], spec.blur_p)
+    x = jnp.where(do_blur, _gaussian_blur(k[5], x, spec.size), x)
+    if spec.solarize_p > 0:
+        do_sol = jax.random.bernoulli(k[6], spec.solarize_p)
+        x = jnp.where(do_sol, jnp.where(x >= 0.5, 1.0 - x, x), x)
+    mean = jnp.asarray(IMAGENET_MEAN, x.dtype)
+    std = jnp.asarray(IMAGENET_STD, x.dtype)
+    return (x - mean) / std
+
+
+def multi_crop_batch(key: jax.Array, images: jnp.ndarray,
+                     n_global: int = 2, n_local: int = 8
+                     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """(B, H, W, 3) float [0,1] -> (n_global*B, 224, 224, 3) and
+    (n_local*B, 96, 96, 3), crop-major interleaved to match
+    DINOTrainer.forward's `gfeat[i::ng]` regrouping."""
+    b = images.shape[0]
+    gspecs = [GLOBAL_1] + [GLOBAL_2] * (n_global - 1)
+    gcrops = []
+    for ci, spec in enumerate(gspecs):
+        keys = jax.random.split(jax.random.fold_in(key, ci), b)
+        gcrops.append(jax.vmap(augment_crop, (0, 0, None))(keys, images, spec))
+    globals_ = jnp.stack(gcrops, 1).reshape(n_global * b, 224, 224, 3)
+    locals_ = None
+    if n_local:
+        lcrops = []
+        for ci in range(n_local):
+            keys = jax.random.split(jax.random.fold_in(key, 100 + ci), b)
+            lcrops.append(jax.vmap(augment_crop, (0, 0, None))(keys, images,
+                                                               LOCAL))
+        locals_ = jnp.stack(lcrops, 1).reshape(n_local * b, 96, 96, 3)
+    return globals_, locals_

@@ -1,0 +1,264 @@
+"""DINO self-distillation pre-training — TPU-native rebuild of the vendored
+reference trainer (dino-main/main_dino.py, utils.py).
+
+Reference recipe reproduced:
+- student/teacher pairs of (ViT backbone + DINOHead) with the teacher
+  updated by an EMA whose momentum follows a cosine schedule 0.996 -> 1
+  (main_dino.py:563-567, 452-456);
+- DINOLoss (main_dino.py:581-634): teacher softmax with centering and a
+  warmed-up teacher temperature, student log-softmax at temp 0.1,
+  cross-entropy summed over all (teacher global crop, student crop) pairs
+  with v != iq, center EMA 0.9 synchronized across workers (the reference's
+  dist.all_reduce becomes a jax.lax.pmean / sharded mean);
+- cosine LR/WD schedules with linear warmup (utils.py:187-199), base lr
+  scaled by batch/256 (main_dino.py:440);
+- per-parameter gradient clipping at 3.0 (utils.clip_gradients,
+  utils.py:132-142) and last-layer gradient cancellation during the first
+  freeze_last_layer epoch (utils.cancel_gradients_last_layer);
+- AdamW for ViT (fp16 GradScaler replaced by bf16-safe f32 master weights);
+  SGD / LARS selectable like --optimizer (main_dino.py:439-444).
+
+TPU-first: one jit-compiled train step over the device mesh; crops are
+batched per resolution group so the backbone runs exactly twice (globals,
+locals) instead of once per crop list entry.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sais_tpu.config import ViTConfig
+from sais_tpu.models.dino_head import dino_head_forward, dino_head_init
+from sais_tpu.models.vit import vit_features, vit_init
+
+
+@dataclasses.dataclass(frozen=True)
+class DINOConfig:
+    """Defaults = reference argparse defaults (main_dino.py:47-142)."""
+
+    out_dim: int = 65536
+    n_global_crops: int = 2
+    n_local_crops: int = 8
+    global_size: int = 224
+    local_size: int = 96
+    student_temp: float = 0.1
+    warmup_teacher_temp: float = 0.04
+    teacher_temp: float = 0.04
+    warmup_teacher_temp_epochs: int = 0
+    center_momentum: float = 0.9
+    momentum_teacher: float = 0.996
+    lr: float = 0.0005            # scaled by batch/256
+    min_lr: float = 1e-6
+    warmup_epochs: int = 10
+    weight_decay: float = 0.04
+    weight_decay_end: float = 0.4
+    clip_grad: float = 3.0
+    freeze_last_layer_epochs: int = 1
+    epochs: int = 100
+    batch_size: int = 64
+    norm_last_layer: bool = True
+
+
+def cosine_scheduler(base: float, final: float, epochs: int,
+                     niter_per_ep: int, warmup_epochs: int = 0,
+                     start_warmup_value: float = 0.0) -> np.ndarray:
+    """utils.cosine_scheduler (dino-main/utils.py:187-199)."""
+    warmup_iters = warmup_epochs * niter_per_ep
+    warmup = np.linspace(start_warmup_value, base, warmup_iters)
+    iters = np.arange(epochs * niter_per_ep - warmup_iters)
+    sched = final + 0.5 * (base - final) * (
+        1 + np.cos(np.pi * iters / len(iters)))
+    out = np.concatenate([warmup, sched])
+    assert len(out) == epochs * niter_per_ep
+    return out
+
+
+def teacher_temp_schedule(cfg: DINOConfig, epochs: int) -> np.ndarray:
+    """DINOLoss teacher temp: linear warmup then constant
+    (main_dino.py:594-599)."""
+    w = cfg.warmup_teacher_temp_epochs
+    return np.concatenate([
+        np.linspace(cfg.warmup_teacher_temp, cfg.teacher_temp, w),
+        np.full(max(epochs - w, 0), cfg.teacher_temp)])
+
+
+def dino_loss(student_out: Sequence[jnp.ndarray],
+              teacher_out: Sequence[jnp.ndarray], center: jnp.ndarray,
+              teacher_temp: jnp.ndarray, student_temp: float = 0.1
+              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """DINOLoss.forward (main_dino.py:601-621).
+
+    student_out: list over crops of (B, K) logits; teacher_out: list over
+    global crops of (B, K).  Returns (loss, new batch center mean).
+    """
+    q = [jax.nn.softmax(
+        (t.astype(jnp.float32) - center) / teacher_temp, -1)
+        for t in teacher_out]
+    q = [jax.lax.stop_gradient(x) for x in q]
+    total = 0.0
+    n_terms = 0
+    for iq in range(len(q)):
+        for v in range(len(student_out)):
+            if v == iq:
+                continue
+            logp = jax.nn.log_softmax(
+                student_out[v].astype(jnp.float32) / student_temp, -1)
+            total = total + jnp.mean(jnp.sum(-q[iq] * logp, axis=-1))
+            n_terms += 1
+    batch_center = jnp.mean(
+        jnp.concatenate([t.astype(jnp.float32) for t in teacher_out], 0),
+        axis=0)
+    return total / n_terms, batch_center
+
+
+def update_center(center: jnp.ndarray, batch_center: jnp.ndarray,
+                  momentum: float = 0.9) -> jnp.ndarray:
+    """EMA center update (main_dino.py:624-634); batch_center must already
+    be the global (cross-device) mean — under pjit the mean over a sharded
+    batch IS global, replacing the reference's dist.all_reduce."""
+    return center * momentum + batch_center * (1 - momentum)
+
+
+def ema_update(teacher: Any, student: Any, momentum: jnp.ndarray) -> Any:
+    """EMA teacher update (main_dino.py:563-567)."""
+    return jax.tree.map(lambda t, s: t * momentum + s * (1.0 - momentum),
+                        teacher, student)
+
+
+def clip_gradients_per_param(grads: Any, clip: float) -> Any:
+    """utils.clip_gradients (utils.py:132-142): PER-PARAMETER norm clip —
+    each tensor is scaled independently if its own norm exceeds clip."""
+
+    def _clip(g):
+        norm = jnp.linalg.norm(g)
+        coef = jnp.minimum(clip / (norm + 1e-6), 1.0)
+        return g * coef
+
+    return jax.tree.map(_clip, grads)
+
+
+def cancel_last_layer_grads(grads: Dict[str, Any]) -> Dict[str, Any]:
+    """utils.cancel_gradients_last_layer: zero the head's final layer."""
+    out = dict(grads)
+    head = dict(out["head"])
+    head["last_v"] = jnp.zeros_like(head["last_v"])
+    head["last_g"] = jnp.zeros_like(head["last_g"])
+    out["head"] = head
+    return out
+
+
+class DINOTrainer:
+    """Student/teacher DINO training with a single jit step."""
+
+    def __init__(self, vit_cfg: ViTConfig, cfg: DINOConfig,
+                 niter_per_ep: int, key: jax.Array,
+                 optimizer: str = "adamw"):
+        self.cfg = cfg
+        self.vit_cfg = vit_cfg
+        k1, k2 = jax.random.split(key)
+        student = {"backbone": vit_init(k1, vit_cfg),
+                   "head": dino_head_init(k2, vit_cfg.embed_dim, cfg.out_dim)}
+        teacher = jax.tree.map(jnp.copy, student)  # teacher starts == student
+        self.student = student
+        self.teacher = teacher
+        self.center = jnp.zeros((cfg.out_dim,))
+
+        epochs = cfg.epochs
+        scaled_lr = cfg.lr * cfg.batch_size / 256.0
+        self.lr_sched = cosine_scheduler(scaled_lr, cfg.min_lr, epochs,
+                                         niter_per_ep, cfg.warmup_epochs)
+        self.wd_sched = cosine_scheduler(cfg.weight_decay,
+                                         cfg.weight_decay_end, epochs,
+                                         niter_per_ep)
+        self.mom_sched = cosine_scheduler(cfg.momentum_teacher, 1.0, epochs,
+                                          niter_per_ep)
+        self.temp_sched = teacher_temp_schedule(cfg, epochs)
+        self.niter_per_ep = niter_per_ep
+        self.step_idx = 0
+
+        # unit-lr optimizers; the scheduled lr scales updates inside the jit
+        # step so no retrace happens per iteration
+        if optimizer == "adamw":
+            base = optax.adamw(1.0, weight_decay=0.0)
+        elif optimizer == "sgd":
+            base = optax.sgd(1.0, momentum=0.9)
+        elif optimizer == "lars":
+            base = optax.lars(1.0)
+        else:
+            raise ValueError(optimizer)
+        self.optimizer = base
+        self.opt_state = self.optimizer.init(student)
+
+        vcfg = vit_cfg
+
+        def forward(params, globals_, locals_):
+            """Backbone over the two resolution groups, head over all —
+            MultiCropWrapper semantics (utils.py:595-631)."""
+            outs = []
+            gfeat = vit_features(params["backbone"], globals_, vcfg,
+                                 compute_dtype=jnp.bfloat16)
+            ng = cfg.n_global_crops
+            for i in range(ng):
+                outs.append(gfeat[i::ng])
+            if locals_ is not None and cfg.n_local_crops:
+                lfeat = vit_features(params["backbone"], locals_, vcfg,
+                                     compute_dtype=jnp.bfloat16)
+                nl = cfg.n_local_crops
+                for i in range(nl):
+                    outs.append(lfeat[i::nl])
+            return [dino_head_forward(params["head"], o,
+                                      cfg.norm_last_layer) for o in outs]
+
+        def train_step(student, teacher, center, opt_state, globals_,
+                       locals_, lr, teacher_temp, momentum, wd, cancel_last):
+            def loss_fn(student):
+                s_out = forward(student, globals_, locals_)
+                t_out = forward(teacher, globals_, None)[:cfg.n_global_crops]
+                loss, batch_center = dino_loss(s_out, t_out, center,
+                                               teacher_temp, cfg.student_temp)
+                return loss, batch_center
+
+            (loss, batch_center), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(student)
+            grads = clip_gradients_per_param(grads, cfg.clip_grad)
+            grads = jax.lax.cond(cancel_last, cancel_last_layer_grads,
+                                 lambda g: g, grads)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       student)
+            # scheduled lr scales unit-lr updates; decoupled weight decay
+            # applies to weight matrices only (reference skips biases/norms
+            # via get_params_groups, utils.py:202-212)
+            student = jax.tree.map(
+                lambda p, u: p + lr * u - lr * wd * p * (p.ndim > 1),
+                student, updates)
+            teacher = ema_update(teacher, student, momentum)
+            center2 = update_center(center, batch_center,
+                                    cfg.center_momentum)
+            return student, teacher, center2, opt_state, loss
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+
+    def step(self, globals_: jnp.ndarray,
+             locals_: Optional[jnp.ndarray]) -> float:
+        """One optimization step.
+
+        globals_: (n_global*B, H, W, 3) normalized crops interleaved
+        crop-major; locals_: (n_local*B, h, w, 3) or None.
+        """
+        i = min(self.step_idx, len(self.lr_sched) - 1)
+        epoch = i // self.niter_per_ep
+        out = self._train_step(
+            self.student, self.teacher, self.center, self.opt_state,
+            globals_, locals_, jnp.float32(self.lr_sched[i]),
+            jnp.float32(self.temp_sched[min(epoch, len(self.temp_sched) - 1)]),
+            jnp.float32(self.mom_sched[i]), jnp.float32(self.wd_sched[i]),
+            jnp.bool_(epoch < self.cfg.freeze_last_layer_epochs))
+        self.student, self.teacher, self.center, self.opt_state, loss = out
+        self.step_idx += 1
+        return float(loss)

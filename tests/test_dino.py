@@ -1,0 +1,132 @@
+"""DINO pre-training parity + smoke tests (reference dino-main)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from sais_tpu.config import ViTConfig
+from sais_tpu.models.dino_head import (dino_head_forward, dino_head_init,
+                                       dino_head_params_from_torch)
+from sais_tpu.train.dino import (DINOConfig, DINOTrainer, cosine_scheduler,
+                                 dino_loss, update_center)
+
+
+def _random_torch_head(gen, in_dim=32, hidden=64, bottleneck=16, out=128):
+    def r(*s):
+        return 0.05 * torch.randn(*s, generator=gen)
+
+    sd = {
+        "mlp.0.weight": r(hidden, in_dim), "mlp.0.bias": r(hidden),
+        "mlp.2.weight": r(hidden, hidden), "mlp.2.bias": r(hidden),
+        "mlp.4.weight": r(bottleneck, hidden), "mlp.4.bias": r(bottleneck),
+        "last_layer.weight_g": torch.ones(out, 1),
+        "last_layer.weight_v": r(out, bottleneck),
+    }
+    return sd
+
+
+def _golden_head(sd, x):
+    h = F.linear(x, sd["mlp.0.weight"], sd["mlp.0.bias"])
+    h = F.gelu(h)
+    h = F.linear(h, sd["mlp.2.weight"], sd["mlp.2.bias"])
+    h = F.gelu(h)
+    h = F.linear(h, sd["mlp.4.weight"], sd["mlp.4.bias"])
+    h = F.normalize(h, dim=-1, p=2)
+    v = sd["last_layer.weight_v"]
+    g = sd["last_layer.weight_g"]
+    w = g * v / v.norm(dim=1, keepdim=True)
+    return F.linear(h, w)
+
+
+def test_dino_head_parity():
+    gen = torch.Generator().manual_seed(0)
+    sd = _random_torch_head(gen)
+    x = torch.randn(4, 32, generator=gen)
+    golden = _golden_head(sd, x)
+    params = dino_head_params_from_torch(sd)
+    ours = dino_head_forward(params, jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(ours), golden.numpy(), rtol=1e-4,
+                               atol=1e-5)
+
+
+def _golden_dino_loss(student_out, teacher_out, center, t_temp, s_temp=0.1):
+    """Literal DINOLoss.forward (main_dino.py:601-621)."""
+    student = [s / s_temp for s in student_out]
+    q = [F.softmax((t - center) / t_temp, dim=-1) for t in teacher_out]
+    total, n = 0.0, 0
+    for iq in range(len(q)):
+        for v in range(len(student)):
+            if v == iq:
+                continue
+            loss = torch.sum(-q[iq] * F.log_softmax(student[v], dim=-1), -1)
+            total = total + loss.mean()
+            n += 1
+    return total / n
+
+
+def test_dino_loss_parity_and_center():
+    gen = torch.Generator().manual_seed(1)
+    b, k = 6, 24
+    s_out = [torch.randn(b, k, generator=gen) for _ in range(4)]
+    t_out = [torch.randn(b, k, generator=gen) for _ in range(2)]
+    center = 0.1 * torch.randn(k, generator=gen)
+
+    golden = _golden_dino_loss(s_out, t_out, center, 0.04)
+    ours, batch_center = dino_loss(
+        [jnp.asarray(s.numpy()) for s in s_out],
+        [jnp.asarray(t.numpy()) for t in t_out],
+        jnp.asarray(center.numpy()), jnp.float32(0.04))
+    np.testing.assert_allclose(float(ours), float(golden), rtol=1e-5)
+
+    # center EMA (main_dino.py:624-634)
+    ref_bc = torch.cat(t_out).mean(dim=0)
+    ref_center = center * 0.9 + ref_bc * 0.1
+    new_center = update_center(jnp.asarray(center.numpy()), batch_center, 0.9)
+    np.testing.assert_allclose(np.asarray(new_center), ref_center.numpy(),
+                               rtol=1e-5, atol=1e-7)
+
+
+def test_cosine_scheduler_matches_reference_formula():
+    # literal utils.cosine_scheduler (dino-main/utils.py:187-199)
+    base, final, epochs, nit, warm = 0.5, 0.01, 4, 10, 1
+    warmup = np.linspace(0, base, warm * nit)
+    iters = np.arange(epochs * nit - warm * nit)
+    ref = np.concatenate([warmup, final + 0.5 * (base - final) *
+                          (1 + np.cos(np.pi * iters / len(iters)))])
+    ours = cosine_scheduler(base, final, epochs, nit, warm)
+    np.testing.assert_allclose(ours, ref)
+
+
+def test_multi_crop_shapes_and_range():
+    from sais_tpu.ops.augment import multi_crop_batch
+    imgs = jax.random.uniform(jax.random.key(0), (2, 64, 80, 3))
+    g, l = multi_crop_batch(jax.random.key(1), imgs, n_global=2, n_local=3)
+    assert g.shape == (4, 224, 224, 3)
+    assert l.shape == (6, 96, 96, 3)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.isfinite(np.asarray(l)).all()
+
+
+def test_dino_trainer_smoke():
+    cfg = DINOConfig(out_dim=32, n_global_crops=2, n_local_crops=2,
+                     epochs=2, batch_size=4, warmup_epochs=0,
+                     freeze_last_layer_epochs=1)
+    vit_cfg = ViTConfig(image_size=16, patch_size=8, embed_dim=32, depth=1,
+                        num_heads=2)
+    trainer = DINOTrainer(vit_cfg, cfg, niter_per_ep=2, key=jax.random.key(0))
+
+    g = jax.random.uniform(jax.random.key(1), (2 * 4, 16, 16, 3))
+    l = jax.random.uniform(jax.random.key(2), (2 * 4, 16, 16, 3))
+    t0 = jax.tree.map(np.asarray, trainer.teacher)
+    losses = [trainer.step(g, l) for _ in range(3)]
+    assert all(np.isfinite(x) for x in losses)
+    # teacher moved by EMA
+    moved = jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        trainer.teacher, t0)
+    assert max(jax.tree.leaves(moved)) > 0
+    # center updated away from zero
+    assert float(jnp.abs(trainer.center).max()) > 0

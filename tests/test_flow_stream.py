@@ -1,0 +1,57 @@
+"""Flow stream: rendering semantics + end-to-end flow feature extraction."""
+
+import numpy as np
+
+import jax
+
+from sais_tpu.config import (PipelineConfig, PreprocessConfig, RAFTConfig,
+                             ViTConfig)
+from sais_tpu.ops.flow_viz import flow_to_rgb, flow_to_rgb_uint8, make_colorwheel
+
+
+def test_colorwheel_shape_and_anchors():
+    w = make_colorwheel()
+    assert w.shape == (55, 3)
+    np.testing.assert_array_equal(w[0], [255, 0, 0])      # pure red start
+    np.testing.assert_array_equal(w[15], [255, 255, 0])   # yellow after RY
+
+
+def test_zero_flow_renders_white_on_bright():
+    rgb = flow_to_rgb(np.zeros((4, 4, 2)), flow_max_radius=1.0)
+    np.testing.assert_allclose(rgb, 1.0)
+
+
+def test_max_radius_normalization_and_hue():
+    flow = np.zeros((1, 2, 2))
+    flow[..., 0] = [2.0, 0.0]  # pixel 0: pure +x motion, pixel 1: none
+    rgb = flow_to_rgb(flow)
+    # +x motion at full radius -> saturated wheel[0] = red
+    np.testing.assert_allclose(rgb[0, 0], [1.0, 0.0, 0.0], atol=1e-6)
+    np.testing.assert_allclose(rgb[0, 1], [1.0, 1.0, 1.0], atol=1e-6)
+    u8 = flow_to_rgb_uint8(flow)
+    assert u8.dtype == np.uint8 and u8[0, 0, 0] == 255
+
+
+def test_flow_extractor_end_to_end():
+    from sais_tpu.infer.pipeline import FlowExtractor
+    from sais_tpu.models.raft import raft_init
+    from sais_tpu.models.vit import vit_init
+
+    cfg = PipelineConfig(
+        vit=ViTConfig(image_size=32, patch_size=8, embed_dim=48, depth=1,
+                      num_heads=4),
+        preprocess=PreprocessConfig(resize=32),
+        raft=RAFTConfig(iters=2),
+        compute_dtype="float32",
+    )
+    raft_params = raft_init(jax.random.key(0), cfg.raft)
+    vit_params = vit_init(jax.random.key(1), cfg.vit)
+    fx = FlowExtractor(raft_params, vit_params, cfg, pair_batch=2)
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (40, 128, 136, 3), dtype=np.uint8)
+    reps, rgb = fx.extract(frames)
+    # 40 frames, jump 15 -> pair starts 0, 15 (range(0, 25, 15))
+    assert reps.shape == (2, 48)
+    assert rgb.shape == (2, 128, 136, 3) and rgb.dtype == np.uint8
+    assert np.isfinite(reps).all()

@@ -1,0 +1,59 @@
+"""RAFT parity: JAX implementation + converter vs golden torch (official
+princeton-vl semantics).  Gate for BASELINE config 2 (dual-stream flow)."""
+
+import numpy as np
+import torch
+
+import jax
+import jax.numpy as jnp
+
+from sais_tpu.config import RAFTConfig
+from sais_tpu.models.raft import (pad_to_multiple_of_8, raft_forward,
+                                  raft_init, raft_params_from_torch, unpad)
+from tests.golden.torch_raft import golden_raft_forward, random_raft_state_dict
+
+
+def test_raft_forward_matches_torch():
+    gen = torch.Generator().manual_seed(0)
+    sd = random_raft_state_dict(gen)
+    i1 = torch.rand(1, 3, 128, 128, generator=gen) * 255
+    i2 = torch.rand(1, 3, 128, 128, generator=gen) * 255
+
+    golden = golden_raft_forward(sd, i1, i2, iters=3)
+
+    params = raft_params_from_torch(sd)
+    ours = raft_forward(params, jnp.asarray(i1.numpy().transpose(0, 2, 3, 1)),
+                        jnp.asarray(i2.numpy().transpose(0, 2, 3, 1)),
+                        RAFTConfig(), iters=3)
+    ours_nchw = np.asarray(ours).transpose(0, 3, 1, 2)
+    np.testing.assert_allclose(ours_nchw, golden.numpy(), rtol=1e-3,
+                               atol=2e-3)
+
+
+def test_raft_odd_fmap_dims():
+    """Non-power-of-two fmap sizes exercise the floor avg-pool path."""
+    gen = torch.Generator().manual_seed(1)
+    sd = random_raft_state_dict(gen)
+    i1 = torch.rand(1, 3, 136, 152, generator=gen) * 255  # fmap 17x19
+    i2 = torch.rand(1, 3, 136, 152, generator=gen) * 255
+    golden = golden_raft_forward(sd, i1, i2, iters=2)
+    params = raft_params_from_torch(sd)
+    ours = raft_forward(params, jnp.asarray(i1.numpy().transpose(0, 2, 3, 1)),
+                        jnp.asarray(i2.numpy().transpose(0, 2, 3, 1)),
+                        RAFTConfig(), iters=2)
+    np.testing.assert_allclose(np.asarray(ours).transpose(0, 3, 1, 2),
+                               golden.numpy(), rtol=1e-3, atol=2e-3)
+
+
+def test_raft_init_and_padding():
+    cfg = RAFTConfig()
+    params = raft_init(jax.random.key(0), cfg)
+    img = jnp.ones((1, 50, 70, 3)) * 128.0
+    padded, pads = pad_to_multiple_of_8(img)
+    assert padded.shape[1] % 8 == 0 and padded.shape[2] % 8 == 0
+    flow = raft_forward(params, padded, padded, cfg, iters=2)
+    flow = unpad(flow, pads)
+    assert flow.shape == (1, 50, 70, 2)
+    assert np.isfinite(np.asarray(flow)).all()
+    # identical frames with random weights: flow should stay small/finite
+    assert np.abs(np.asarray(flow)).max() < 100
