@@ -38,16 +38,24 @@ class FeatureExtractor:
     """Batched DINO feature extraction on device — the reference's hot loop
     (extract_representations.py:351-378) redesigned for TPU throughput."""
 
-    def __init__(self, vit_params, cfg: PipelineConfig, batch_size: int = 256):
+    def __init__(self, vit_params, cfg: PipelineConfig, batch_size: int = 256,
+                 use_native_decode: bool = True):
+        from sais_tpu.ops.preprocess import normalize_batch
         self.cfg = cfg
         self.batch_size = batch_size
+        self.use_native_decode = use_native_decode
         compute = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
         def _fn(params, frames_u8):
             x = preprocess_batch(frames_u8, cfg.preprocess, dtype=compute)
             return vit_features(params, x, cfg.vit, compute_dtype=compute)
 
+        def _fn_pre(params, frames_u8):
+            x = normalize_batch(frames_u8, cfg.preprocess, dtype=compute)
+            return vit_features(params, x, cfg.vit, compute_dtype=compute)
+
         self._fn = jax.jit(_fn)
+        self._fn_pre = jax.jit(_fn_pre)
         self._params = vit_params
 
     def extract_array(self, frames_u8: np.ndarray) -> np.ndarray:
@@ -68,7 +76,29 @@ class FeatureExtractor:
     def extract_video(self, video_path: str,
                       prefetch: int = 4) -> np.ndarray:
         """Stream a video file: decode on a producer thread, compute on
-        device, overlap via a bounded queue."""
+        device, overlap via a bounded queue.
+
+        Prefers the native frame_pump loader (C++ decode + crop/resize on a
+        background thread, 224x224 uint8 over PCIe); falls back to python
+        OpenCV decode with on-device crop/resize.
+        """
+        import os
+        if not os.path.exists(video_path):
+            raise FileNotFoundError(video_path)
+        if self.use_native_decode:
+            try:
+                from sais_tpu.io.native_loader import NativeFramePump
+                pump = NativeFramePump(
+                    video_path, out_size=self.cfg.preprocess.resize,
+                    crop_h_frac=self.cfg.preprocess.crop_height_frac,
+                    crop_w_frac=self.cfg.preprocess.crop_width_frac,
+                    queue_cap=4 * self.batch_size)
+                with pump:
+                    return self._drain(pump.batches(self.batch_size),
+                                       self._fn_pre)
+            except RuntimeError:
+                pass  # native lib unavailable: python decode path below
+
         q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=prefetch)
 
         def producer():
@@ -81,20 +111,29 @@ class FeatureExtractor:
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
+
+        def gen():
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                yield batch
+
+        out = self._drain(gen(), self._fn)
+        t.join()
+        return out
+
+    def _drain(self, batches, fn) -> np.ndarray:
         outs: List[Tuple[jax.Array, int]] = []
-        while True:
-            batch = q.get()
-            if batch is None:
-                break
+        for batch in batches:
             n = batch.shape[0]
             if n < self.batch_size:
                 batch = np.concatenate(
                     [batch,
                      np.zeros((self.batch_size - n,) + batch.shape[1:],
                               batch.dtype)])
-            # async dispatch: don't block; keep the queue draining
-            outs.append((self._fn(self._params, batch), n))
-        t.join()
+            # async dispatch: don't block; keep the decode queue draining
+            outs.append((fn(self._params, batch), n))
         if not outs:
             return np.zeros((0, self.cfg.vit.embed_dim), np.float32)
         return np.concatenate([np.asarray(f)[:n] for f, n in outs])

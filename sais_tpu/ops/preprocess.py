@@ -50,6 +50,16 @@ def preprocess_batch(frames: jnp.ndarray, cfg: PreprocessConfig,
     return ((x - mean) / std).astype(dtype)
 
 
+def normalize_batch(frames: jnp.ndarray, cfg: PreprocessConfig,
+                    dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """Normalize-only path for frames already cropped/resized on the host
+    (native frame_pump loader): (B, S, S, 3) uint8 -> normalized."""
+    x = frames.astype(jnp.float32) / 255.0
+    mean = jnp.asarray(cfg.mean, jnp.float32)
+    std = jnp.asarray(cfg.std, jnp.float32)
+    return ((x - mean) / std).astype(dtype)
+
+
 def preprocess_reference_host(frames_u8: np.ndarray,
                               cfg: PreprocessConfig) -> np.ndarray:
     """Bit-faithful host path through PIL, for parity validation against the
