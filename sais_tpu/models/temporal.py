@@ -73,11 +73,47 @@ def multihead_attention(x: jnp.ndarray, p: Params, num_heads: int,
     return out, jnp.mean(weights, axis=1)
 
 
+def multihead_attention_flash(x: jnp.ndarray, p: Params, num_heads: int,
+                              key_padding_mask: Optional[jnp.ndarray],
+                              want_cls_row: bool = False,
+                              interpret: bool = False
+                              ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
+    """Same math as `multihead_attention` but through the fused Pallas
+    flash kernel — no (L, L) weight materialization.  Returns the CLS-row
+    head-averaged attention (B, L) instead of the full matrix when asked."""
+    from sais_tpu.kernels.flash_attention import (cls_attention_row,
+                                                  flash_attention)
+    b, l, d = x.shape
+    h = num_heads
+    dh = d // h
+    qkv = jnp.dot(x, p["in_w"].astype(x.dtype),
+                  preferred_element_type=x.dtype) + p["in_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+    k = k.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+    v = v.reshape(b, l, h, dh).transpose(0, 2, 1, 3)
+    out = flash_attention(q, k, v, key_padding_mask, interpret=interpret)
+    out = out.transpose(0, 2, 1, 3).reshape(b, l, d)
+    out = jnp.dot(out, p["out_w"].astype(x.dtype),
+                  preferred_element_type=x.dtype) + p["out_b"].astype(x.dtype)
+    cls_row = (cls_attention_row(q, k, key_padding_mask)
+               if want_cls_row else None)
+    return out, cls_row
+
+
 def encoder_layer(x: jnp.ndarray, p: Params, cfg: TemporalConfig,
-                  key_padding_mask: Optional[jnp.ndarray]
-                  ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                  key_padding_mask: Optional[jnp.ndarray],
+                  use_flash: bool = False, want_cls_row: bool = False,
+                  interpret: bool = False
+                  ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Post-norm torch TransformerEncoderLayer (activation=relu)."""
-    y, attn = multihead_attention(x, p["mha"], cfg.num_heads, key_padding_mask)
+    if use_flash:
+        y, attn = multihead_attention_flash(x, p["mha"], cfg.num_heads,
+                                            key_padding_mask, want_cls_row,
+                                            interpret)
+    else:
+        y, attn = multihead_attention(x, p["mha"], cfg.num_heads,
+                                      key_padding_mask)
     x = _layer_norm(x + y, p["ln1_s"], p["ln1_b"], cfg.layernorm_eps)
     h = jnp.dot(x, p["ff1_w"].astype(x.dtype),
                 preferred_element_type=x.dtype) + p["ff1_b"].astype(x.dtype)
@@ -89,13 +125,23 @@ def encoder_layer(x: jnp.ndarray, p: Params, cfg: TemporalConfig,
 
 
 def encoder_forward(params: Params, x: jnp.ndarray, cfg: TemporalConfig,
-                    key_padding_mask: Optional[jnp.ndarray] = None
+                    key_padding_mask: Optional[jnp.ndarray] = None,
+                    use_flash: bool = False, interpret: bool = False
                     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Stacked encoder; returns (output, last layer's head-averaged attn) —
-    the patched-torch contract the reference relies on (README.md:43-48)."""
+    the patched-torch contract the reference relies on (README.md:43-48).
+
+    With use_flash=True all layers run the fused Pallas kernel and the
+    returned attention is the LAST layer's CLS row (B, L) — the quantity
+    SAIS exports — instead of the full (B, L, L) matrix.
+    """
     attn = None
-    for layer in params["layers"]:
-        x, attn = encoder_layer(x, layer, cfg, key_padding_mask)
+    n = len(params["layers"])
+    for i, layer in enumerate(params["layers"]):
+        x, attn = encoder_layer(x, layer, cfg, key_padding_mask,
+                                use_flash=use_flash,
+                                want_cls_row=use_flash and (i == n - 1),
+                                interpret=interpret)
     return x, attn
 
 
