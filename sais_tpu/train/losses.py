@@ -82,3 +82,23 @@ def next_rep_mse(future_reps: jnp.ndarray, snip_reps: jnp.ndarray) -> jnp.ndarra
     """Self-supervised next-representation MSE (calcSSLoss,
     prepare_miscellaneous.py:85-95)."""
     return jnp.mean(jnp.square(snip_reps[:, :-1, :] - future_reps[:, 1:, :]))
+
+
+def temporal_coherence_loss(logits: jnp.ndarray,
+                            logits_flipped: jnp.ndarray) -> jnp.ndarray:
+    """Arrow-of-time pretext loss (calcTemporalCoherenceLoss,
+    prepare_miscellaneous.py:212-229): CE toward class 0 for forward clips
+    and class 1 for time-reversed clips, averaged."""
+    b = logits.shape[0]
+    la = cross_entropy(logits, jnp.zeros((b,), jnp.int32))
+    lb = cross_entropy(logits_flipped,
+                       jnp.ones((logits_flipped.shape[0],), jnp.int32))
+    return (la + lb) / 2.0
+
+
+def temporal_coherence_accuracy(logits: jnp.ndarray,
+                                logits_flipped: jnp.ndarray) -> jnp.ndarray:
+    """calcTemporalCoherenceAcc (prepare_miscellaneous.py:231-248)."""
+    a = jnp.sum(jnp.argmax(logits, -1) == 0)
+    b = jnp.sum(jnp.argmax(logits_flipped, -1) == 1)
+    return (a + b) / (logits.shape[0] + logits_flipped.shape[0])
