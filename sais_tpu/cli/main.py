@@ -50,13 +50,20 @@ def _load_folds(args, cfg) -> List[Tuple[dict, "np.ndarray"]]:
                                           prototypes_from_torch)
     folds = []
     if args.params_dir:
+        from sais_tpu.train.checkpoint import load_training_result
         for fold in range(args.nfolds):
             d = os.path.join(args.params_dir, f"Fold_{fold}")
-            params = full_model_params_from_torch(
-                load_torch_pickle(os.path.join(d, "params.zip")))
-            _, protos = prototypes_from_torch(
-                load_torch_pickle(os.path.join(d, "prototypes.zip")))
-            folds.append((params, protos))
+            if os.path.exists(os.path.join(d, "params.pkl")):
+                # natively trained fold (sais train output)
+                res = load_training_result(d)
+                folds.append((res["params"], res["prototypes"]))
+            else:
+                # reference checkpoints (params.zip + prototypes.zip)
+                params = full_model_params_from_torch(
+                    load_torch_pickle(os.path.join(d, "params.zip")))
+                _, protos = prototypes_from_torch(
+                    load_torch_pickle(os.path.join(d, "prototypes.zip")))
+                folds.append((params, protos))
     else:
         if not args.random_init:
             sys.exit("need --params-dir or --random-init")
@@ -160,6 +167,66 @@ def cmd_decode(args):
     print(f"wrote {len(df)} gesture intervals to {dest}")
 
 
+def cmd_train(args):
+    """Fold-driver training (run_experiments.py:85-116 semantics): iterate
+    folds, split/balance per fold, train with early stopping, save
+    params/prototypes/metrics under params/Fold_<k>."""
+    import jax
+    import pandas as pd
+    from sais_tpu.data.collate import segment_batches
+    from sais_tpu.data.datasets import build_segment_dataset
+    from sais_tpu.io.feature_store import (FeatureStore, flow_store_path,
+                                           rgb_store_path)
+    from sais_tpu.models.full_model import full_model_init, prototypes_init
+    from sais_tpu.parallel.mesh import make_mesh
+    from sais_tpu.train.checkpoint import save_training_result
+    from sais_tpu.train.loop import PrototypeTrainer
+    from sais_tpu.config import MeshConfig, TrainConfig
+
+    cfg = _pipeline_config(args)
+    segments = pd.read_csv(args.segments)
+    rgb_store = FeatureStore(rgb_store_path(args.path))
+    use_flow = cfg.model.modalities != "RGB"
+    flow_store = (FeatureStore(flow_store_path(args.path))
+                  if use_flow else None)
+    mesh = make_mesh(MeshConfig()) if args.data_parallel else None
+
+    for fold in range(args.nfolds):
+        print(f"Fold: {fold}")
+        ds = build_segment_dataset(segments, fold,
+                                   balance=args.balance_classes)
+        nclasses = len(ds.classes)
+        import dataclasses as dc
+        mcfg = dc.replace(cfg.model, nclasses=nclasses)
+        params = full_model_init(jax.random.fold_in(jax.random.key(0), fold),
+                                 mcfg)
+        keys, protos = prototypes_init(
+            jax.random.fold_in(jax.random.key(1), fold), nclasses)
+        tcfg = TrainConfig(lr=args.lr, nepochs=args.nepochs,
+                           batch_size=args.batch_size)
+        trainer = PrototypeTrainer(mcfg, tcfg, params, keys, protos,
+                                   mesh=mesh)
+
+        def loader(phase, shuffle):
+            rows = ds.frames[phase]
+            return lambda: segment_batches(rows, rgb_store, flow_store,
+                                           ds.classes, cfg.window,
+                                           args.batch_size, shuffle,
+                                           use_flow=use_flow)
+
+        loaders = {ph: loader(ph, ph == "train")
+                   for ph in ("train", "val", "test")
+                   if len(ds.frames.get(ph, []))}
+        result = trainer.fit(loaders, nepochs=args.nepochs)
+        savepath = os.path.join(args.path, "params", f"Fold_{fold}")
+        save_training_result(savepath, result)
+        print(f"saved fold {fold} (best epoch {result['best_epoch']}) "
+              f"to {savepath}")
+    rgb_store.close()
+    if flow_store is not None:
+        flow_store.close()
+
+
 def cmd_pipeline(args):
     t0 = time.time()
     cmd_extract(args)
@@ -174,10 +241,11 @@ def build_parser():
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("frames", cmd_frames), ("paths", cmd_paths),
                      ("extract", cmd_extract), ("flow", cmd_flow),
-                     ("decode", cmd_decode), ("pipeline", cmd_pipeline)]:
+                     ("decode", cmd_decode), ("pipeline", cmd_pipeline),
+                     ("train", cmd_train)]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
-        sp.add_argument("-f", "--videoname", required=True)
+        sp.add_argument("-f", "--videoname", required=(name != "train"))
         sp.add_argument("-p", "--path", default=".")
         sp.add_argument("--dino-weights")
         sp.add_argument("--raft-weights")
@@ -191,6 +259,14 @@ def build_parser():
         sp.add_argument("-bs", "--batch-size", type=int, default=256)
         sp.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
+        # training flags (run_experiments.py:19-46 equivalents)
+        sp.add_argument("--segments",
+                        help="CSV with Video/StartFrame/EndFrame/Gesture")
+        sp.add_argument("-lr", "--lr", type=float, default=0.1)
+        sp.add_argument("-e", "--nepochs", type=int, default=50)
+        sp.add_argument("-bc", "--balance-classes", action="store_true")
+        sp.add_argument("--data-parallel", action="store_true",
+                        help="shard batches over all visible devices")
     return p
 
 

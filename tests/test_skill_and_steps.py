@@ -1,0 +1,106 @@
+"""Skill/step task sampling parity + inference API smoke."""
+
+import numpy as np
+import pandas as pd
+
+import jax
+import jax.numpy as jnp
+
+from sais_tpu.config import (ModelConfig, PipelineConfig, TemporalConfig,
+                             WindowConfig)
+from sais_tpu.data.tasks import (RACE_POLICIES, policy_indices, race_window,
+                                 step_window_config, step_window_manifest)
+from sais_tpu.infer.pipeline import GestureDecoder
+from sais_tpu.infer.skill import SkillAssessor, StepRecognizer
+from sais_tpu.models.full_model import full_model_init, prototypes_init
+
+DIM = 32
+
+
+def reference_skill_indices(start_frame, end_frame, race, offset):
+    """Literal transcription of the VUA_EASE eval sampling
+    (prepare_dataset.py:2170-2198)."""
+    startIdx, endIdx = start_frame - 1, end_frame - 1
+    if race == "Needle Withdrawal":
+        jump = int((endIdx - startIdx) // 10)
+        start, end = startIdx, endIdx
+    else:
+        diff = endIdx - startIdx
+        drop = int(diff * 0.20)
+        start, end = startIdx, endIdx - drop
+        jump = 10
+    return list(np.arange(start + offset, end + offset, jump))
+
+
+def test_skill_sampling_matches_reference():
+    cases = [("Needle Withdrawal", 100, 400), ("Needle Handling", 50, 380),
+             ("Needle Driving", 200, 901)]
+    for race, sf, ef in cases:
+        policy = RACE_POLICIES[race]
+        s, e = race_window(sf, ef, race)
+        for off in (0, 3, 6):
+            ref = reference_skill_indices(sf, ef, race, off)
+            ours = policy_indices(s, e, policy, off).tolist()
+            assert ours == ref, (race, off)
+
+
+def test_step_windows_match_reference():
+    # duration 10 s, hop 5 s @ 20 fps (prepare_dataset.py:469-478)
+    m = step_window_manifest("v", 1000, fps=20)
+    # nsamples = (1000 - 200)//100 + 1 = 9
+    assert len(m) == 9
+    assert m.start_frames[0] == 0 and m.end_frames[0] == 200
+    assert m.start_frames[-1] == 800 and m.end_frames[-1] == 1000
+
+
+def _tiny_cfg(importance=True, modalities="RGB"):
+    return PipelineConfig(
+        model=ModelConfig(rep_dim=DIM, modalities=modalities,
+                          importance_head=importance,
+                          temporal=TemporalConfig(rep_dim=DIM, num_layers=1,
+                                                  num_heads=2, ffn_dim=64,
+                                                  max_positions=256)),
+        compute_dtype="float32",
+    )
+
+
+def test_skill_assessor_end_to_end():
+    cfg = _tiny_cfg()
+    params = full_model_init(jax.random.key(0), cfg.model)
+    _, protos = prototypes_init(jax.random.key(1), 3)
+    assessor = SkillAssessor(params, protos, cfg)
+
+    rng = np.random.default_rng(0)
+    rgb = rng.normal(size=(1000, DIM)).astype(np.float32)
+    segments = pd.DataFrame({
+        "StartFrame": [100, 50], "EndFrame": [400, 380],
+        "RACE": ["Needle Withdrawal", "Needle Handling"],
+    })
+    out = assessor.assess_segments(rgb, None, segments)
+    assert len(out["probs"][0]) == 2 and len(out["probs"][2]) == 2
+    for p in out["probs"][0]:
+        np.testing.assert_allclose(p.sum(), 1.0, atol=1e-5)
+    # attention is (f+1, f+1) for the first TTA augment
+    f0 = len(reference_skill_indices(100, 400, "Needle Withdrawal", 0))
+    assert out["attention"][0].shape == (f0 + 1, f0 + 1)
+    # importance trimmed to real frames, CLS dropped
+    assert out["importance"][0].shape == (f0,)
+
+
+def test_step_recognizer_end_to_end():
+    cfg = _tiny_cfg(importance=False)
+    import dataclasses
+    cfg = dataclasses.replace(cfg, window=step_window_config(fps=20))
+    params = full_model_init(jax.random.key(2), cfg.model)
+    _, protos = prototypes_init(jax.random.key(3), 3)
+    dec = GestureDecoder([(params, protos)], cfg, device_batch=16)
+    rec = StepRecognizer(dec, fps=20)
+    rng = np.random.default_rng(1)
+    rgb = rng.normal(size=(1000, DIM)).astype(np.float32)
+    df = rec.recognize("case1", rgb, None)
+    assert len(df) == 9
+    assert set(df["Step"]).issubset({"Needle Handling", "Needle Driving",
+                                     "Needle Withdrawal"})
+    probs = df[["Needle Handling", "Needle Driving",
+                "Needle Withdrawal"]].to_numpy()
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)
