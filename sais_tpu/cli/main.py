@@ -227,6 +227,64 @@ def cmd_train(args):
         flow_store.close()
 
 
+def cmd_pretrain(args):
+    """DINO self-supervised pre-training over surgical video frames
+    (reference dino-main/main_dino.py train path, VUA fine-tuning recipe).
+
+    Frames stream from every mp4 under <root>/videos; augmentation is the
+    on-device multi-crop pipeline; checkpoints resume transparently.
+    """
+    import glob
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from sais_tpu.config import ViTConfig
+    from sais_tpu.io.video import VideoReader
+    from sais_tpu.ops.augment import multi_crop_batch
+    from sais_tpu.train.checkpoint import CheckpointManager
+    from sais_tpu.train.dino import DINOConfig, DINOTrainer
+    from sais_tpu.utils.logging import MetricLogger
+
+    videos = sorted(glob.glob(os.path.join(args.path, "videos", "*.mp4")))
+    if not videos:
+        sys.exit(f"no videos under {os.path.join(args.path, 'videos')}")
+
+    bs = args.batch_size
+    dcfg = DINOConfig(out_dim=args.out_dim, epochs=args.nepochs,
+                      batch_size=bs, n_local_crops=args.local_crops,
+                      warmup_epochs=min(10, max(args.nepochs // 10, 0)))
+    # rough steps/epoch from total frame count
+    total = sum(VideoReader(v).frame_count for v in videos)
+    niter = max(total // bs, 1)
+    trainer = DINOTrainer(ViTConfig(), dcfg, niter_per_ep=niter,
+                          key=jax.random.key(0), optimizer=args.optimizer)
+    outdir = os.path.join(args.path, "pretrain")
+    mgr = CheckpointManager(os.path.join(outdir, "ckpt"))
+    start_epoch, state = mgr.restore_latest(trainer.state())
+    if start_epoch is not None:
+        trainer.load_state(state)
+        print(f"resumed from epoch {start_epoch}")
+    logger = MetricLogger(jsonl_path=os.path.join(outdir, "log.txt"))
+
+    aug = jax.jit(lambda k, x: multi_crop_batch(
+        k, x, dcfg.n_global_crops, dcfg.n_local_crops))
+
+    for epoch in range((start_epoch or 0), args.nepochs):
+        for vi, video in enumerate(videos):
+            with VideoReader(video) as r:
+                for bi, batch in enumerate(r.batches(bs)):
+                    if batch.shape[0] < bs:
+                        continue
+                    key = jax.random.key(hash((epoch, vi, bi)) % (2 ** 31))
+                    g, l = aug(key, jnp.asarray(batch, jnp.float32) / 255.0)
+                    loss = trainer.step(g, l)
+                    logger.update(loss=loss)
+        mgr.save(epoch + 1, trainer.state())
+        logger.write_epoch(epoch)
+        print(f"epoch {epoch}: loss {logger.meters['loss'].global_avg:.4f}")
+    print(f"pretraining done; checkpoints in {outdir}")
+
+
 def cmd_pipeline(args):
     t0 = time.time()
     cmd_extract(args)
@@ -242,10 +300,11 @@ def build_parser():
     for name, fn in [("frames", cmd_frames), ("paths", cmd_paths),
                      ("extract", cmd_extract), ("flow", cmd_flow),
                      ("decode", cmd_decode), ("pipeline", cmd_pipeline),
-                     ("train", cmd_train)]:
+                     ("train", cmd_train), ("pretrain", cmd_pretrain)]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
-        sp.add_argument("-f", "--videoname", required=(name != "train"))
+        sp.add_argument("-f", "--videoname",
+                        required=(name not in ("train", "pretrain")))
         sp.add_argument("-p", "--path", default=".")
         sp.add_argument("--dino-weights")
         sp.add_argument("--raft-weights")
@@ -267,6 +326,11 @@ def build_parser():
         sp.add_argument("-bc", "--balance-classes", action="store_true")
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
+        # pretraining flags (main_dino.py argparse equivalents)
+        sp.add_argument("--out-dim", type=int, default=65536)
+        sp.add_argument("--local-crops", type=int, default=8)
+        sp.add_argument("--optimizer", default="adamw",
+                        choices=["adamw", "sgd", "lars"])
     return p
 
 

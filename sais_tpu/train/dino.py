@@ -244,6 +244,20 @@ class DINOTrainer:
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
 
+    # -- checkpointable state (utils.restart_from_checkpoint equivalent) ----
+
+    def state(self) -> Dict[str, Any]:
+        return {"student": self.student, "teacher": self.teacher,
+                "center": self.center, "opt_state": self.opt_state,
+                "step_idx": jnp.int32(self.step_idx)}
+
+    def load_state(self, state: Dict[str, Any]) -> None:
+        self.student = state["student"]
+        self.teacher = state["teacher"]
+        self.center = state["center"]
+        self.opt_state = state["opt_state"]
+        self.step_idx = int(state["step_idx"])
+
     def step(self, globals_: jnp.ndarray,
              locals_: Optional[jnp.ndarray]) -> float:
         """One optimization step.
@@ -261,4 +275,8 @@ class DINOTrainer:
             jnp.bool_(epoch < self.cfg.freeze_last_layer_epochs))
         self.student, self.teacher, self.center, self.opt_state, loss = out
         self.step_idx += 1
-        return float(loss)
+        loss = float(loss)
+        if not np.isfinite(loss):
+            # reference aborts on non-finite loss (main_dino.py:539-541)
+            raise FloatingPointError(f"DINO loss is {loss}, stopping training")
+        return loss
