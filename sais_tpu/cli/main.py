@@ -204,8 +204,13 @@ def cmd_train(args):
             jax.random.fold_in(jax.random.key(1), fold), nclasses)
         tcfg = TrainConfig(lr=args.lr, nepochs=args.nepochs,
                            batch_size=args.batch_size)
-        trainer = PrototypeTrainer(mcfg, tcfg, params, keys, protos,
-                                   mesh=mesh)
+        if args.task == "Prototypes":
+            trainer = PrototypeTrainer(mcfg, tcfg, params, keys, protos,
+                                       mesh=mesh)
+        else:
+            from sais_tpu.train.classification import ClassificationTrainer
+            trainer = ClassificationTrainer(mcfg, tcfg, params,
+                                            task=args.task, mesh=mesh)
 
         def loader(phase, shuffle):
             rows = ds.frames[phase]
@@ -217,11 +222,21 @@ def cmd_train(args):
         loaders = {ph: loader(ph, ph == "train")
                    for ph in ("train", "val", "test")
                    if len(ds.frames.get(ph, []))}
-        result = trainer.fit(loaders, nepochs=args.nepochs)
         savepath = os.path.join(args.path, "params", f"Fold_{fold}")
-        save_training_result(savepath, result)
-        print(f"saved fold {fold} (best epoch {result['best_epoch']}) "
-              f"to {savepath}")
+        if args.task == "Prototypes":
+            result = trainer.fit(loaders, nepochs=args.nepochs)
+            save_training_result(savepath, result)
+            print(f"saved fold {fold} (best epoch {result['best_epoch']}) "
+                  f"to {savepath}")
+        else:
+            from sais_tpu.train.metrics import format_metrics
+            for epoch in range(args.nepochs):
+                for phase, make in loaders.items():
+                    _, m = trainer.run_epoch(make(), phase == "train")
+                    print(format_metrics(phase, m))
+            save_training_result(savepath, {"model": trainer.params,
+                                            "prototypes": protos})
+            print(f"saved fold {fold} to {savepath}")
     rgb_store.close()
     if flow_store is not None:
         flow_store.close()
@@ -324,6 +339,8 @@ def build_parser():
         sp.add_argument("-lr", "--lr", type=float, default=0.1)
         sp.add_argument("-e", "--nepochs", type=int, default=50)
         sp.add_argument("-bc", "--balance-classes", action="store_true")
+        sp.add_argument("-t", "--task", default="Prototypes",
+                        choices=["Prototypes", "MIL", "ClassificationHead"])
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
         # pretraining flags (main_dino.py argparse equivalents)

@@ -73,20 +73,28 @@ def attention(x: jnp.ndarray, p: Params, num_heads: int,
 
     x: (B, N, D).  Returns (out, attn) where attn is (B, heads, N, N)
     post-softmax weights (only materialized when requested).
+
+    TPU notes: q/k/v stay in (B, N, h, dh) layout and the score einsum
+    contracts directly from it (no materialized head transposes), and in
+    bf16 the (B, h, N, N) score/weight tensors are stored in bf16 — halving
+    the dominant HBM traffic of the layer (softmax math still runs in f32
+    inside the fused reduction).  f32 inputs keep full-f32 scores, which is
+    the torch-parity path.
     """
     b, n, d = x.shape
     h = num_heads
     dh = d // h
     qkv = _linear(x, p["qkv_w"], p.get("qkv_b"))  # (B, N, 3D)
-    qkv = qkv.reshape(b, n, 3, h, dh).transpose(2, 0, 3, 1, 4)  # (3, B, h, N, dh)
-    q, k, v = qkv[0], qkv[1], qkv[2]
+    qkv = qkv.reshape(b, n, 3, h, dh)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     scale = dh ** -0.5
-    logits = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                        preferred_element_type=jnp.float32) * scale
-    weights = jax.nn.softmax(logits, axis=-1)
-    out = jnp.einsum("bhnm,bhmd->bhnd", weights.astype(x.dtype), v,
+    score_dtype = jnp.float32 if x.dtype == jnp.float32 else x.dtype
+    logits = jnp.einsum("bnhd,bmhd->bhnm", q, k,
+                        preferred_element_type=score_dtype) * scale
+    weights = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    out = jnp.einsum("bhnm,bmhd->bnhd", weights.astype(x.dtype), v,
                      preferred_element_type=x.dtype)
-    out = out.transpose(0, 2, 1, 3).reshape(b, n, d)
+    out = out.reshape(b, n, d)
     out = _linear(out, p["proj_w"], p["proj_b"])
     return out, (weights if return_weights else None)
 

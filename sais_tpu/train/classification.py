@@ -1,0 +1,112 @@
+"""MIL and ClassificationHead task trainers (reference task dispatch,
+perform_training.py:112-153).
+
+- MIL: clip transformer + gated-attention head, CrossEntropy (calcLoss,
+  prepare_miscellaneous.py:62-83), optional next-representation MSE
+  self-supervision;
+- ClassificationHead: cls_head logits, BCEWithLogits when nclasses == 1
+  else CrossEntropy (perform_training.py:138-153).
+
+Shares the data-parallel mesh mechanics with PrototypeTrainer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Iterable, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from sais_tpu.config import ModelConfig, TrainConfig
+from sais_tpu.models.full_model import classification_forward, mil_forward
+from sais_tpu.parallel import mesh as mesh_lib
+from sais_tpu.train import metrics as metrics_lib
+from sais_tpu.train.losses import (binary_cross_entropy_logits, cross_entropy,
+                                   next_rep_mse)
+
+
+class ClassificationTrainer:
+    """Trainer for task='MIL' or task='ClassificationHead'."""
+
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 model_params: Any, task: str = "MIL",
+                 mesh: Optional["jax.sharding.Mesh"] = None):
+        assert task in ("MIL", "ClassificationHead")
+        self.model_cfg = model_cfg
+        self.train_cfg = train_cfg
+        self.task = task
+        self.mesh = mesh
+        self.optimizer = optax.sgd(train_cfg.lr)
+        self.params = model_params
+        self.opt_state = self.optimizer.init(model_params)
+        mcfg = model_cfg
+
+        def logits_fn(params, batch):
+            if task == "MIL":
+                logits, _ = mil_forward(params, mcfg, batch["rgb"],
+                                        batch.get("rgb_mask"))
+                return logits
+            logits = classification_forward(params, mcfg, batch.get("rgb"),
+                                            batch.get("rgb_mask"),
+                                            batch.get("flow"),
+                                            batch.get("flow_mask"))
+            if logits.ndim == 3:
+                # single-modality head emits per-snippet logits (B, S, C)
+                # (prepare_model.py:426-428); pool over snippets for the
+                # batch-level loss, like the RGB-Flow branch does (:440)
+                logits = jnp.mean(logits, axis=1)
+            return logits
+
+        def loss_fn(params, batch):
+            logits = logits_fn(params, batch)
+            labels = batch["labels"]
+            if mcfg.nclasses == 1:
+                loss = binary_cross_entropy_logits(logits, labels)
+            else:
+                loss = cross_entropy(logits, labels)
+            return loss, logits
+
+        def train_step(params, opt_state, batch):
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            return optax.apply_updates(params, updates), opt_state, loss, logits
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(loss_fn)
+        if mesh is not None:
+            self.params = mesh_lib.replicate(self.params, mesh)
+            self.opt_state = mesh_lib.replicate(self.opt_state, mesh)
+
+    def run_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
+                  train: bool) -> Tuple[float, Dict[str, float]]:
+        losses, sizes, all_logits, all_labels = [], [], [], []
+        for batch in batches:
+            n = len(batch["labels"])
+            if self.mesh is not None:
+                b = mesh_lib.shard_batch(
+                    mesh_lib.pad_to_multiple(
+                        batch, self.mesh.shape[mesh_lib.DATA_AXIS]),
+                    self.mesh)
+            else:
+                b = {k: jnp.asarray(v) for k, v in batch.items()}
+            if train:
+                self.params, self.opt_state, loss, logits = self._train_step(
+                    self.params, self.opt_state, b)
+            else:
+                loss, logits = self._eval_step(self.params, b)
+            losses.append(float(loss) * n)
+            sizes.append(n)
+            all_logits.append(np.asarray(logits)[:n])
+            all_labels.append(np.asarray(batch["labels"]))
+        total = max(sum(sizes), 1)
+        logits = np.concatenate(all_logits) if all_logits else np.zeros((0, 2))
+        labels = np.concatenate(all_labels) if all_labels else np.zeros((0,))
+        m = metrics_lib.logits_metrics([logits], labels,
+                                       self.model_cfg.nclasses) \
+            if len(labels) else {}
+        m["loss"] = sum(losses) / total
+        return m["loss"], m

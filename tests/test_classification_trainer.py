@@ -1,0 +1,64 @@
+"""MIL / ClassificationHead trainers: learning + loss semantics."""
+
+import dataclasses
+
+import numpy as np
+
+import jax
+
+from sais_tpu.config import ModelConfig, TemporalConfig, TrainConfig
+from sais_tpu.models.full_model import full_model_init
+from sais_tpu.train.classification import ClassificationTrainer
+
+DIM = 32
+
+
+def _cfg(nclasses=2, data_type="reps"):
+    return ModelConfig(rep_dim=DIM, modalities="RGB", nclasses=nclasses,
+                       data_type=data_type,
+                       temporal=TemporalConfig(rep_dim=DIM, num_layers=1,
+                                               num_heads=2, ffn_dim=64,
+                                               max_positions=32))
+
+
+def _batches(nbatches=3, b=8, s=4, f=5, seed=0):
+    rng = np.random.default_rng(seed)
+    out = []
+    for _ in range(nbatches):
+        labels = rng.integers(0, 2, b).astype(np.int32)
+        base = np.where(labels[:, None] == 0, 1.0, -1.0)
+        rgb = (base[:, None, None] * np.ones((1, s, f, DIM)) +
+               0.2 * rng.normal(size=(b, s, f, DIM))).astype(np.float32)
+        mask = np.zeros((b, s, f + 1), bool)
+        out.append({"rgb": rgb, "rgb_mask": mask, "labels": labels})
+    return out
+
+
+def test_mil_trainer_learns():
+    cfg = _cfg(nclasses=2)
+    params = full_model_init(jax.random.key(0), cfg)
+    t = ClassificationTrainer(cfg, TrainConfig(lr=0.05), params, task="MIL")
+    batches = _batches()
+    l0, _ = t.run_epoch(iter(batches), train=True)
+    for _ in range(5):
+        ln, m = t.run_epoch(iter(batches), train=True)
+    assert ln < l0
+    assert m["acc"] > 0.7
+
+
+def test_classification_head_trainer():
+    cfg = dataclasses.replace(_cfg(nclasses=2), data_type="raw")
+    params = full_model_init(jax.random.key(1), cfg)
+    t = ClassificationTrainer(cfg, TrainConfig(lr=0.05), params,
+                              task="ClassificationHead")
+    # RGB-only cls head path applies per-snippet: use s=1
+    batches = _batches(b=8, s=1)
+
+    def squeeze(bs):
+        # logits come out (B, S, C) for RGB; flatten S=1
+        return bs
+
+    l0, _ = t.run_epoch(iter(batches), train=True)
+    for _ in range(5):
+        ln, _ = t.run_epoch(iter(batches), train=True)
+    assert np.isfinite(ln)
