@@ -156,13 +156,59 @@ def _lookup_level(corr: jnp.ndarray, coords: jnp.ndarray,
     return out
 
 
-def corr_lookup(pyramid, coords: jnp.ndarray, radius: int) -> jnp.ndarray:
+def _interp_matrix(centers: jnp.ndarray, size: int, radius: int
+                   ) -> jnp.ndarray:
+    """Banded bilinear-sampling matrix for one axis.
+
+    centers: (B, N) continuous coordinates.  Returns M (B, N, 2r+1, size)
+    with M[..., k, j] the bilinear weight of grid point j for the sample at
+    centers + (k - r), zero outside [0, size-1] (grid_sample zero padding).
+    """
+    k = 2 * radius + 1
+    pos = centers[..., None] + jnp.arange(-radius, radius + 1,
+                                          dtype=jnp.float32)  # (B, N, k)
+    lo = jnp.floor(pos)
+    frac = pos - lo
+    grid = jnp.arange(size, dtype=jnp.float32)               # (j,)
+    lo_e = lo[..., None]
+    valid_lo = (lo_e >= 0) & (lo_e <= size - 1)
+    valid_hi = (lo_e + 1 >= 0) & (lo_e + 1 <= size - 1)
+    m = ((grid == lo_e) * (1.0 - frac[..., None]) * valid_lo +
+         (grid == lo_e + 1) * frac[..., None] * valid_hi)
+    return m  # (B, N, k, size)
+
+
+def _lookup_level_matmul(corr: jnp.ndarray, coords: jnp.ndarray,
+                         radius: int) -> jnp.ndarray:
+    """Gather-free radius lookup: the bilinear sample at 81 integer offsets
+    around each query is two banded matmuls (y then x) — MXU work instead
+    of scalar gathers, which dominate RAFT runtime on TPU otherwise.
+
+    corr: (B, N, Hl, Wl); coords: (B, N, 2) xy in level units.
+    Matches the official ordering quirk: output[k=(a,b)] samples
+    (x + a - r, y + b - r).
+    """
+    b, n, hl, wl = corr.shape
+    my = _interp_matrix(coords[..., 1], hl, radius)          # (B, N, k, Hl)
+    mx = _interp_matrix(coords[..., 0], wl, radius)          # (B, N, k, Wl)
+    corr32 = corr.astype(jnp.float32)
+    sy = jnp.einsum("bnkh,bnhw->bnkw", my, corr32,
+                    preferred_element_type=jnp.float32)      # (B, N, k, Wl)
+    out = jnp.einsum("bnaw,bncw->bnac", mx, sy,
+                     preferred_element_type=jnp.float32)     # (B, N, a, c=b)
+    k = 2 * radius + 1
+    return out.reshape(b, n, k * k)
+
+
+def corr_lookup(pyramid, coords: jnp.ndarray, radius: int,
+                use_matmul: bool = True) -> jnp.ndarray:
     """coords: (B, H, W, 2) xy at 1/8 res -> (B, H, W, levels*(2r+1)^2)."""
     b, h, w, _ = coords.shape
     flat = coords.reshape(b, h * w, 2)
+    lookup = _lookup_level_matmul if use_matmul else _lookup_level
     outs = []
     for i, corr in enumerate(pyramid):
-        outs.append(_lookup_level(corr, flat / (2 ** i), radius))
+        outs.append(lookup(corr, flat / (2 ** i), radius))
     return jnp.concatenate(outs, axis=-1).reshape(b, h, w, -1)
 
 
