@@ -165,6 +165,16 @@ def cmd_decode(args):
     dest = os.path.join(out, "Custom_inference_gestures.csv")
     df.to_csv(dest)
     print(f"wrote {len(df)} gesture intervals to {dest}")
+    if args.save_artifacts:
+        # reps_and_labels_<phase> / attention_<phase> (train.py:113-119)
+        from sais_tpu.train.checkpoint import save_inference_artifacts
+        art = dec.inference_artifacts(args.videoname, rgb, flow)
+        save_inference_artifacts(
+            os.path.join(args.path, "params", "Fold_0"), "Custom_inference",
+            {"reps": art["reps"], "probs": art["probs"],
+             "videonames": art["videonames"]},
+            attention=art["attention"])
+        print("wrote inference artifacts under params/Fold_0")
 
 
 def cmd_train(args):
@@ -341,6 +351,8 @@ def build_parser():
         sp.add_argument("-bc", "--balance-classes", action="store_true")
         sp.add_argument("-t", "--task", default="Prototypes",
                         choices=["Prototypes", "MIL", "ClassificationHead"])
+        sp.add_argument("--save-artifacts", action="store_true",
+                        help="persist reps_and_labels/attention artifacts")
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
         # pretraining flags (main_dino.py argparse equivalents)

@@ -269,3 +269,53 @@ class GestureDecoder:
         fold_tta = [[self._run_batch(p, pr, t) for t in tta_batches]
                     for p, pr in self.folds]
         return ensemble_probs(fold_tta)
+
+    def inference_artifacts(self, video: str, rgb_reps: np.ndarray,
+                            flow_reps: Optional[np.ndarray],
+                            fold: int = 0) -> Dict[str, object]:
+        """Per-window reps/probs for all TTA augments plus the first
+        augment's attention maps — the artifacts the reference persists per
+        inference phase (train.py:113-119: reps_and_labels_<ph> with reps
+        keyed by augment, attention_<ph>)."""
+        manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
+        if flow_reps is None:
+            flow_reps = np.zeros((1, rgb_reps.shape[1]), np.float32)
+        tta_batches = build_tta_batches(rgb_reps, flow_reps, manifest,
+                                        self.cfg.window)
+        params, protos = self.folds[fold]
+        reps: Dict[int, np.ndarray] = {}
+        probs: Dict[int, np.ndarray] = {}
+        attention = None
+        for ti, tta in enumerate(tta_batches):
+            w = tta.rgb.shape[0]
+            bs = min(self.device_batch, max(w, 1))
+            out_reps, out_probs, out_attn = [], [], []
+            for i in range(0, w, bs):
+                sl = slice(i, min(i + bs, w))
+                n = sl.stop - sl.start
+                pad = bs - n
+
+                def padded(a):
+                    if pad == 0:
+                        return a[sl]
+                    return np.concatenate(
+                        [a[sl], np.repeat(a[sl][-1:], pad, axis=0)])
+
+                out = prototypes_forward(
+                    params, self.cfg.model, jnp.asarray(padded(tta.rgb)),
+                    jnp.asarray(padded(tta.rgb_mask)),
+                    jnp.asarray(padded(tta.flow)),
+                    jnp.asarray(padded(tta.flow_mask)))
+                p = prototype_probs(out.video_rep, protos)
+                out_reps.append(np.asarray(out.video_rep)[:n])
+                out_probs.append(np.asarray(p)[:n])
+                if ti == 0:  # attention from the first augment only
+                    out_attn.append(np.asarray(out.attn)[:n])
+            reps[ti] = np.concatenate(out_reps) if out_reps else np.zeros((0,))
+            probs[ti] = np.concatenate(out_probs) if out_probs else np.zeros((0,))
+            if ti == 0 and out_attn:
+                attention = np.concatenate(out_attn)
+        return {"reps": reps, "probs": probs, "attention": attention,
+                "start_frames": manifest.start_frames,
+                "end_frames": manifest.end_frames, "videonames":
+                [video] * len(manifest)}

@@ -85,6 +85,15 @@ def test_decode_pipeline_end_to_end(tmp_path):
     assert probs.shape == (6, 2)
     np.testing.assert_allclose(probs.sum(-1), 1.0, atol=1e-6)
 
+    # inference artifacts (reference train.py:113-119 exports)
+    art = dec.inference_artifacts("vid", reps, None)
+    assert set(art["reps"].keys()) == {0, 1, 2}
+    assert art["reps"][0].shape == (6, 256)
+    np.testing.assert_allclose(
+        np.mean(np.stack([art["probs"][i] for i in range(3)], 0), 0), probs,
+        atol=1e-6)
+    assert art["attention"].shape[0] == 6  # first-augment attention maps
+
 
 def test_preprocess_device_matches_pil_reference():
     rng = np.random.default_rng(1)
