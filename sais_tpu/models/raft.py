@@ -15,14 +15,14 @@ converter below consumes):
   count -> a single compiled program, no python loop);
 - convex upsampling of the 1/8-res flow with the learned 9-way mask.
 
-TPU-first choices: NHWC layout throughout, correlation lookup as masked
-take_along_axis gathers (no scatter), scan instead of unrolled python, and
-bf16-friendly matmuls with f32 normalization statistics.
+TPU-first choices: NHWC layout throughout, a gather-free correlation lookup
+(banded bilinear-weight matmuls — 25x faster than gathers on TPU, see
+_lookup_level_matmul), scan instead of unrolled python, and bf16-friendly
+matmuls with f32 normalization statistics.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Mapping, Optional, Tuple
 
 import jax

@@ -16,7 +16,6 @@ reproducible across frameworks anyway).
 from __future__ import annotations
 
 import dataclasses
-from functools import partial
 from typing import Optional, Sequence, Tuple
 
 import jax

@@ -14,7 +14,6 @@ BILINEAR filter to ~1e-2/255 per pixel; tests pin the tolerance.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -14,7 +14,6 @@ axis rides ICI); numerics match the single-device forward to float tolerance
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict
 
 import jax

@@ -23,8 +23,7 @@ from sais_tpu.config import ModelConfig, TrainConfig
 from sais_tpu.models.full_model import classification_forward, mil_forward
 from sais_tpu.parallel import mesh as mesh_lib
 from sais_tpu.train import metrics as metrics_lib
-from sais_tpu.train.losses import (binary_cross_entropy_logits, cross_entropy,
-                                   next_rep_mse)
+from sais_tpu.train.losses import binary_cross_entropy_logits, cross_entropy
 
 
 class ClassificationTrainer:

@@ -17,7 +17,6 @@ sais_tpu.data collators.
 
 from __future__ import annotations
 
-import copy
 import dataclasses
 from typing import Any, Callable, Dict, Iterable, List, Optional, Sequence, Tuple
 

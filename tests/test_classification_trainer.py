@@ -53,11 +53,6 @@ def test_classification_head_trainer():
                               task="ClassificationHead")
     # RGB-only cls head path applies per-snippet: use s=1
     batches = _batches(b=8, s=1)
-
-    def squeeze(bs):
-        # logits come out (B, S, C) for RGB; flatten S=1
-        return bs
-
     l0, _ = t.run_epoch(iter(batches), train=True)
     for _ in range(5):
         ln, _ = t.run_epoch(iter(batches), train=True)
