@@ -203,8 +203,27 @@ def cmd_train(args):
 
     for fold in range(args.nfolds):
         print(f"Fold: {fold}")
-        ds = build_segment_dataset(segments, fold,
-                                   balance=args.balance_classes)
+        if args.split_policy == "fold-video":
+            ds = build_segment_dataset(segments, fold,
+                                       balance=args.balance_classes)
+        else:
+            # named reference split policies (data/reference_datasets.py)
+            from sais_tpu.data.datasets import SegmentDataset
+            from sais_tpu.data.reference_datasets import (
+                instance_split, leave_one_user_out_split,
+                per_gesture_video_split)
+            classes = sorted(segments["Gesture"].unique().tolist())
+            if args.split_policy == "per-gesture-video":
+                tr, va, te = per_gesture_video_split(
+                    segments, fold, balance=args.balance_classes)
+            elif args.split_policy == "louo":
+                tr, va, te = leave_one_user_out_split(segments, fold)
+            elif args.split_policy == "instance":
+                tr, va, te = instance_split(segments,
+                                            balance=args.balance_classes)
+            ds = SegmentDataset({"train": tr.reset_index(drop=True),
+                                 "val": va.reset_index(drop=True),
+                                 "test": te.reset_index(drop=True)}, classes)
         nclasses = len(ds.classes)
         import dataclasses as dc
         mcfg = dc.replace(cfg.model, nclasses=nclasses)
@@ -319,17 +338,88 @@ def cmd_pipeline(args):
     print(f"total {time.time() - t0:.1f}s")
 
 
+def cmd_eval(args):
+    """Encoder probes over stored features: weighted k-NN + linear probe
+    (reference eval_knn.py / eval_linear.py).  Labels come from a CSV with
+    Video,Label columns; features from the RGB store."""
+    import numpy as np
+    import pandas as pd
+    from sais_tpu.eval.probes import knn_classifier, train_linear_probe
+    from sais_tpu.io.feature_store import FeatureStore, rgb_store_path
+    labels_df = pd.read_csv(args.segments)  # Video,Label per-frame-range
+    feats, labels = [], []
+    with FeatureStore(rgb_store_path(args.path)) as fs:
+        for _, row in labels_df.iterrows():
+            reps = fs.read_video(row["Video"])
+            s, e = int(row.get("StartFrame", 0)), int(
+                row.get("EndFrame", len(reps)))
+            feats.append(reps[s:e])
+            labels.append(np.full(e - s, row["Label"]))
+    feats = np.concatenate(feats)
+    names = sorted(set(np.concatenate(labels).tolist()))
+    y = np.asarray([names.index(v) for v in np.concatenate(labels)])
+    tr = np.arange(len(y)) % 2 == 0
+    top1, top5 = knn_classifier(feats[tr], y[tr], feats[~tr], y[~tr], k=20)
+    lin = train_linear_probe(feats[tr], y[tr], feats[~tr], y[~tr],
+                             num_classes=len(names), epochs=10)
+    print(f"knn top1 {top1:.2f} top5 {top5:.2f} | linear top1 "
+          f"{lin['top1']:.2f}")
+
+
+def cmd_port(args):
+    """Convert checkpoints between reference torch naming and native pkl.
+
+    --params-dir with params.zip/prototypes.zip -> params.pkl/prototypes.pkl
+    (and the reverse when only .pkl files exist)."""
+    import pickle
+    import jax
+    import numpy as np
+    from sais_tpu.port.torch_port import (full_model_params_from_torch,
+                                          load_torch_pickle,
+                                          prototypes_from_torch)
+    from sais_tpu.train.checkpoint import (export_torch_prototypes,
+                                           export_torch_state_dict,
+                                           load_training_result)
+    d = os.path.join(args.params_dir, f"Fold_{args.nfolds - 1}") \
+        if not os.path.exists(os.path.join(args.params_dir, "params.zip")) \
+        and not os.path.exists(os.path.join(args.params_dir, "params.pkl")) \
+        else args.params_dir
+    if os.path.exists(os.path.join(d, "params.zip")):
+        params = full_model_params_from_torch(
+            load_torch_pickle(os.path.join(d, "params.zip")))
+        keys, protos = prototypes_from_torch(
+            load_torch_pickle(os.path.join(d, "prototypes.zip")))
+        with open(os.path.join(d, "params.pkl"), "wb") as f:
+            pickle.dump(jax.tree.map(np.asarray, params), f)
+        with open(os.path.join(d, "prototypes.pkl"), "wb") as f:
+            pickle.dump(np.asarray(protos), f)
+        print(f"converted torch -> native under {d}")
+    else:
+        res = load_training_result(d)
+        sd = export_torch_state_dict(res["params"])
+        keys = [str(i) for i in range(res["prototypes"].shape[0])]
+        pd_ = export_torch_prototypes(keys, res["prototypes"])
+        import torch
+        torch.save({k: torch.tensor(v) for k, v in sd.items()},
+                   os.path.join(d, "params.zip"))
+        torch.save({k: torch.tensor(v) for k, v in pd_.items()},
+                   os.path.join(d, "prototypes.zip"))
+        print(f"converted native -> torch under {d}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="sais")
     sub = p.add_subparsers(dest="cmd", required=True)
     for name, fn in [("frames", cmd_frames), ("paths", cmd_paths),
                      ("extract", cmd_extract), ("flow", cmd_flow),
                      ("decode", cmd_decode), ("pipeline", cmd_pipeline),
-                     ("train", cmd_train), ("pretrain", cmd_pretrain)]:
+                     ("train", cmd_train), ("pretrain", cmd_pretrain),
+                     ("eval", cmd_eval), ("port", cmd_port)]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("-f", "--videoname",
-                        required=(name not in ("train", "pretrain")))
+                        required=(name not in ("train", "pretrain", "eval",
+                                               "port")))
         sp.add_argument("-p", "--path", default=".")
         sp.add_argument("--dino-weights")
         sp.add_argument("--raft-weights")
@@ -353,6 +443,9 @@ def build_parser():
                         choices=["Prototypes", "MIL", "ClassificationHead"])
         sp.add_argument("--save-artifacts", action="store_true",
                         help="persist reps_and_labels/attention artifacts")
+        sp.add_argument("--split-policy", default="fold-video",
+                        choices=["fold-video", "per-gesture-video", "louo",
+                                 "instance"])
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
         # pretraining flags (main_dino.py argparse equivalents)

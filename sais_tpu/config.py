@@ -112,6 +112,7 @@ class ModelConfig:
     modalities: str = "RGB-Flow"  # 'RGB' | 'Flow' | 'RGB-Flow'
     self_attention: bool = True
     importance_head: bool = False  # importance_function (prepare_model.py:55-56)
+    multi_task: bool = False     # '+'-joined domains -> linearB head
     data_type: str = "reps"      # 'raw' | 'reps'
     temporal: TemporalConfig = dataclasses.field(default_factory=TemporalConfig)
 

@@ -81,7 +81,8 @@ def prototypes_forward(params: Params, cfg: ModelConfig,
                        rgb: Optional[jnp.ndarray] = None,
                        rgb_mask: Optional[jnp.ndarray] = None,
                        flow: Optional[jnp.ndarray] = None,
-                       flow_mask: Optional[jnp.ndarray] = None
+                       flow_mask: Optional[jnp.ndarray] = None,
+                       primary_domain: Optional[jnp.ndarray] = None
                        ) -> PrototypesOutput:
     """Prototypes-task forward for one (TTA) version of the inputs.
 
@@ -89,6 +90,10 @@ def prototypes_forward(params: Params, cfg: ModelConfig,
     encoder; snippet CLS tracks are mean-pooled over snippets; for RGB-Flow
     the pooled reps are SUMMED before projection; attention comes from the
     RGB stream when present, else flow (prepare_model.py:314,326).
+
+    primary_domain: optional (B,) bool for the multi-task setting ('+' in
+    domain, prepare_model.py:406-416): True rows project through `linear`
+    (the NH_02 head), False rows through `linearB`.
     """
     use_rgb = cfg.modalities in ("RGB", "RGB-Flow")
     use_flow = cfg.modalities in ("Flow", "RGB-Flow")
@@ -107,7 +112,13 @@ def prototypes_forward(params: Params, cfg: ModelConfig,
         if attn is None:
             attn, full_seq = tf.attn, tf.full_seq
 
-    video_rep = _linear(jax.nn.relu(pooled), params["linear"])
+    act = jax.nn.relu(pooled)
+    if primary_domain is not None and "linearB" in params:
+        rep_a = _linear(act, params["linear"])
+        rep_b = _linear(act, params["linearB"])
+        video_rep = jnp.where(primary_domain[:, None], rep_a, rep_b)
+    else:
+        video_rep = _linear(act, params["linear"])
     aux_logits = _linear(jax.nn.relu(video_rep), params["linear2"])
     importances = None
     if cfg.importance_head and "importance" in params:
@@ -193,6 +204,8 @@ def full_model_init(key: jax.Array, cfg: ModelConfig) -> Params:
         params["importance"] = lin(ks[12], d, 1)
     if cfg.data_type == "raw":
         params["cls_head"] = lin(ks[13], d, cfg.nclasses)
+    if cfg.multi_task:
+        params["linearB"] = lin(ks[14], d, e)  # prepare_model.py:48-49
     return params
 
 

@@ -146,6 +146,10 @@ class PrototypeTrainer:
             else:
                 loss, reps, probs = self._eval_step(self.state, b)
                 probs = np.asarray(probs)[:len(cols)]
+            loss = float(loss)
+            if not np.isfinite(loss):
+                raise FloatingPointError(
+                    f"training loss is {loss}, stopping")
             losses.append(float(loss) * len(cols))
             sizes.append(len(cols))
             all_probs.append(probs)

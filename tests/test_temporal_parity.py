@@ -143,3 +143,26 @@ def test_classification_head_shapes():
     logits = classification_forward(params, cfg, rgb, None, flow, None)
     assert logits.shape == (2, 2)
     assert np.isfinite(np.asarray(logits)).all()
+
+
+def test_multi_task_linearB_routing():
+    """Multi-task '+'-domain routing (prepare_model.py:406-416): primary
+    rows use `linear`, others `linearB`."""
+    import jax
+    cfg = dataclasses.replace(_cfg(modalities="RGB"), multi_task=True)
+    params = full_model_init(jax.random.key(5), cfg)
+    rgb = jnp.asarray(np.random.default_rng(0).normal(
+        size=(4, 1, 5, DIM)).astype(np.float32))
+    mask = jnp.zeros((4, 1, 6), bool)
+    primary = jnp.asarray([True, False, True, False])
+    out = prototypes_forward(params, cfg, rgb, mask, primary_domain=primary)
+    out_a = prototypes_forward(params, cfg, rgb, mask,
+                               primary_domain=jnp.ones(4, bool))
+    out_b = prototypes_forward(params, cfg, rgb, mask,
+                               primary_domain=jnp.zeros(4, bool))
+    np.testing.assert_allclose(np.asarray(out.video_rep[0]),
+                               np.asarray(out_a.video_rep[0]))
+    np.testing.assert_allclose(np.asarray(out.video_rep[1]),
+                               np.asarray(out_b.video_rep[1]))
+    assert not np.allclose(np.asarray(out_a.video_rep[1]),
+                           np.asarray(out_b.video_rep[1]))
