@@ -85,6 +85,14 @@ def attention(x: jnp.ndarray, p: Params, num_heads: int,
     h = num_heads
     dh = d // h
     qkv = _linear(x, p["qkv_w"], p.get("qkv_b"))  # (B, N, 3D)
+    if (not return_weights and x.dtype == jnp.bfloat16
+            and jax.default_backend() == "tpu"):
+        # fused Pallas path: whole-image attention in VMEM, no HBM
+        # score/weight materialization (kernels/fused_mha.py)
+        from sais_tpu.kernels.fused_mha import fused_mha_short
+        out = fused_mha_short(qkv, h)
+        out = _linear(out, p["proj_w"], p["proj_b"])
+        return out, None
     qkv = qkv.reshape(b, n, 3, h, dh)
     q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
     scale = dh ** -0.5

@@ -63,3 +63,20 @@ def test_encoder_flash_path_matches_vanilla():
     np.testing.assert_allclose(np.asarray(cls_row),
                                np.asarray(attn_ref[:, 0, :]), rtol=1e-4,
                                atol=1e-6)
+
+
+def test_fused_mha_short_matches_reference():
+    from sais_tpu.kernels.fused_mha import fused_mha_short
+    b, l, h, dh = 2, 197, 6, 64
+    d = h * dh
+    qkv = jax.random.normal(jax.random.key(5), (b, l, 3 * d))
+    q, k, v = jnp.split(qkv, 3, -1)
+    q = q.reshape(b, l, h, dh)
+    k = k.reshape(b, l, h, dh)
+    v = v.reshape(b, l, h, dh)
+    s = jnp.einsum("bnhd,bmhd->bhnm", q * dh ** -0.5, k)
+    ref = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(s, -1),
+                     v).reshape(b, l, d)
+    out = fused_mha_short(qkv, h, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
+                               atol=2e-6)
