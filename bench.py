@@ -27,7 +27,8 @@ def main():
     dtype = jnp.bfloat16
 
     params = jax.tree.map(lambda a: a.astype(dtype), params)
-    fn = jax.jit(lambda p, x: vit_features(p, x, cfg, compute_dtype=dtype))
+    fn = jax.jit(lambda p, x: vit_features(p, x, cfg, compute_dtype=dtype,
+                                           allow_fused=True))
     x = jax.random.uniform(jax.random.key(1), (batch, 224, 224, 3), dtype)
     jax.block_until_ready(fn(params, x))  # compile
 

@@ -48,11 +48,13 @@ class FeatureExtractor:
 
         def _fn(params, frames_u8):
             x = preprocess_batch(frames_u8, cfg.preprocess, dtype=compute)
-            return vit_features(params, x, cfg.vit, compute_dtype=compute)
+            return vit_features(params, x, cfg.vit, compute_dtype=compute,
+                                allow_fused=True)
 
         def _fn_pre(params, frames_u8):
             x = normalize_batch(frames_u8, cfg.preprocess, dtype=compute)
-            return vit_features(params, x, cfg.vit, compute_dtype=compute)
+            return vit_features(params, x, cfg.vit, compute_dtype=compute,
+                                allow_fused=True)
 
         self._fn = jax.jit(_fn)
         self._fn_pre = jax.jit(_fn_pre)

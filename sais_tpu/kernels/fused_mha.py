@@ -50,6 +50,100 @@ def _mha_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int,
         o_ref[:, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
 
 
+def _layer_norm_f32(x, scale, bias, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    return (x32 - mean) * jax.lax.rsqrt(var + eps) * scale.astype(
+        jnp.float32) + bias.astype(jnp.float32)
+
+
+def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
+                  fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b, o_ref, *,
+                  num_heads: int, head_dim: int, valid_len: int,
+                  eps: float):
+    """One full pre-norm ViT block for one image, entirely in VMEM."""
+    lp, d = x_ref.shape
+    x = x_ref[:]
+    dtype = x.dtype
+    scale = head_dim ** -0.5
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
+    key_mask = (key_ids >= valid_len) * _NEG_INF
+
+    y = _layer_norm_f32(x, ln1_s[:], ln1_b[:], eps).astype(dtype)
+    qkv = (jax.lax.dot_general(y, qkv_w[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           .astype(dtype) + qkv_b[:])
+    ctx_heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+        v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
+                                k.astype(jnp.float32),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + key_mask, axis=-1)
+        ctx_heads.append(jax.lax.dot_general(
+            p.astype(dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+    ctx = jnp.concatenate(ctx_heads, axis=-1)
+    o = (jax.lax.dot_general(ctx, proj_w[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         .astype(dtype) + proj_b[:])
+    x = x + o
+
+    y = _layer_norm_f32(x, ln2_s[:], ln2_b[:], eps).astype(dtype)
+    hdn = (jax.lax.dot_general(y, fc1_w[:], (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+           .astype(dtype) + fc1_b[:])
+    # Mosaic has no erf/erfc lowering; tanh-approx GELU differs from the
+    # exact torch GELU by <=3e-3 in activation units — below bf16 noise on
+    # this (bf16-only) fast path.  The f32 parity path uses exact GELU.
+    hdn = jax.nn.gelu(hdn.astype(jnp.float32),
+                      approximate=True).astype(dtype)
+    o = (jax.lax.dot_general(hdn, fc2_w[:], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+         .astype(dtype) + fc2_b[:])
+    o_ref[:] = x + o
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "valid_len", "eps",
+                                             "interpret"))
+def fused_vit_block(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
+                    fc1_b, fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b,
+                    num_heads: int, valid_len: int, eps: float = 1e-6,
+                    interpret: bool = False) -> jnp.ndarray:
+    """Entire pre-norm transformer block fused per image.
+
+    x: (B, Lp, D) with Lp lane-aligned and rows >= valid_len zero-padded.
+    Only x and the output touch HBM per layer; weights are VMEM-resident
+    across the grid (constant index maps).
+    """
+    b, lp, d = x.shape
+    head_dim = d // num_heads
+    md = fc1_w.shape[1]
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    weights = (qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w, fc2_b,
+               ln1_s, ln1_b, ln2_s, ln2_b)
+    return pl.pallas_call(
+        functools.partial(_block_kernel, num_heads=num_heads,
+                          head_dim=head_dim, valid_len=valid_len, eps=eps),
+        grid=(b,),
+        in_specs=[pl.BlockSpec((None, lp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [const_spec(w) for w in weights],
+        out_specs=pl.BlockSpec((None, lp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, lp, d), x.dtype),
+        interpret=interpret,
+    )(x, *weights)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def fused_mha_short(qkv: jnp.ndarray, num_heads: int,
                     interpret: bool = False) -> jnp.ndarray:
