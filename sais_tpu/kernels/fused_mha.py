@@ -122,7 +122,6 @@ def fused_vit_block(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     """
     b, lp, d = x.shape
     head_dim = d // num_heads
-    md = fc1_w.shape[1]
 
     def const_spec(arr):
         return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,

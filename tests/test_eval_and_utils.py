@@ -131,3 +131,29 @@ def test_temporal_coherence_matches_reference():
                                       jnp.asarray(lb.numpy()))
     ref_acc = ((lf.argmax(1) == 0).sum() + (lb.argmax(1) == 1).sum()) / 12
     np.testing.assert_allclose(float(acc), float(ref_acc))
+
+
+def test_feature_extraction_task(tmp_path):
+    from sais_tpu.config import ViTConfig
+    from sais_tpu.infer.feature_task import (run_feature_extraction,
+                                             save_all_info_dict)
+    from sais_tpu.models.vit import vit_init
+    cfg = ViTConfig(image_size=16, patch_size=8, embed_dim=32, depth=1,
+                    num_heads=2)
+    params = vit_init(jax.random.key(0), cfg)
+    rng = np.random.default_rng(0)
+    batches = [(["v1", "v2"],
+                rng.normal(size=(2, 3, 4, 16, 16, 3)).astype(np.float32),
+                np.array([0, 1]))]
+    info = run_feature_extraction(iter(batches), params, "ViT", cfg)
+    assert len(info["snippets"]) == 2
+    assert info["snippets"][0].shape == (3, 4, 32)
+    dest = save_all_info_dict(str(tmp_path), info, "ViT")
+    assert os.path.exists(dest)
+
+    from sais_tpu.infer.feature_task import extract_snippet_features_r3d
+    from sais_tpu.models.r3d import r3d18_init
+    r3d = r3d18_init(jax.random.key(1))
+    feats = extract_snippet_features_r3d(
+        r3d, rng.normal(size=(1, 2, 5, 32, 32, 3)).astype(np.float32))
+    assert feats.shape == (1, 2, 512)
