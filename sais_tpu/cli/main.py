@@ -423,7 +423,8 @@ def build_parser():
         sp.add_argument("-p", "--path", default=".")
         sp.add_argument("--dino-weights")
         sp.add_argument("--raft-weights")
-        sp.add_argument("--flow-batch", type=int, default=2)
+        sp.add_argument("--flow-batch", type=int, default=None,
+                        help="RAFT pair batch (default: auto by resolution)")
         sp.add_argument("--params-dir")
         sp.add_argument("--random-init", action="store_true")
         sp.add_argument("--nfolds", type=int, default=1)

@@ -148,11 +148,12 @@ class FlowExtractor:
     with no JPEG round-trip)."""
 
     def __init__(self, raft_params, vit_params, cfg: PipelineConfig,
-                 pair_batch: int = 2, iters: Optional[int] = None):
+                 pair_batch: Optional[int] = None,
+                 iters: Optional[int] = None):
         from sais_tpu.models.raft import (pad_to_multiple_of_8, raft_forward,
                                           unpad)
         self.cfg = cfg
-        self.pair_batch = pair_batch
+        self.pair_batch = pair_batch  # None -> sized per resolution below
         self._unpad = unpad
         self._pad = pad_to_multiple_of_8
         iters = iters or cfg.raft.iters
@@ -171,9 +172,15 @@ class FlowExtractor:
         jump = self.cfg.window.flow_jump_factor
         n = frames.shape[0]
         starts = np.arange(0, n - jump, jump)
+        pair_batch = self.pair_batch
+        if pair_batch is None:
+            # all-pairs correlation is O((HW/64)^2) per pair; size the batch
+            # so the f32 level-0 volume stays under ~2 GB of HBM
+            hw8 = (frames.shape[1] // 8) * (frames.shape[2] // 8)
+            pair_batch = max(1, min(16, int(2e9 / max(hw8 * hw8 * 4, 1))))
         flows = []
-        for i in range(0, len(starts), self.pair_batch):
-            chunk = starts[i:i + self.pair_batch]
+        for i in range(0, len(starts), pair_batch):
+            chunk = starts[i:i + pair_batch]
             i1 = frames[chunk]
             i2 = frames[chunk + jump]
             p1, pads = self._pad(jnp.asarray(i1, jnp.float32))

@@ -119,3 +119,21 @@ def test_feature_store_roundtrip(tmp_path):
         assert fs.videos() == ["a", "b"]
         assert fs.read_video("b").shape == (5, 4)
         assert fs.read_video("b")[3:].sum() == 8
+
+
+def test_multi_fold_ensemble_decode():
+    """Fold ensembling averages per-fold TTA-mean probs
+    (process_inference_results.py:224-228)."""
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(3)
+    reps = rng.normal(size=(90, DIM)).astype(np.float32)
+    folds = []
+    for i in range(2):
+        params = full_model_init(jax.random.key(10 + i), cfg.model)
+        _, protos = prototypes_init(jax.random.key(20 + i), 2)
+        folds.append((params, protos))
+    dec2 = GestureDecoder(folds, cfg, device_batch=8)
+    p2 = dec2.window_probs("v", reps, None)
+    singles = [GestureDecoder([f], cfg, device_batch=8).window_probs(
+        "v", reps, None) for f in folds]
+    np.testing.assert_allclose(p2, np.mean(singles, axis=0), atol=1e-6)
