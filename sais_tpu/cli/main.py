@@ -338,6 +338,41 @@ def cmd_pipeline(args):
     print(f"total {time.time() - t0:.1f}s")
 
 
+def cmd_serve(args):
+    """Long-lived decode daemon (see cli/serve.py): compile once, answer
+    {"video": name} requests over a Unix socket."""
+    from sais_tpu.cli.serve import DecodeService, serve
+    cfg = _pipeline_config(args)
+    vit_params = _load_vit(args, cfg)
+    folds = _load_folds(args, cfg)
+    raft_params = None
+    if cfg.model.modalities != "RGB":
+        import jax
+        from sais_tpu.models.raft import raft_init, raft_params_from_torch
+        if args.raft_weights:
+            from sais_tpu.port.torch_port import load_torch_pickle
+            sd = load_torch_pickle(args.raft_weights)
+            raft_params = raft_params_from_torch(
+                sd.get("state_dict", sd) if isinstance(sd, dict) else sd)
+        else:
+            raft_params = raft_init(jax.random.key(3), cfg.raft)
+    svc = DecodeService(args.path, cfg, vit_params, folds, raft_params,
+                        batch_size=args.batch_size)
+    print("warming up (compiling)...")
+    svc.warmup()
+    serve(svc, args.socket)
+
+
+def cmd_request(args):
+    """Client for a running `sais serve` daemon."""
+    import json as _json
+    from sais_tpu.cli.serve import request
+    payload = ({"cmd": args.rpc} if args.rpc
+               else {"video": args.videoname,
+                     "flow": args.modalities != "RGB"})
+    print(_json.dumps(request(args.socket, payload)))
+
+
 def cmd_eval(args):
     """Encoder probes over stored features: weighted k-NN + linear probe
     (reference eval_knn.py / eval_linear.py).  Labels come from a CSV with
@@ -414,12 +449,15 @@ def build_parser():
                      ("extract", cmd_extract), ("flow", cmd_flow),
                      ("decode", cmd_decode), ("pipeline", cmd_pipeline),
                      ("train", cmd_train), ("pretrain", cmd_pretrain),
-                     ("eval", cmd_eval), ("port", cmd_port)]:
+                     ("eval", cmd_eval), ("port", cmd_port),
+                     ("serve", cmd_serve), ("request", cmd_request)]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("-f", "--videoname",
                         required=(name not in ("train", "pretrain", "eval",
-                                               "port")))
+                                               "port", "serve", "request")))
+        sp.add_argument("--socket", default="/tmp/sais.sock")
+        sp.add_argument("--rpc", choices=["ping", "shutdown"])
         sp.add_argument("-p", "--path", default=".")
         sp.add_argument("--dino-weights")
         sp.add_argument("--raft-weights")

@@ -1,0 +1,110 @@
+"""Long-lived decode service.
+
+Keeps weights and compiled XLA programs resident so per-video latency is
+pure compute (the CLI pays tens of seconds of compile per invocation; the
+daemon pays it once).  Protocol: JSON lines over a Unix domain socket —
+
+  request:  {"video": "<name>"}            # under <root>/videos/<name>.mp4
+            {"video": "...", "flow": true} # dual-stream
+            {"cmd": "ping"} | {"cmd": "shutdown"}
+  response: {"ok": true, "csv": ..., "intervals": N, "seconds": t}
+            {"ok": false, "error": "..."}
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import socket
+import time
+from typing import Optional
+
+
+class DecodeService:
+    def __init__(self, root: str, cfg, vit_params, folds,
+                 raft_params=None, batch_size: int = 256):
+        from sais_tpu.infer.pipeline import (FeatureExtractor, FlowExtractor,
+                                             GestureDecoder)
+        self.root = root
+        self.cfg = cfg
+        self.extractor = FeatureExtractor(vit_params, cfg,
+                                          batch_size=batch_size)
+        self.flow = (FlowExtractor(raft_params, vit_params, cfg)
+                     if raft_params is not None else None)
+        self.decoder = GestureDecoder(folds, cfg, device_batch=512)
+
+    def warmup(self) -> None:
+        """Compile the hot programs against dummy data."""
+        import numpy as np
+        frames = np.zeros((self.extractor.batch_size,
+                           self.cfg.preprocess.resize,
+                           self.cfg.preprocess.resize, 3), np.uint8)
+        self.extractor._fn_pre(self.extractor._params, frames)
+
+    def decode_video(self, video: str, use_flow: bool = False) -> dict:
+        import numpy as np
+        t0 = time.time()
+        path = os.path.join(self.root, "videos", video + ".mp4")
+        rgb = self.extractor.extract_video(path)
+        flow_reps = None
+        if use_flow and self.flow is not None:
+            from sais_tpu.io.video import VideoReader
+            with VideoReader(path) as r:
+                frames = np.stack(list(r.frames()))
+            flow_reps, _ = self.flow.extract(frames)
+        df = self.decoder.decode(video, rgb, flow_reps)
+        out = os.path.join(self.root, "results")
+        os.makedirs(out, exist_ok=True)
+        dest = os.path.join(out, f"{video}_gestures.csv")
+        df.to_csv(dest)
+        return {"ok": True, "csv": dest, "intervals": len(df),
+                "frames": int(rgb.shape[0]),
+                "seconds": round(time.time() - t0, 2)}
+
+
+def serve(service: DecodeService, socket_path: str,
+          log=print) -> None:
+    if os.path.exists(socket_path):
+        os.unlink(socket_path)
+    srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    srv.bind(socket_path)
+    srv.listen(4)
+    log(f"sais serve: listening on {socket_path}")
+    running = True
+    while running:
+        conn, _ = srv.accept()
+        with conn, conn.makefile("rw") as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    req = json.loads(line)
+                    if req.get("cmd") == "shutdown":
+                        resp = {"ok": True, "bye": True}
+                        running = False
+                    elif req.get("cmd") == "ping":
+                        resp = {"ok": True, "pong": True}
+                    else:
+                        resp = service.decode_video(
+                            req["video"], bool(req.get("flow", False)))
+                except Exception as e:  # report, keep serving
+                    resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
+                f.write(json.dumps(resp) + "\n")
+                f.flush()
+                if not running:
+                    break
+    srv.close()
+    os.unlink(socket_path)
+
+
+def request(socket_path: str, payload: dict, timeout: float = 600.0) -> dict:
+    """One-shot client: send a request line, read the response line."""
+    c = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
+    c.settimeout(timeout)
+    c.connect(socket_path)
+    with c, c.makefile("rw") as f:
+        f.write(json.dumps(payload) + "\n")
+        f.flush()
+        return json.loads(f.readline())
