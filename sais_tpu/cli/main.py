@@ -300,8 +300,14 @@ def cmd_pretrain(args):
     # rough steps/epoch from total frame count
     total = sum(VideoReader(v).frame_count for v in videos)
     niter = max(total // bs, 1)
+    mesh = None
+    if args.data_parallel:
+        from sais_tpu.config import MeshConfig
+        from sais_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(MeshConfig())
     trainer = DINOTrainer(ViTConfig(), dcfg, niter_per_ep=niter,
-                          key=jax.random.key(0), optimizer=args.optimizer)
+                          key=jax.random.key(0), optimizer=args.optimizer,
+                          mesh=mesh)
     outdir = os.path.join(args.path, "pretrain")
     mgr = CheckpointManager(os.path.join(outdir, "ckpt"))
     start_epoch, state = mgr.restore_latest(trainer.state())

@@ -158,9 +158,14 @@ class DINOTrainer:
 
     def __init__(self, vit_cfg: ViTConfig, cfg: DINOConfig,
                  niter_per_ep: int, key: jax.Array,
-                 optimizer: str = "adamw"):
+                 optimizer: str = "adamw", mesh=None):
+        """mesh: optional jax.sharding.Mesh for data-parallel steps — crops
+        shard on the data axis, params replicate, and the jit-inserted
+        gradient/center reductions replace the reference's DDP allreduce +
+        DINOLoss dist.all_reduce (main_dino.py:630)."""
         self.cfg = cfg
         self.vit_cfg = vit_cfg
+        self.mesh = mesh
         k1, k2 = jax.random.split(key)
         student = {"backbone": vit_init(k1, vit_cfg),
                    "head": dino_head_init(k2, vit_cfg.embed_dim, cfg.out_dim)}
@@ -243,6 +248,18 @@ class DINOTrainer:
             return student, teacher, center2, opt_state, loss
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
+        if mesh is not None:
+            from sais_tpu.parallel import mesh as mesh_lib
+            self.student = mesh_lib.replicate(self.student, mesh)
+            self.teacher = mesh_lib.replicate(self.teacher, mesh)
+            self.center = mesh_lib.replicate(self.center, mesh)
+            self.opt_state = mesh_lib.replicate(self.opt_state, mesh)
+
+    def _shard_crops(self, crops):
+        if crops is None or self.mesh is None:
+            return crops
+        from sais_tpu.parallel import mesh as mesh_lib
+        return jax.device_put(crops, mesh_lib.data_sharding(self.mesh))
 
     # -- checkpointable state (utils.restart_from_checkpoint equivalent) ----
 
@@ -267,6 +284,8 @@ class DINOTrainer:
         """
         i = min(self.step_idx, len(self.lr_sched) - 1)
         epoch = i // self.niter_per_ep
+        globals_ = self._shard_crops(globals_)
+        locals_ = self._shard_crops(locals_)
         out = self._train_step(
             self.student, self.teacher, self.center, self.opt_state,
             globals_, locals_, jnp.float32(self.lr_sched[i]),
