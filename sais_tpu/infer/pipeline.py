@@ -149,11 +149,16 @@ class FlowExtractor:
 
     def __init__(self, raft_params, vit_params, cfg: PipelineConfig,
                  pair_batch: Optional[int] = None,
-                 iters: Optional[int] = None):
+                 iters: Optional[int] = None,
+                 flow_resize: Optional[Tuple[int, int]] = None):
+        """flow_resize: optional (H, W) to resize frames before RAFT — the
+        reference's CinVivo policy for oversized inputs (216x384,
+        extract_representations.py:122-123)."""
         from sais_tpu.models.raft import (pad_to_multiple_of_8, raft_forward,
                                           unpad)
         self.cfg = cfg
         self.pair_batch = pair_batch  # None -> sized per resolution below
+        self.flow_resize = flow_resize
         self._unpad = unpad
         self._pad = pad_to_multiple_of_8
         iters = iters or cfg.raft.iters
@@ -171,6 +176,10 @@ class FlowExtractor:
         (i, i+jump) at stride jump (generate_paths.py:43-54 pairing)."""
         jump = self.cfg.window.flow_jump_factor
         n = frames.shape[0]
+        if self.flow_resize is not None:
+            import cv2
+            h, w = self.flow_resize
+            frames = np.stack([cv2.resize(f, (w, h)) for f in frames])
         starts = np.arange(0, n - jump, jump)
         pair_batch = self.pair_batch
         if pair_batch is None:

@@ -128,4 +128,9 @@ def decode_gesture_intervals(probs: np.ndarray, start_frames: np.ndarray,
         df["StartTime"] = frames_to_time(df["StartFrame"].to_numpy(), cfg.fps)
         df["EndTime"] = frames_to_time(df["EndFrame"].to_numpy(), cfg.fps)
         df["Path"] = "images/" + df["Video"]
+        # reference column order (process_inference_results.py:247-255)
+        order = ([c for c in range(ncls)] +
+                 ["StartFrame", "EndFrame", "Entropy", "pred", "StartTime",
+                  "EndTime", "Gesture", "Video", "Path"])
+        df = df[order]
     return df.reset_index(drop=True)

@@ -1,0 +1,48 @@
+"""Decode daemon: request/response protocol over a Unix socket."""
+
+import os
+import threading
+
+import numpy as np
+import pytest
+
+import jax
+
+from sais_tpu.cli.serve import DecodeService, request, serve
+from sais_tpu.models.full_model import full_model_init, prototypes_init
+from sais_tpu.models.vit import vit_init
+from tests.test_pipeline_e2e import synth_video, tiny_cfg
+
+
+def test_serve_roundtrip(tmp_path):
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "videos"))
+    synth_video(os.path.join(root, "videos", "vid.mp4"))
+
+    cfg = tiny_cfg()
+    vit_params = vit_init(jax.random.key(0), cfg.vit)
+    folds = [(full_model_init(jax.random.key(1), cfg.model),
+              prototypes_init(jax.random.key(2), 2)[1])]
+    svc = DecodeService(root, cfg, vit_params, folds, batch_size=32)
+
+    sock = str(tmp_path / "sais.sock")
+    t = threading.Thread(target=serve, args=(svc, sock),
+                         kwargs={"log": lambda s: None}, daemon=True)
+    t.start()
+    import time
+    for _ in range(100):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.05)
+
+    assert request(sock, {"cmd": "ping"})["pong"]
+    resp = request(sock, {"video": "vid"})
+    assert resp["ok"] and resp["frames"] == 90
+    assert os.path.exists(resp["csv"])
+    # error isolation: bad video keeps the daemon alive
+    bad = request(sock, {"video": "nope"})
+    assert not bad["ok"] and "FileNotFoundError" in bad["error"]
+    assert request(sock, {"cmd": "ping"})["pong"]
+    assert request(sock, {"cmd": "shutdown"})["bye"]
+    t.join(timeout=10)
+    assert not t.is_alive()
