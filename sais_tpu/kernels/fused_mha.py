@@ -143,6 +143,75 @@ def fused_vit_block(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     )(x, *weights)
 
 
+def _xla_block_tanh(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w,
+                    fc2_b, ln1_s, ln1_b, ln2_s, ln2_b, num_heads: int,
+                    valid_len: int, eps: float):
+    """Differentiable XLA twin of _block_kernel: identical math (incl. the
+    tanh GELU and padded-key masking), batch-major.  Used as the backward
+    function for the trainable fused block."""
+    b, lp, d = x.shape
+    dh = d // num_heads
+    dtype = x.dtype
+    key_mask = (jnp.arange(lp) >= valid_len)[None, None, None, :] * _NEG_INF
+
+    y = _layer_norm_f32(x, ln1_s, ln1_b, eps).astype(dtype)
+    qkv = (jnp.einsum("bld,de->ble", y, qkv_w,
+                      preferred_element_type=jnp.float32).astype(dtype)
+           + qkv_b)
+    qkv = qkv.reshape(b, lp, 3, num_heads, dh)
+    q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]
+    s = jnp.einsum("blhd,bmhd->bhlm", q.astype(jnp.float32) * dh ** -0.5,
+                   k.astype(jnp.float32), preferred_element_type=jnp.float32)
+    p = jax.nn.softmax(s + key_mask, axis=-1)
+    ctx = jnp.einsum("bhlm,bmhd->blhd", p.astype(dtype), v,
+                     preferred_element_type=jnp.float32).astype(dtype)
+    o = (jnp.einsum("bld,de->ble", ctx.reshape(b, lp, d), proj_w,
+                    preferred_element_type=jnp.float32).astype(dtype)
+         + proj_b)
+    x = x + o
+
+    y = _layer_norm_f32(x, ln2_s, ln2_b, eps).astype(dtype)
+    hdn = (jnp.einsum("bld,de->ble", y, fc1_w,
+                      preferred_element_type=jnp.float32).astype(dtype)
+           + fc1_b)
+    hdn = jax.nn.gelu(hdn.astype(jnp.float32), approximate=True).astype(dtype)
+    o = (jnp.einsum("bld,de->ble", hdn, fc2_w,
+                    preferred_element_type=jnp.float32).astype(dtype)
+         + fc2_b)
+    return x + o
+
+
+def make_trainable_fused_block(num_heads: int, valid_len: int,
+                               eps: float = 1e-6, interpret: bool = False):
+    """Trainable fused block: Pallas forward, exact XLA backward.
+
+    The backward pass is the VJP of `_xla_block_tanh`, which computes the
+    SAME function as the kernel (tanh GELU, f32 softmax/LN), so gradients
+    correspond to the forward function up to bf16 kernel-fusion noise —
+    the standard recompute-in-backward pattern (pallas guide, custom VJP).
+    """
+
+    @jax.custom_vjp
+    def block_op(x, *weights):
+        return fused_vit_block(x, *weights, num_heads=num_heads,
+                               valid_len=valid_len, eps=eps,
+                               interpret=interpret)
+
+    def fwd(x, *weights):
+        return block_op(x, *weights), (x, weights)
+
+    def bwd(res, g):
+        x, weights = res
+        _, vjp = jax.vjp(
+            lambda x, *w: _xla_block_tanh(x, *w, num_heads=num_heads,
+                                          valid_len=valid_len, eps=eps),
+            x, *weights)
+        return vjp(g)
+
+    block_op.defvjp(fwd, bwd)
+    return block_op
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
 def fused_mha_short(qkv: jnp.ndarray, num_heads: int,
                     interpret: bool = False) -> jnp.ndarray:

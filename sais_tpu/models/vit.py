@@ -174,6 +174,33 @@ def _vit_forward_fused(params: Params, images: jnp.ndarray,
     return x[:, 0].astype(jnp.float32)
 
 
+def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
+                                 cfg: ViTConfig,
+                                 interpret: bool = False) -> jnp.ndarray:
+    """Differentiable fused path: Pallas forward per block with an exact
+    XLA backward (kernels/fused_mha.make_trainable_fused_block) — for
+    training loops (DINO) that want the kernel's forward throughput."""
+    from sais_tpu.kernels.fused_mha import make_trainable_fused_block
+    params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
+    x = prepare_tokens(params, images.astype(jnp.bfloat16), cfg)
+    b, l, d = x.shape
+    lp = l + ((-l) % 128)
+    if lp != l:
+        x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    block_op = make_trainable_fused_block(cfg.num_heads, l,
+                                          cfg.layernorm_eps,
+                                          interpret=interpret)
+    for p in params["blocks"]:
+        x = block_op(x, p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+                     p["attn"]["proj_w"], p["attn"]["proj_b"],
+                     p["mlp"]["fc1_w"], p["mlp"]["fc1_b"],
+                     p["mlp"]["fc2_w"], p["mlp"]["fc2_b"], p["ln1_s"],
+                     p["ln1_b"], p["ln2_s"], p["ln2_b"])
+    x = _layer_norm(x[:, :l], params["ln_s"], params["ln_b"],
+                    cfg.layernorm_eps)
+    return x[:, 0].astype(jnp.float32)
+
+
 def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                 *, return_last_attention: bool = False,
                 compute_dtype: jnp.dtype = jnp.float32,

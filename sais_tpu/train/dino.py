@@ -158,11 +158,18 @@ class DINOTrainer:
 
     def __init__(self, vit_cfg: ViTConfig, cfg: DINOConfig,
                  niter_per_ep: int, key: jax.Array,
-                 optimizer: str = "adamw", mesh=None):
+                 optimizer: str = "adamw", mesh=None,
+                 fused_blocks: bool = False):
         """mesh: optional jax.sharding.Mesh for data-parallel steps — crops
         shard on the data axis, params replicate, and the jit-inserted
         gradient/center reductions replace the reference's DDP allreduce +
-        DINOLoss dist.all_reduce (main_dino.py:630)."""
+        DINOLoss dist.all_reduce (main_dino.py:630).
+
+        fused_blocks: Pallas forward + recompute-in-backward (custom VJP).
+        Saves per-block activations (remat-like memory profile) at the cost
+        of a full XLA recompute in the backward; measured ~10% slower than
+        the pure XLA step at ViT-S/batch-16 — use when activation memory
+        binds (larger models/batches), not for speed."""
         self.cfg = cfg
         self.vit_cfg = vit_cfg
         self.mesh = mesh
@@ -202,18 +209,24 @@ class DINOTrainer:
 
         vcfg = vit_cfg
 
+        def backbone(params, crops):
+            if fused_blocks:
+                # Pallas forward + exact XLA backward (custom VJP)
+                from sais_tpu.models.vit import vit_features_trainable_fused
+                return vit_features_trainable_fused(params, crops, vcfg)
+            return vit_features(params, crops, vcfg,
+                                compute_dtype=jnp.bfloat16)
+
         def forward(params, globals_, locals_):
             """Backbone over the two resolution groups, head over all —
             MultiCropWrapper semantics (utils.py:595-631)."""
             outs = []
-            gfeat = vit_features(params["backbone"], globals_, vcfg,
-                                 compute_dtype=jnp.bfloat16)
+            gfeat = backbone(params["backbone"], globals_)
             ng = cfg.n_global_crops
             for i in range(ng):
                 outs.append(gfeat[i::ng])
             if locals_ is not None and cfg.n_local_crops:
-                lfeat = vit_features(params["backbone"], locals_, vcfg,
-                                     compute_dtype=jnp.bfloat16)
+                lfeat = backbone(params["backbone"], locals_)
                 nl = cfg.n_local_crops
                 for i in range(nl):
                     outs.append(lfeat[i::nl])

@@ -80,3 +80,45 @@ def test_fused_mha_short_matches_reference():
     out = fused_mha_short(qkv, h, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
                                atol=2e-6)
+
+
+def test_trainable_fused_block_forward_and_grad():
+    """Pallas-forward / XLA-backward block: forward matches the XLA twin,
+    gradients equal the twin's exactly (bwd is its VJP by construction)."""
+    from sais_tpu.kernels.fused_mha import (_xla_block_tanh,
+                                            make_trainable_fused_block)
+    from sais_tpu.models.vit import vit_init
+    from sais_tpu.config import ViTConfig
+    cfg = ViTConfig(image_size=32, patch_size=8, embed_dim=64, depth=1,
+                    num_heads=4)
+    p = vit_init(jax.random.key(0), cfg)["blocks"][0]
+    weights = (p["attn"]["qkv_w"], p["attn"]["qkv_b"], p["attn"]["proj_w"],
+               p["attn"]["proj_b"], p["mlp"]["fc1_w"], p["mlp"]["fc1_b"],
+               p["mlp"]["fc2_w"], p["mlp"]["fc2_b"], p["ln1_s"], p["ln1_b"],
+               p["ln2_s"], p["ln2_b"])
+    x = jax.random.normal(jax.random.key(1), (2, 128, 64))
+    valid = 100
+
+    block_op = make_trainable_fused_block(4, valid, interpret=True)
+    out = block_op(x, *weights)
+    ref = _xla_block_tanh(x, *weights, num_heads=4, valid_len=valid, eps=1e-6)
+    np.testing.assert_allclose(np.asarray(out[:, :valid]),
+                               np.asarray(ref[:, :valid]), rtol=2e-5,
+                               atol=2e-5)
+
+    def loss_fused(x, w0):
+        return jnp.sum(block_op(x, w0, *weights[1:])[:, :valid] ** 2)
+
+    def loss_ref(x, w0):
+        return jnp.sum(_xla_block_tanh(x, w0, *weights[1:], num_heads=4,
+                                       valid_len=valid,
+                                       eps=1e-6)[:, :valid] ** 2)
+
+    gx_f, gw_f = jax.grad(loss_fused, argnums=(0, 1))(x, weights[0])
+    gx_r, gw_r = jax.grad(loss_ref, argnums=(0, 1))(x, weights[0])
+    # bwd recomputes via the XLA twin, but the incoming cotangent comes from
+    # the (numerically close) pallas forward -> near-exact agreement
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_r), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4,
+                               atol=1e-4)
