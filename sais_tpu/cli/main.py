@@ -421,10 +421,10 @@ def cmd_port(args):
     from sais_tpu.train.checkpoint import (export_torch_prototypes,
                                            export_torch_state_dict,
                                            load_training_result)
-    d = os.path.join(args.params_dir, f"Fold_{args.nfolds - 1}") \
-        if not os.path.exists(os.path.join(args.params_dir, "params.zip")) \
-        and not os.path.exists(os.path.join(args.params_dir, "params.pkl")) \
-        else args.params_dir
+    d = args.params_dir
+    if not any(os.path.exists(os.path.join(d, f))
+               for f in ("params.zip", "params.pkl")):
+        d = os.path.join(d, "Fold_0")
     if os.path.exists(os.path.join(d, "params.zip")):
         params = full_model_params_from_torch(
             load_torch_pickle(os.path.join(d, "params.zip")))
