@@ -166,3 +166,20 @@ def test_multi_task_linearB_routing():
                                np.asarray(out_b.video_rep[1]))
     assert not np.allclose(np.asarray(out_a.video_rep[1]),
                            np.asarray(out_b.video_rep[1]))
+
+
+def test_prototypes_forward_flow_only_parity():
+    """modalities='Flow' (prepare_model.py:318-329): the flow stream drives
+    both the representation and the exported attention."""
+    gen, sd, params = _sd_and_params(7)
+    flow, flow_pad = _batch(gen, b=2, s=1, f=6)
+    g_rep, _, g_attn, _ = golden_prototypes_forward(
+        sd, flow, flow_pad, layers=LAYERS, heads=HEADS)
+    cfg = _cfg(modalities="Flow")
+    out = prototypes_forward(params, cfg, rgb=None, rgb_mask=None,
+                             flow=jnp.asarray(flow.numpy()),
+                             flow_mask=jnp.asarray(flow_pad.numpy()))
+    np.testing.assert_allclose(np.asarray(out.video_rep), g_rep.numpy(),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out.attn), g_attn.numpy(),
+                               rtol=1e-4, atol=1e-5)
