@@ -118,7 +118,6 @@ def cmd_flow(args):
     import jax
     from sais_tpu.infer.pipeline import FlowExtractor
     from sais_tpu.io.feature_store import FeatureStore, flow_store_path
-    from sais_tpu.io.video import VideoReader
     from sais_tpu.models.raft import raft_init, raft_params_from_torch
     cfg = _pipeline_config(args)
     if args.raft_weights:
@@ -134,11 +133,11 @@ def cmd_flow(args):
     vit_params = _load_vit(args, cfg)
     fx = FlowExtractor(raft_params, vit_params, cfg,
                        pair_batch=args.flow_batch)
-    with VideoReader(os.path.join(args.path, "videos",
-                                  args.videoname + ".mp4")) as r:
-        frames = np.stack(list(r.frames()))
     t0 = time.time()
-    reps, _ = fx.extract(frames)
+    # streaming: decode/RAFT/ViT pipelined, O(batch) host residency
+    # (a multi-hour case would not fit in RAM as a frame stack)
+    reps = fx.extract_video(os.path.join(args.path, "videos",
+                                         args.videoname + ".mp4"))
     dt = time.time() - t0
     with FeatureStore(flow_store_path(args.path), "a") as fs:
         fs.write_video(args.videoname, reps)

@@ -43,16 +43,16 @@ class DecodeService:
         self.extractor._fn_pre(self.extractor._params, frames)
 
     def decode_video(self, video: str, use_flow: bool = False) -> dict:
-        import numpy as np
         t0 = time.time()
+        # the name comes off the socket; reject anything that could escape
+        # <root>/videos or <root>/results via path separators / '..'
+        if os.path.basename(video) != video or video in ("", ".", ".."):
+            raise ValueError(f"invalid video name: {video!r}")
         path = os.path.join(self.root, "videos", video + ".mp4")
         rgb = self.extractor.extract_video(path)
         flow_reps = None
         if use_flow and self.flow is not None:
-            from sais_tpu.io.video import VideoReader
-            with VideoReader(path) as r:
-                frames = np.stack(list(r.frames()))
-            flow_reps, _ = self.flow.extract(frames)
+            flow_reps = self.flow.extract_video(path)  # streaming, O(batch)
         df = self.decoder.decode(video, rgb, flow_reps)
         out = os.path.join(self.root, "results")
         os.makedirs(out, exist_ok=True)

@@ -209,6 +209,95 @@ class FlowExtractor:
         reps = self._features.extract_array(rgb)
         return reps, rgb
 
+    def extract_video(self, video_path: str, prefetch: int = 8,
+                      frame_source=None) -> np.ndarray:
+        """Streaming dual-stream extraction: decode -> RAFT -> flow RGB ->
+        DINO reps without ever materializing the video in host RAM.
+
+        The reference streams frame pairs through a dataloader
+        (extract_representations.py:145-176); a multi-hour 1080p case would
+        otherwise need ~TBs of host RAM.  Here a producer thread decodes
+        sequentially and keeps only every jump-th frame (the reference's
+        generate_paths.py:43-62 pairing (i, i+jump) at stride jump means
+        consecutive sampled frames form exactly the pair list); pairs flow
+        through a bounded queue, so peak residency is
+        O(prefetch + pair_batch) frames regardless of video length.
+
+        frame_source: optional iterator of (H, W, 3) uint8 frames (tests /
+        alternate decoders); defaults to VideoReader(video_path).
+        """
+        from sais_tpu.ops.flow_viz import flow_to_rgb_uint8
+
+        jump = self.cfg.window.flow_jump_factor
+        q: "queue.Queue[Optional[Tuple[np.ndarray, np.ndarray]]]" = \
+            queue.Queue(maxsize=prefetch)
+
+        def producer():
+            prev = None
+            try:
+                if frame_source is not None:
+                    frames_iter = iter(frame_source)
+                    ctx = None
+                else:
+                    ctx = VideoReader(video_path)
+                    frames_iter = ctx.frames()
+                try:
+                    for i, frame in enumerate(frames_iter):
+                        if i % jump:
+                            continue
+                        if self.flow_resize is not None:
+                            import cv2
+                            h, w = self.flow_resize
+                            frame = cv2.resize(frame, (w, h))
+                        if prev is not None:
+                            q.put((prev, frame))
+                        prev = frame
+                finally:
+                    if ctx is not None:
+                        ctx.close()
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+
+        reps_out: List[np.ndarray] = []
+        self.peak_buffered_pairs = 0
+        pair_batch = self.pair_batch
+        done = False
+        buf1: List[np.ndarray] = []
+        buf2: List[np.ndarray] = []
+        while not done:
+            item = q.get()
+            if item is None:
+                done = True
+            else:
+                buf1.append(item[0])
+                buf2.append(item[1])
+            if buf1 and (done or len(buf1) == (pair_batch or 16)):
+                i1 = np.stack(buf1)
+                i2 = np.stack(buf2)
+                self.peak_buffered_pairs = max(self.peak_buffered_pairs,
+                                               len(buf1))
+                buf1, buf2 = [], []
+                if pair_batch is None:
+                    hw8 = (i1.shape[1] // 8) * (i1.shape[2] // 8)
+                    pair_batch = max(1, min(16,
+                                            int(2e9 / max(hw8 * hw8 * 4, 1))))
+                for s in range(0, len(i1), pair_batch):
+                    a = jnp.asarray(i1[s:s + pair_batch], jnp.float32)
+                    b = jnp.asarray(i2[s:s + pair_batch], jnp.float32)
+                    p1, pads = self._pad(a)
+                    p2, _ = self._pad(b)
+                    flow = np.asarray(self._unpad(
+                        self._flow_fn(self._raft_params, p1, p2), pads))
+                    rgb = np.stack([flow_to_rgb_uint8(f) for f in flow])
+                    reps_out.append(self._features.extract_array(rgb))
+        t.join()
+        if not reps_out:
+            return np.zeros((0, self.cfg.vit.embed_dim), np.float32)
+        return np.concatenate(reps_out)
+
 
 class GestureDecoder:
     """Sliding-window gesture inference with TTA + fold ensembling +
@@ -257,14 +346,27 @@ class GestureDecoder:
             probs_out.append(np.asarray(probs[:n], np.float64))
         return np.concatenate(probs_out)
 
+    def _check_flow(self, rgb_reps: np.ndarray,
+                    flow_reps: Optional[np.ndarray]) -> np.ndarray:
+        """Refuse to fabricate a zero flow stream when the model config says
+        Flow contributes: a zero-rep flow branch still adds CLS/pos-embedding
+        features to the summed representation and silently skews probs."""
+        if flow_reps is None:
+            if "Flow" in self.cfg.model.modalities:
+                raise ValueError(
+                    f"model modalities={self.cfg.model.modalities!r} require "
+                    "flow representations but none were supplied (flow store "
+                    "missing?); run flow extraction or decode with -mod RGB")
+            return np.zeros((1, rgb_reps.shape[1]), np.float32)
+        return flow_reps
+
     def decode(self, video: str, rgb_reps: np.ndarray,
                flow_reps: Optional[np.ndarray]) -> pd.DataFrame:
         """Per-video window decode -> merged gesture interval table."""
         manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
         if len(manifest) == 0:
             return pd.DataFrame()
-        if flow_reps is None:
-            flow_reps = np.zeros((1, rgb_reps.shape[1]), np.float32)
+        flow_reps = self._check_flow(rgb_reps, flow_reps)
         tta_batches = build_tta_batches(rgb_reps, flow_reps, manifest,
                                         self.cfg.window)
         fold_tta: List[List[np.ndarray]] = []
@@ -280,8 +382,7 @@ class GestureDecoder:
                      flow_reps: Optional[np.ndarray]) -> np.ndarray:
         """Ensembled per-window probabilities (pre post-processing)."""
         manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
-        if flow_reps is None:
-            flow_reps = np.zeros((1, rgb_reps.shape[1]), np.float32)
+        flow_reps = self._check_flow(rgb_reps, flow_reps)
         tta_batches = build_tta_batches(rgb_reps, flow_reps, manifest,
                                         self.cfg.window)
         fold_tta = [[self._run_batch(p, pr, t) for t in tta_batches]
@@ -296,8 +397,7 @@ class GestureDecoder:
         inference phase (train.py:113-119: reps_and_labels_<ph> with reps
         keyed by augment, attention_<ph>)."""
         manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
-        if flow_reps is None:
-            flow_reps = np.zeros((1, rgb_reps.shape[1]), np.float32)
+        flow_reps = self._check_flow(rgb_reps, flow_reps)
         tta_batches = build_tta_batches(rgb_reps, flow_reps, manifest,
                                         self.cfg.window)
         params, protos = self.folds[fold]

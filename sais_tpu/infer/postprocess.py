@@ -117,8 +117,10 @@ def decode_gesture_intervals(probs: np.ndarray, start_frames: np.ndarray,
             row["StartFrame"] = int(start_frames[s_i])
             row["EndFrame"] = int(end_frames[e_i])
             row["Entropy"] = float(-np.sum(mean_probs * np.log(mean_probs)))
-            row["pred"] = threshold_preds(mean_probs[None],
-                                          cfg.decision_threshold,
+            # interval-level re-prediction uses argmax, NOT the decision
+            # threshold: getGestures calls getPreds with threshold=None
+            # (process_inference_results.py:182, default at :130)
+            row["pred"] = threshold_preds(mean_probs[None], None,
                                           class_names)[0]
             row["Gesture"] = gesture
             row["Video"] = video

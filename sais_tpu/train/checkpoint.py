@@ -105,7 +105,12 @@ def save_inference_artifacts(savepath: str, phase: str,
 
 def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
     """full_model param pytree -> reference fullModel state_dict naming
-    (numpy values; feed to torch.save for drop-in params.zip interop)."""
+    (numpy values; feed to torch.save for drop-in params.zip interop).
+
+    Every key carries the DDP 'module.' prefix: the reference's inference
+    loader strips it unconditionally via param_name.split('module.')[1]
+    (prepare_model.py:521-530), which raises IndexError on bare names, so
+    unprefixed exports would not load there."""
     sd: Dict[str, np.ndarray] = {}
 
     def lin(prefix: str, p: Dict[str, Any]):
@@ -149,7 +154,7 @@ def export_torch_state_dict(params: Dict[str, Any]) -> Dict[str, np.ndarray]:
         lin("cls_head", params["cls_head"])
     if "linearB" in params:
         lin("linearB", params["linearB"])
-    return sd
+    return {"module." + k: v for k, v in sd.items()}
 
 
 def export_torch_prototypes(keys: Sequence[str],

@@ -23,7 +23,8 @@ from sais_tpu.config import ModelConfig, TrainConfig
 from sais_tpu.models.full_model import classification_forward, mil_forward
 from sais_tpu.parallel import mesh as mesh_lib
 from sais_tpu.train import metrics as metrics_lib
-from sais_tpu.train.losses import binary_cross_entropy_logits, cross_entropy
+from sais_tpu.train.losses import (_bce_with_logits,
+                                   binary_cross_entropy_logits, cross_entropy)
 
 
 class ClassificationTrainer:
@@ -61,10 +62,27 @@ class ClassificationTrainer:
         def loss_fn(params, batch):
             logits = logits_fn(params, batch)
             labels = batch["labels"]
-            if mcfg.nclasses == 1:
-                loss = binary_cross_entropy_logits(logits, labels)
+            weight = batch.get("weight")
+            if weight is None:
+                if mcfg.nclasses == 1:
+                    loss = binary_cross_entropy_logits(logits, labels)
+                else:
+                    loss = cross_entropy(logits, labels)
             else:
-                loss = cross_entropy(logits, labels)
+                # padded-batch path (batch % n_devices != 0 on a mesh):
+                # padded rows carry weight 0 so they contribute neither to
+                # the loss nor to the gradients — mirroring
+                # PrototypeTrainer's masked NCE (train/loop.py)
+                if mcfg.nclasses == 1:
+                    per = _bce_with_logits(logits.reshape(-1),
+                                           labels.astype(jnp.float32)
+                                           .reshape(-1))
+                else:
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    per = -jnp.take_along_axis(logp, labels[:, None],
+                                               axis=1)[:, 0]
+                loss = jnp.sum(per * weight) / jnp.maximum(jnp.sum(weight),
+                                                           1.0)
             return loss, logits
 
         def train_step(params, opt_state, batch):
@@ -87,7 +105,7 @@ class ClassificationTrainer:
             n = len(batch["labels"])
             if self.mesh is not None:
                 b = mesh_lib.shard_batch(
-                    mesh_lib.pad_to_multiple(
+                    mesh_lib.pad_batch_with_weight(
                         batch, self.mesh.shape[mesh_lib.DATA_AXIS]),
                     self.mesh)
             else:

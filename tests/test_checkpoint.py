@@ -61,8 +61,14 @@ def test_torch_export_import_roundtrip():
     cfg = _cfg()
     params = full_model_init(jax.random.key(2), cfg)
     sd = export_torch_state_dict(params)
-    assert "transEncoderFrame.layers.0.self_attn.in_proj_weight" in sd
-    assert "frame_pos_embeddings.0" in sd and sd["frame_pos_embeddings.0"].shape == (1, DIM)
+    # every key must carry the DDP prefix: the reference loader strips it
+    # unconditionally via param_name.split('module.')[1]
+    # (prepare_model.py:521-530) and would IndexError on bare names
+    assert all(k.startswith("module.") for k in sd)
+    stripped = {k.split("module.")[1]: v for k, v in sd.items()}  # as ref does
+    assert "transEncoderFrame.layers.0.self_attn.in_proj_weight" in stripped
+    assert ("frame_pos_embeddings.0" in stripped
+            and stripped["frame_pos_embeddings.0"].shape == (1, DIM))
     back = full_model_params_from_torch(sd, num_layers=2)
 
     rgb = jax.random.normal(jax.random.key(3), (2, 1, 5, DIM))

@@ -5,6 +5,7 @@ import dataclasses
 import numpy as np
 
 import jax
+import jax.numpy as jnp
 
 from sais_tpu.config import ModelConfig, TemporalConfig, TrainConfig
 from sais_tpu.models.full_model import full_model_init
@@ -44,6 +45,32 @@ def test_mil_trainer_learns():
         ln, m = t.run_epoch(iter(batches), train=True)
     assert ln < l0
     assert m["acc"] > 0.7
+
+
+def test_mesh_matches_single_device_with_ragged_batch():
+    """Padded rows (batch % n_devices != 0) must not contaminate loss or
+    gradients: mesh and single-device training agree on ragged batches."""
+    from sais_tpu.parallel import mesh as mesh_lib
+
+    cfg = _cfg(nclasses=2)
+    params = jax.tree.map(np.asarray,
+                          full_model_init(jax.random.key(2), cfg))
+    batches = _batches(nbatches=2, b=7)  # 7 % 8 devices != 0 -> 1 pad row
+    # donate_argnums consumes the param buffers: hand each trainer a copy
+    ref = ClassificationTrainer(cfg, TrainConfig(lr=0.05),
+                                jax.tree.map(jnp.asarray, params), task="MIL")
+    l_ref, _ = ref.run_epoch(iter(batches), train=True)
+
+    mesh = mesh_lib.make_mesh()
+    dist = ClassificationTrainer(cfg, TrainConfig(lr=0.05),
+                                 jax.tree.map(jnp.asarray, params),
+                                 task="MIL", mesh=mesh)
+    l_mesh, _ = dist.run_epoch(iter(batches), train=True)
+    assert abs(l_ref - l_mesh) < 1e-5, (l_ref, l_mesh)
+    ref_tree = jax.tree.leaves(ref.params)
+    mesh_tree = jax.tree.leaves(dist.params)
+    for a, b in zip(ref_tree, mesh_tree):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
 
 
 def test_classification_head_trainer():

@@ -1,6 +1,7 @@
 """DINO pre-training parity + smoke tests (reference dino-main)."""
 
 import numpy as np
+import pytest
 import torch
 import torch.nn.functional as F
 
@@ -12,6 +13,8 @@ from sais_tpu.models.dino_head import (dino_head_forward, dino_head_init,
                                        dino_head_params_from_torch)
 from sais_tpu.train.dino import (DINOConfig, DINOTrainer, cosine_scheduler,
                                  dino_loss, update_center)
+
+pytestmark = pytest.mark.slow
 
 
 def _random_torch_head(gen, in_dim=32, hidden=64, bottleneck=16, out=128):

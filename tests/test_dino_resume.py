@@ -11,6 +11,8 @@ from sais_tpu.config import ViTConfig
 from sais_tpu.train.checkpoint import CheckpointManager
 from sais_tpu.train.dino import DINOConfig, DINOTrainer
 
+pytestmark = pytest.mark.slow
+
 
 def _trainer():
     cfg = DINOConfig(out_dim=16, n_global_crops=2, n_local_crops=0,

@@ -1,12 +1,15 @@
 """Flow stream: rendering semantics + end-to-end flow feature extraction."""
 
 import numpy as np
+import pytest
 
 import jax
 
 from sais_tpu.config import (PipelineConfig, PreprocessConfig, RAFTConfig,
                              ViTConfig)
 from sais_tpu.ops.flow_viz import flow_to_rgb, flow_to_rgb_uint8, make_colorwheel
+
+pytestmark = pytest.mark.slow
 
 
 def test_colorwheel_shape_and_anchors():
@@ -55,3 +58,19 @@ def test_flow_extractor_end_to_end():
     assert reps.shape == (2, 48)
     assert rgb.shape == (2, 128, 136, 3) and rgb.dtype == np.uint8
     assert np.isfinite(reps).all()
+
+    # streaming path == array path (same pairing, same numerics), while
+    # never buffering more than pair_batch frame pairs on the host
+    # (extract_representations.py:145-176 streams through a dataloader; the
+    # array path cannot run on multi-hour videos)
+    stream_reps = fx.extract_video(None, frame_source=iter(frames))
+    np.testing.assert_allclose(stream_reps, reps, atol=1e-5)
+    assert fx.peak_buffered_pairs <= 2
+
+    # pairing parity across awkward lengths (n = k*jump, k*jump+1, etc.)
+    for n in (30, 31, 45, 46, 59):
+        sub = frames[:n]
+        a, _ = fx.extract(sub)
+        b = fx.extract_video(None, frame_source=iter(sub))
+        assert a.shape == b.shape, n
+        np.testing.assert_allclose(b, a, atol=1e-5)

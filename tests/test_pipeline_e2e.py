@@ -19,6 +19,8 @@ from sais_tpu.models.full_model import full_model_init, prototypes_init
 from sais_tpu.models.vit import vit_init
 from sais_tpu.ops.preprocess import preprocess_batch, preprocess_reference_host
 
+pytestmark = pytest.mark.slow
+
 DIM = 64
 
 
@@ -119,6 +121,25 @@ def test_feature_store_roundtrip(tmp_path):
         assert fs.videos() == ["a", "b"]
         assert fs.read_video("b").shape == (5, 4)
         assert fs.read_video("b")[3:].sum() == 8
+
+
+def test_decode_refuses_missing_flow_for_flow_modalities():
+    """A zero-substituted flow stream would silently skew probabilities
+    (the flow branch still contributes CLS/pos-emb features); the decoder
+    must raise instead when modalities include Flow but no reps exist."""
+    import dataclasses
+    cfg = tiny_cfg()
+    cfg = dataclasses.replace(
+        cfg, model=dataclasses.replace(cfg.model, modalities="RGB-Flow"))
+    params = full_model_init(jax.random.key(5), cfg.model)
+    _, protos = prototypes_init(jax.random.key(6), 2)
+    dec = GestureDecoder([(params, protos)], cfg, device_batch=8)
+    reps = np.zeros((90, DIM), np.float32)
+    with pytest.raises(ValueError, match="flow"):
+        dec.decode("vid", reps, None)
+    # RGB-only config continues to tolerate absent flow
+    dec_rgb = GestureDecoder([(params, protos)], tiny_cfg(), device_batch=8)
+    assert dec_rgb.window_probs("vid", reps, None).shape[0] == 6
 
 
 def test_multi_fold_ensemble_decode():

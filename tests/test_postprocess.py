@@ -107,3 +107,20 @@ def test_decode_gesture_intervals_end_to_end():
     assert iv["Path"] == "images/vid"
     # interval probs are the mean over member windows
     np.testing.assert_allclose(iv[0], np.mean([0.9, 0.88, 0.91]))
+
+
+def test_interval_pred_uses_argmax_not_threshold():
+    """getGestures re-predicts with getPreds(threshold=None) => argmax over
+    ALL classes (process_inference_results.py:130-137, default threshold at
+    :182), while window-level getPreds thresholds only the LAST class into
+    index 0/1.  With >=2 classes these diverge; verify the argmax path."""
+    cfg = PostprocessConfig(class_names=("a", "b", "c"))
+    # last-class prob 0.10 <= 0.515 -> window pred index 0 ('a');
+    # entropy 0.52 <= 0.66 -> kept; argmax over the interval mean -> 'b'
+    probs = np.array([[0.05, 0.85, 0.10], [0.06, 0.84, 0.10]])
+    starts = np.array([0, 15])
+    ends = starts + 15
+    df = decode_gesture_intervals(probs, starts, ends, "vid", cfg)
+    grp = df[df["Gesture"] == "a"]
+    assert len(grp) == 1
+    assert grp.iloc[0]["pred"] == "b"  # threshold rule would have said 'a'

@@ -1,6 +1,7 @@
 """R3D-18 parity: JAX + converter vs golden functional torch."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -10,6 +11,8 @@ from sais_tpu.models.r3d import (normalize_clips, r3d18_features, r3d18_init,
                                  r3d18_params_from_torch)
 from tests.golden.torch_r3d import (golden_r3d18_features,
                                     random_r3d18_state_dict)
+
+pytestmark = pytest.mark.slow
 
 
 def test_r3d18_matches_torch():

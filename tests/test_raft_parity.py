@@ -2,6 +2,7 @@
 princeton-vl semantics).  Gate for BASELINE config 2 (dual-stream flow)."""
 
 import numpy as np
+import pytest
 import torch
 
 import jax
@@ -11,6 +12,8 @@ from sais_tpu.config import RAFTConfig
 from sais_tpu.models.raft import (pad_to_multiple_of_8, raft_forward,
                                   raft_init, raft_params_from_torch, unpad)
 from tests.golden.torch_raft import golden_raft_forward, random_raft_state_dict
+
+pytestmark = pytest.mark.slow
 
 
 def test_raft_forward_matches_torch():

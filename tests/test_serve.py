@@ -13,6 +13,8 @@ from sais_tpu.models.full_model import full_model_init, prototypes_init
 from sais_tpu.models.vit import vit_init
 from tests.test_pipeline_e2e import synth_video, tiny_cfg
 
+pytestmark = pytest.mark.slow
+
 
 def test_serve_roundtrip(tmp_path):
     root = str(tmp_path)
@@ -42,6 +44,11 @@ def test_serve_roundtrip(tmp_path):
     # error isolation: bad video keeps the daemon alive
     bad = request(sock, {"video": "nope"})
     assert not bad["ok"] and "FileNotFoundError" in bad["error"]
+    # path traversal is rejected before any filesystem access
+    evil = request(sock, {"video": "../videos/vid"})
+    assert not evil["ok"] and "ValueError" in evil["error"]
+    evil = request(sock, {"video": "/etc/passwd"})
+    assert not evil["ok"] and "ValueError" in evil["error"]
     assert request(sock, {"cmd": "ping"})["pong"]
     assert request(sock, {"cmd": "shutdown"})["bye"]
     t.join(timeout=10)

@@ -1,6 +1,7 @@
 """Tensor-parallel ViT over a 2-D (data x model) mesh matches single-device."""
 
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -10,6 +11,8 @@ from sais_tpu.models.vit import vit_features, vit_init
 from sais_tpu.parallel.mesh import make_mesh
 from sais_tpu.parallel.tp import (put_tp_params, shard_vit_params_tp,
                                   tp_vit_features)
+
+pytestmark = pytest.mark.slow
 
 
 def test_tp_vit_matches_single_device():
