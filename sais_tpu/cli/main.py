@@ -200,9 +200,31 @@ def cmd_train(args):
                   if use_flow else None)
     mesh = make_mesh(MeshConfig()) if args.data_parallel else None
 
+    skill_mode = args.dataset == "vua-ease"
+    explanations = None
+    if args.importance_loss:
+        if not skill_mode:
+            sys.exit("--importance-loss requires --dataset vua-ease "
+                     "(explanations are EASE stitch annotations)")
+        if not args.explanations:
+            sys.exit("--importance-loss needs --explanations <csv> [...]")
+        explanations = [pd.read_csv(p) for p in args.explanations]
+
     for fold in range(args.nfolds):
         print(f"Fold: {fold}")
-        if args.split_policy == "fold-video":
+        if skill_mode:
+            # VUA_EASE skill branch (prepare_dataset.py:63-426): RACE/EASE
+            # filters, 0.9/0.1 fold split, explanation-derived importance
+            from sais_tpu.data.skill import build_ease_dataset
+            from sais_tpu.data.datasets import SegmentDataset
+            frames, classes = build_ease_dataset(
+                segments, args.domain, fold,
+                balance=args.balance_classes,
+                explanations=explanations,
+                importance_loss=args.importance_loss)
+            ds = SegmentDataset(frames, [str(c) for c in classes])
+            ds.skill_classes = classes
+        elif args.split_policy == "fold-video":
             ds = build_segment_dataset(segments, fold,
                                        balance=args.balance_classes)
         else:
@@ -224,14 +246,21 @@ def cmd_train(args):
                                  "val": va.reset_index(drop=True),
                                  "test": te.reset_index(drop=True)}, classes)
         nclasses = len(ds.classes)
+        # multi-task '+' domains double the label space (+2 offset for the
+        # second domain, prepare_dataset.py:2156-2158)
+        if skill_mode and "+" in args.domain:
+            nclasses *= 2
         import dataclasses as dc
-        mcfg = dc.replace(cfg.model, nclasses=nclasses)
+        mcfg = dc.replace(cfg.model, nclasses=nclasses,
+                          importance_head=(cfg.model.importance_head
+                                           or args.importance_loss))
         params = full_model_init(jax.random.fold_in(jax.random.key(0), fold),
                                  mcfg)
         keys, protos = prototypes_init(
             jax.random.fold_in(jax.random.key(1), fold), nclasses)
         tcfg = TrainConfig(lr=args.lr, nepochs=args.nepochs,
-                           batch_size=args.batch_size)
+                           batch_size=args.batch_size,
+                           importance_loss=args.importance_loss)
         if args.task == "Prototypes":
             trainer = PrototypeTrainer(mcfg, tcfg, params, keys, protos,
                                        mesh=mesh)
@@ -242,10 +271,17 @@ def cmd_train(args):
 
         def loader(phase, shuffle):
             rows = ds.frames[phase]
+            tta = phase in ("val", "test")  # 3-way eval TTA
+            if skill_mode:
+                from sais_tpu.data.skill import skill_batches
+                return lambda: skill_batches(
+                    rows, rgb_store, flow_store, ds.skill_classes,
+                    args.domain, phase, args.batch_size, shuffle,
+                    importance_loss=args.importance_loss, tta=tta)
             return lambda: segment_batches(rows, rgb_store, flow_store,
                                            ds.classes, cfg.window,
                                            args.batch_size, shuffle,
-                                           use_flow=use_flow)
+                                           use_flow=use_flow, tta=tta)
 
         loaders = {ph: loader(ph, ph == "train")
                    for ph in ("train", "val", "test")
@@ -490,6 +526,19 @@ def build_parser():
         sp.add_argument("--split-policy", default="fold-video",
                         choices=["fold-video", "per-gesture-video", "louo",
                                  "instance"])
+        sp.add_argument("--dataset", default="segments",
+                        choices=["segments", "vua-ease"],
+                        help="vua-ease: EASE stitch-annotation skill branch")
+        sp.add_argument("-d", "--domain", default="NH_02",
+                        help="EASE domain, e.g. NH_02 or NH_02+ND_02 "
+                             "(run_experiments.py -d)")
+        sp.add_argument("-il", "--importance-loss", action="store_true",
+                        help="add the frame-importance BCE to the NCE loss "
+                             "(run_experiments.py:36, perform_training.py"
+                             ":127-130)")
+        sp.add_argument("--explanations", nargs="*",
+                        help="EASE explanation CSVs (prepare_dataset.py"
+                             ":65-77) for --importance-loss")
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
         # pretraining flags (main_dino.py argparse equivalents)

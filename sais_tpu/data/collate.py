@@ -88,11 +88,25 @@ def collate_segments(rows: pd.DataFrame, rgb_store, flow_store,
 def segment_batches(dataset_rows: pd.DataFrame, rgb_store, flow_store,
                     classes: Sequence[str], wcfg: WindowConfig,
                     batch_size: int, shuffle: bool, seed: int = 0,
-                    use_flow: bool = True):
-    """Yield collated batches over a phase's segment table."""
+                    use_flow: bool = True, tta: bool = False):
+    """Yield collated batches over a phase's segment table.
+
+    tta=True (val/test phases) attaches the reference's 3-way TTA variants
+    (offsets +0/+3/+6, prepare_dataset.py:2645-2656) under a 'tta' key —
+    the dict-of-3 semantics of pad_collate (:2808-2935); the trainers mean
+    losses and probs/logits over them (perform_training.py:126-149).
+    """
     from sais_tpu.data.datasets import batched_indices
     label_to_col = {c: i for i, c in enumerate(classes)}
+    offsets = tuple(wcfg.tta_offsets) if tta else (0,)
     for idx in batched_indices(len(dataset_rows), batch_size, shuffle, seed):
-        yield collate_segments(dataset_rows.iloc[idx], rgb_store, flow_store,
-                               label_to_col, wcfg, tta_offset=0,
-                               use_flow=use_flow)
+        variants = [
+            collate_segments(dataset_rows.iloc[idx], rgb_store, flow_store,
+                             label_to_col, wcfg, tta_offset=off,
+                             use_flow=use_flow)
+            for off in offsets
+        ]
+        out = dict(variants[0])
+        if tta:
+            out["tta"] = variants
+        yield out

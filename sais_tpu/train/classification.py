@@ -98,26 +98,43 @@ class ClassificationTrainer:
             self.params = mesh_lib.replicate(self.params, mesh)
             self.opt_state = mesh_lib.replicate(self.opt_state, mesh)
 
+    def _device_batch(self, batch: Dict[str, np.ndarray]):
+        if self.mesh is not None:
+            return mesh_lib.shard_batch(
+                mesh_lib.pad_batch_with_weight(
+                    batch, self.mesh.shape[mesh_lib.DATA_AXIS]),
+                self.mesh)
+        return {k: jnp.asarray(v) for k, v in batch.items()}
+
     def run_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
                   train: bool) -> Tuple[float, Dict[str, float]]:
         losses, sizes, all_logits, all_labels = [], [], [], []
         for batch in batches:
             n = len(batch["labels"])
-            if self.mesh is not None:
-                b = mesh_lib.shard_batch(
-                    mesh_lib.pad_batch_with_weight(
-                        batch, self.mesh.shape[mesh_lib.DATA_AXIS]),
-                    self.mesh)
-            else:
-                b = {k: jnp.asarray(v) for k, v in batch.items()}
             if train:
                 self.params, self.opt_state, loss, logits = self._train_step(
-                    self.params, self.opt_state, b)
+                    self.params, self.opt_state, self._device_batch(batch))
+                loss, logits = float(loss), np.asarray(logits)[:n]
+            elif "tta" in batch:
+                # 3-way TTA at val/test: loss = mean of per-augment losses
+                # (perform_training.py:141-149), metrics on the TTA
+                # logit-mean (calcMetrics, prepare_miscellaneous.py:171-173)
+                tta_losses, tta_logits = [], []
+                for variant in batch["tta"]:
+                    v = {k: x for k, x in variant.items() if k != "tta"}
+                    l, lg = self._eval_step(self.params,
+                                            self._device_batch(v))
+                    tta_losses.append(float(l))
+                    tta_logits.append(np.asarray(lg)[:n])
+                loss = float(np.mean(tta_losses))
+                logits = np.mean(np.stack(tta_logits), axis=0)
             else:
-                loss, logits = self._eval_step(self.params, b)
-            losses.append(float(loss) * n)
+                loss, logits = self._eval_step(self.params,
+                                               self._device_batch(batch))
+                loss, logits = float(loss), np.asarray(logits)[:n]
+            losses.append(loss * n)
             sizes.append(n)
-            all_logits.append(np.asarray(logits)[:n])
+            all_logits.append(logits)
             all_labels.append(np.asarray(batch["labels"]))
         total = max(sum(sizes), 1)
         logits = np.concatenate(all_logits) if all_logits else np.zeros((0, 2))

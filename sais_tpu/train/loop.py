@@ -65,7 +65,7 @@ class PrototypeTrainer:
         mcfg = self.model_cfg
         use_imp = self.use_importance
 
-        def loss_fn(trainable, batch):
+        def loss_fn(trainable, batch, with_importance):
             out = prototypes_forward(trainable["model"], mcfg,
                                      batch.get("rgb"), batch.get("rgb_mask"),
                                      batch.get("flow"), batch.get("flow_mask"))
@@ -83,7 +83,9 @@ class PrototypeTrainer:
                     logp, batch["label_cols"][:, None], 1)[:, 0]
                 loss = -jnp.sum(picked * weight) / jnp.maximum(
                     jnp.sum(weight), 1.0)
-            if use_imp:
+            if with_importance:
+                # importance loss applies at TRAIN only
+                # (perform_training.py:127-130)
                 labels = batch["labels"]
                 if weight is not None:
                     # padded rows must not count as low-skill (label 0)
@@ -96,7 +98,8 @@ class PrototypeTrainer:
         def train_step(state: TrainState, batch):
             trainable = {"model": state.model, "prototypes": state.prototypes}
             (loss, reps), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(trainable, batch)
+                lambda t, b: loss_fn(t, b, use_imp),
+                has_aux=True)(trainable, batch)
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        trainable)
             new = optax.apply_updates(trainable, updates)
@@ -105,7 +108,7 @@ class PrototypeTrainer:
 
         def eval_step(state: TrainState, batch):
             trainable = {"model": state.model, "prototypes": state.prototypes}
-            loss, reps = loss_fn(trainable, batch)
+            loss, reps = loss_fn(trainable, batch, False)
             probs = prototype_probs(reps, state.prototypes)
             return loss, reps, probs
 
@@ -138,15 +141,31 @@ class PrototypeTrainer:
         all_cols: List[np.ndarray] = []
         for batch in batches:
             cols = batch["label_cols"]
-            b = self._device_batch(batch)
             if train:
+                b = self._device_batch(batch)
                 self.state, loss, reps = self._train_step(self.state, b)
                 probs = np.asarray(prototype_probs(
                     reps, self.state.prototypes))[:len(cols)]
+                loss = float(loss)
+            elif "tta" in batch:
+                # 3-way TTA at val/test (perform_training.py:126-128,
+                # 161-204): loss = mean over the per-augment NCE losses,
+                # probs = mean over the per-augment prototype softmaxes
+                # (calcNCEMetrics, prepare_miscellaneous.py:128-137)
+                tta_losses, tta_probs = [], []
+                for variant in batch["tta"]:
+                    v = {k: x for k, x in variant.items() if k != "tta"}
+                    l, _, p = self._eval_step(self.state,
+                                              self._device_batch(v))
+                    tta_losses.append(float(l))
+                    tta_probs.append(np.asarray(p)[:len(cols)])
+                loss = float(np.mean(tta_losses))
+                probs = np.mean(np.stack(tta_probs), axis=0)
             else:
+                b = self._device_batch(batch)
                 loss, reps, probs = self._eval_step(self.state, b)
                 probs = np.asarray(probs)[:len(cols)]
-            loss = float(loss)
+                loss = float(loss)
             if not np.isfinite(loss):
                 raise FloatingPointError(
                     f"training loss is {loss}, stopping")
