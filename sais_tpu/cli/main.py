@@ -217,13 +217,38 @@ def cmd_train(args):
             # filters, 0.9/0.1 fold split, explanation-derived importance
             from sais_tpu.data.skill import build_ease_dataset
             from sais_tpu.data.datasets import SegmentDataset
+            meta = None
+            if args.balance_groups:
+                from sais_tpu.data.reference_datasets import prepare_usc_meta
+                if not args.meta:
+                    sys.exit("--balance-groups needs --meta <csv>")
+                meta = prepare_usc_meta(pd.read_csv(args.meta))
             frames, classes = build_ease_dataset(
                 segments, args.domain, fold,
                 balance=args.balance_classes,
                 explanations=explanations,
-                importance_loss=args.importance_loss)
+                importance_loss=args.importance_loss,
+                meta=meta, group=args.group if args.balance_groups else None)
             ds = SegmentDataset(frames, [str(c) for c in classes])
             ds.skill_classes = classes
+        elif args.dataset in ("vua-gestures", "dvc-ucl"):
+            # gesture-timestamp classification branches
+            # (prepare_dataset.py:1283-1395, :1396-1500)
+            from sais_tpu.data.datasets import SegmentDataset
+            from sais_tpu.data.reference_datasets import (dvc_ucl_tables,
+                                                          vua_gestures_tables)
+            if args.dataset == "vua-gestures":
+                frames, classes = vua_gestures_tables(
+                    segments, args.domain if "_vs_" in args.domain
+                    else "Top4", fold, balance=args.balance_classes)
+            else:
+                frames, classes = dvc_ucl_tables(
+                    segments, fold, balance=args.balance_classes)
+            frames = {ph: frames[ph] for ph in ("train", "val", "test")}
+            for ph in frames:
+                frames[ph] = frames[ph].copy()
+                frames[ph]["Gesture"] = frames[ph]["Gesture"].astype(str)
+            ds = SegmentDataset(frames, [str(c) for c in classes])
         elif args.split_policy == "fold-video":
             ds = build_segment_dataset(segments, fold,
                                        balance=args.balance_classes)
@@ -527,8 +552,17 @@ def build_parser():
                         choices=["fold-video", "per-gesture-video", "louo",
                                  "instance"])
         sp.add_argument("--dataset", default="segments",
-                        choices=["segments", "vua-ease"],
-                        help="vua-ease: EASE stitch-annotation skill branch")
+                        choices=["segments", "vua-ease", "vua-gestures",
+                                 "dvc-ucl"],
+                        help="vua-ease: EASE stitch-annotation skill branch; "
+                             "vua-gestures/dvc-ucl: gesture-timestamp "
+                             "classification branches")
+        sp.add_argument("-bg", "--balance-groups", action="store_true",
+                        help="balance surgeon/patient groups within classes "
+                             "(balanceGroups, prepare_dataset.py:190-213)")
+        sp.add_argument("--meta", help="surgeon/patient meta CSV for -bg")
+        sp.add_argument("--group", default="Caseload Group",
+                        help="meta column for group balancing")
         sp.add_argument("-d", "--domain", default="NH_02",
                         help="EASE domain, e.g. NH_02 or NH_02+ND_02 "
                              "(run_experiments.py -d)")

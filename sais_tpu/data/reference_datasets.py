@@ -58,15 +58,16 @@ def per_gesture_video_split(df: pd.DataFrame, fold: int,
                             ) -> Tuple[pd.DataFrame, pd.DataFrame,
                                        pd.DataFrame]:
     """kind='Video' split (prepare_dataset.py:1047-1076): per gesture,
-    90% of videos train, 10% OF TRAIN val; the original leaves val inside
-    train (the subtraction is commented out) — preserved."""
+    90% of videos train; val is 10% OF ALL VIDEOS sampled from the train
+    pool (`int(0.1*nvids)`, :1068 — NOT 10% of train); the original leaves
+    val inside train (the subtraction is commented out) — preserved."""
     train, val, test = [], [], []
     for gesture in sorted(df[label_col].unique().tolist()):
         cur = df[df[label_col] == gesture]
         vids = cur[video_col].unique().tolist()
         rng = random.Random(fold)
         train_vids = rng.sample(vids, int(0.9 * len(vids)))
-        val_vids = rng.sample(train_vids, int(0.1 * len(train_vids)))
+        val_vids = rng.sample(train_vids, int(0.1 * len(vids)))
         test_vids = list(set(vids) - set(train_vids) - set(val_vids))
         train.append(cur[cur[video_col].isin(train_vids)])
         val.append(cur[cur[video_col].isin(val_vids)])
@@ -187,6 +188,255 @@ def filter_min_frames(df: pd.DataFrame, min_nframes: int = 10
     """Drop gestures spanning <= min_nframes (prepare_dataset.py:969-977)."""
     span = df["EndFrame"] - df["StartFrame"]
     return df[span > min_nframes]
+
+
+# ---------------------------------------------------------------------------
+# VUA_Gestures_Classification (prepare_dataset.py:1283-1395)
+# ---------------------------------------------------------------------------
+
+def clean_gesture_timestamps(df: pd.DataFrame,
+                             int_labels: bool = True) -> pd.DataFrame:
+    """Shared timestamp-CSV cleanup (prepare_dataset.py:1358-1364 and
+    :1476-1482): Video from the path tail, stripped labels, drop NaN and
+    multi-label rows, integer-cast gestures."""
+    df = df.copy()
+    if "Video" not in df.columns:
+        df["Video"] = df["Path"].apply(
+            lambda p: p.split("\\")[-1] if "\\" in p else p.split("/")[-1])
+    df["Gesture"] = df["Gesture"].apply(lambda g: str(g).strip())
+    df = df[df["Gesture"] != "nan"]
+    df = df[df["Gesture"].apply(lambda g: len(g.split(",")) == 1)]
+    if int_labels:
+        df["Gesture"] = df["Gesture"].astype(int)
+    return df
+
+
+VUA_TOP4_GESTURES = [1, 2, 7, 13]  # prepare_dataset.py:1378
+
+
+def vua_gestures_tables(df: pd.DataFrame, domain: str, fold: int,
+                        balance: bool = True
+                        ) -> Tuple[Dict[str, pd.DataFrame], List]:
+    """VUA_Gestures_Classification (prepare_dataset.py:1283-1395):
+    domain = 'Top4' or 'X_vs_Y'; per-gesture video split with the
+    val-inside-train quirk; phases include the merged 'train+val' table
+    the reference loader exposes (:1392-1394)."""
+    df = clean_gesture_timestamps(df)
+    if "vs" in domain:
+        gestures = [int(g) for g in domain.split("_vs_")]
+    else:  # 'Top4'
+        gestures = VUA_TOP4_GESTURES
+    df = df[df["Gesture"].isin(gestures)]
+    tr, va, te = per_gesture_video_split(df, fold, balance=balance)
+    classes = sorted(tr["Gesture"].unique().tolist())
+    return ({"train": tr, "val": va,
+             "train+val": pd.concat((tr, va), axis=0), "test": te},
+            classes)
+
+
+# ---------------------------------------------------------------------------
+# DVC_UCL_Gestures_Classification (prepare_dataset.py:1396-1500)
+# ---------------------------------------------------------------------------
+
+DVC_UCL_GESTURES = [0, 1, 2, 3, 4, 6, 7]  # :1488 ('removed 5 b/c not enough')
+
+
+def dvc_ucl_tables(df: pd.DataFrame, fold: int, balance: bool = True
+                   ) -> Tuple[Dict[str, pd.DataFrame], List]:
+    """DVC_UCL branch: unlike the NS/VUA splits, the 'Feb 26 2022'
+    train-minus-val subtraction IS active here (:1432), and the loader
+    trains on train+val merged with the test split as both val and test
+    (:1497)."""
+    df = clean_gesture_timestamps(df)
+    df = df[df["Gesture"].isin(DVC_UCL_GESTURES)]
+    train, val, test = [], [], []
+    for gesture in sorted(df["Gesture"].unique().tolist()):
+        cur = df[df["Gesture"] == gesture]
+        vids = cur["Video"].unique().tolist()
+        rng = random.Random(fold)
+        train_vids = rng.sample(vids, int(0.9 * len(vids)))
+        val_vids = rng.sample(train_vids, int(0.1 * len(vids)))
+        train_vids = list(set(train_vids) - set(val_vids))
+        test_vids = list(set(vids) - set(train_vids) - set(val_vids))
+        train.append(cur[cur["Video"].isin(train_vids)])
+        val.append(cur[cur["Video"].isin(val_vids)])
+        test.append(cur[cur["Video"].isin(test_vids)])
+    tr = pd.concat(train, axis=0) if train else pd.DataFrame()
+    va = pd.concat(val, axis=0) if val else pd.DataFrame()
+    te = pd.concat(test, axis=0) if test else pd.DataFrame()
+    if balance:
+        tr = balance_gestures(tr) if len(tr) else tr
+    va = balance_gestures(va) if len(va) else va
+    te = balance_gestures(te) if len(te) else te
+    classes = sorted(tr["Gesture"].unique().tolist())
+    return ({"train": pd.concat((tr, va), axis=0), "val": te, "test": te},
+            classes)
+
+
+# ---------------------------------------------------------------------------
+# NS_vs_VUA domain discrimination (prepare_dataset.py:569-888)
+# ---------------------------------------------------------------------------
+
+NS_TOP6_GESTURES = ["p", "h", "c", "r", "m", "k"]  # :856
+
+
+def vua_ease_window(race: str, row) -> Tuple[int, int]:
+    """getStartAndEndFrame (prepare_dataset.py:600-612): NW windows are
+    +/-40 frames around the withdrawal start; NH/ND span their phases."""
+    if race == "Needle Withdrawal":
+        s = row["Needle Withdrawal Start Frame"]
+        return s - 40, s + 40
+    if race == "Needle Handling":
+        return (row["Needle Handling Start Frame"],
+                row["Needle Entry Start Frame"])
+    return (row["Needle Entry Start Frame"],
+            row["Needle Withdrawal Start Frame"])
+
+
+def ns_vs_vua_tables(vua_stitch: pd.DataFrame, ns_timestamps: pd.DataFrame,
+                     fold: int, balance: bool = True
+                     ) -> Tuple[Dict[str, pd.DataFrame], List[str]]:
+    """Combined NS-vs-VUA activity-discrimination dataset
+    (prepare_dataset.py:569-888, training path):
+
+    VUA part — EASE stitch rows filtered by duration + all three RACE/EASE
+    pairings, maj in {0,1,2}, windows via getStartAndEndFrame, 0.9/0.1
+    video split (val = 10% of TRAIN here, :698-701); NS part — gesture
+    timestamps with the P-129 exclusion, >10-frame and >100-count filters,
+    Note-free rows, Top6 gestures, per-gesture split; domains balanced to
+    the minority count with random_state=1 (:879-881).
+    """
+    from sais_tpu.data.skill import duration_filter
+
+    vua = vua_stitch[~vua_stitch["File"].isin([102, 372])].copy()
+    if "Video" not in vua.columns:
+        vua["Video"] = vua["Path"].apply(lambda p: p.split("\\")[-1])
+    vua = duration_filter(vua)
+    pairs = [("Needle Withdrawal", "Wrist Rotation"),
+             ("Needle Handling", "# Repositions"),
+             ("Needle Driving", "Driving Sequence")]
+    keep = False
+    for race, ease in pairs:
+        keep = keep | ((vua["RACE"] == race) & (vua["EASE"] == ease))
+    vua = vua[keep & vua["maj"].isin([0, 1, 2])]
+    vua["Domain"] = "VUA"
+    se = vua.apply(lambda row: pd.Series(vua_ease_window(row["RACE"], row)),
+                   axis=1)
+    vua[["StartFrame", "EndFrame"]] = se.to_numpy()
+
+    cases = vua["Video"].unique().tolist()
+    rng = random.Random(fold)
+    train_cases = rng.sample(cases, int(0.9 * len(cases)))
+    val_cases = rng.sample(train_cases, int(0.1 * len(train_cases)))
+    train_cases = list(set(train_cases) - set(val_cases))
+    cols = ["StartFrame", "EndFrame", "Domain", "Video"]
+    vua = vua[cols]
+    vua_tr = vua[vua["Video"].isin(train_cases)]
+    vua_va = vua[vua["Video"].isin(val_cases)]
+    vua_te = vua[~vua["Video"].isin(train_cases + val_cases)]
+
+    ns = clean_gesture_timestamps(ns_timestamps, int_labels=False)
+    ns = ns[~ns["Video"].str.contains("P-129")]
+    ns["Domain"] = "NS"
+    ns = filter_min_frames(ns)
+    counts = ns["Gesture"].value_counts()
+    ns = ns[ns["Gesture"].isin(counts[counts > 100].index.tolist())]
+    if "Note" in ns.columns:
+        ns = ns[ns["Note"].isna()]
+    ns = ns[ns["Gesture"].isin(NS_TOP6_GESTURES)]
+    ns_tr, ns_va, ns_te = per_gesture_video_split(ns, fold, balance=balance)
+
+    out = {}
+    for phase, v_part, n_part in (("train", vua_tr, ns_tr),
+                                  ("val", vua_va, ns_va),
+                                  ("test", vua_te, ns_te)):
+        n_part = n_part[cols] if len(n_part) else v_part.iloc[:0]
+        comb = pd.concat((v_part, n_part), axis=0)
+        out[phase] = balance_gestures(comb, label_col="Domain") \
+            if len(comb) and comb["Domain"].nunique() else comb
+    return out, sorted(["NS", "VUA"])
+
+
+def gronau_gesture_inference_table(df: pd.DataFrame,
+                                   gestures: Sequence[str] = tuple(
+                                       NS_TOP6_GESTURES)) -> pd.DataFrame:
+    """NS Gronau_inference sampling (prepare_dataset.py:794-827): per
+    (PID, gesture) with >= 3 examples, sample exactly 3 (random_state=1)."""
+    df = clean_gesture_timestamps(df, int_labels=False)
+    df = filter_min_frames(df)
+    df = df[df["Gesture"].isin(list(gestures))]
+    parts = []
+    for pid in sorted(df["PID"].unique().tolist()):
+        for gesture in sorted(df["Gesture"].unique().tolist()):
+            cur = df[(df["PID"] == pid) & (df["Gesture"] == gesture)]
+            if len(cur) >= 3:
+                parts.append(cur.sample(n=3, replace=False, random_state=1))
+    return pd.concat(parts, axis=0) if parts else pd.DataFrame()
+
+
+# ---------------------------------------------------------------------------
+# Group balancing (-bg) over surgeon/patient meta (prepare_dataset.py:190-257)
+# ---------------------------------------------------------------------------
+
+def prepare_usc_meta(meta_df: pd.DataFrame) -> pd.DataFrame:
+    """loadMetaInfo USC path (prepare_dataset.py:240-257): caseload from
+    the surgery-year column, novice/expert banding at 100 cases, median
+    splits for prostate volume / age / BMI."""
+    meta = meta_df.copy()
+    meta["TaskID"] = meta["TaskID"].astype(int)
+    meta["Surgery Date"] = pd.to_datetime(meta["Surgery Date"])
+    meta["Surgery Year"] = meta["Surgery Date"].apply(
+        lambda d: int(d.year) if not pd.isnull(d) else d)
+    meta["Caseload"] = meta.apply(
+        lambda row: row[f"{row['Surgery Year']} Robotic Cases"]
+        if row["Surgery Year"] in (2016, 2017, 2018, 2019) else np.nan,
+        axis=1)
+    meta["Caseload"] = meta["Caseload"].fillna(-1).astype(int)
+    meta["Caseload Group"] = pd.cut(meta["Caseload"], [0, 100, float("inf")],
+                                    labels=["novice", "expert"])
+    meta["Prostate Volume Group"] = pd.qcut(meta["Prostate volume"],
+                                            [0, 0.5, 1], labels=["≤49", ">49"])
+    meta["Patient Age Group"] = pd.qcut(meta["Age"], [0, 0.5, 1],
+                                        labels=["≤66", ">66"])
+    meta["Patient BMI Group"] = pd.qcut(meta["BMI"], [0, 0.5, 1],
+                                        labels=["≤28", ">28"])
+    return meta
+
+
+def balance_groups(df: pd.DataFrame, meta_df: pd.DataFrame,
+                   group: str = "Caseload Group") -> pd.DataFrame:
+    """balanceGroups (prepare_dataset.py:190-213): merge surgeon/patient
+    meta by (CaseID, TaskID), then within every skill class downsample each
+    group value to the per-class minority count (random_state=0)."""
+    meta = meta_df.drop_duplicates(subset=["CaseID", "TaskID"], keep="first")
+    df = df.copy()
+    df["TaskID"] = df["Anatomy"].apply(
+        lambda side: 11 if side == "Posterior" else 12)
+    df.columns = df.columns.astype(str)
+    df.columns = df.columns.str.replace("File", "CaseID")
+    df = df.merge(meta, how="left", on=["CaseID", "TaskID"])
+    final = []
+    for label in df["maj"].unique().tolist():
+        cur = df[df["maj"] == label]
+        min_amount = int(cur[group].value_counts().min())
+        for group_val in cur[cur[group].notna()][group].unique():
+            final.append(cur[cur[group] == group_val].sample(
+                n=min_amount, replace=False, random_state=0))
+    return pd.concat(final, axis=0) if final else df.iloc[:0]
+
+
+def single_group(df: pd.DataFrame, meta_df: pd.DataFrame, group: str,
+                 group_val: str) -> pd.DataFrame:
+    """getSingleGroup (prepare_dataset.py:215-236): keep only rows whose
+    merged meta matches one group value (e.g. prostate volume > 60 ml)."""
+    meta = meta_df.drop_duplicates(subset=["CaseID", "TaskID"], keep="first")
+    df = df.copy()
+    df["TaskID"] = df["Anatomy"].apply(
+        lambda side: 11 if side == "Posterior" else 12)
+    df.columns = df.columns.astype(str)
+    df.columns = df.columns.str.replace("File", "CaseID")
+    df = df.merge(meta, how="left", on=["CaseID", "TaskID"])
+    return df[df[group] == group_val]
 
 
 def frame_cap(indices: np.ndarray, cap: int = 2000) -> np.ndarray:

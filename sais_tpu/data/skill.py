@@ -177,7 +177,10 @@ def build_ease_dataset(stitch_df: pd.DataFrame, domain: str, fold: int,
                        balance: bool = True,
                        explanations: Optional[Sequence[pd.DataFrame]] = None,
                        importance_loss: bool = False,
-                       exclude_files: Sequence[int] = (102, 372)
+                       exclude_files: Sequence[int] = (102, 372),
+                       meta: Optional[pd.DataFrame] = None,
+                       group: Optional[str] = None,
+                       group_val: Optional[str] = None
                        ) -> Tuple[Dict[str, pd.DataFrame], List[int]]:
     """stitch_df: VUA_EASE_Stitch_Paths.csv-schema table.
 
@@ -199,6 +202,16 @@ def build_ease_dataset(stitch_df: pd.DataFrame, domain: str, fold: int,
         sub = race_and_ease_filter(sub, race)
         sub = sub[sub["maj"].isin(maj_labels)]
         tr, va, te = ease_video_split(sub, fold)
+        if balance and meta is not None and group is not None:
+            # -bg group balancing / single-group restriction of the train
+            # split BEFORE importance + class balancing
+            # (obtain_train_val_split, prepare_dataset.py:281-291)
+            from sais_tpu.data.reference_datasets import (balance_groups,
+                                                          single_group)
+            if group_val is not None:
+                tr = single_group(tr, meta, group, group_val)
+            else:
+                tr = balance_groups(tr, meta, group)
         if importance_loss:
             if explanations is None:
                 raise ValueError("importance_loss requires explanation CSVs")
