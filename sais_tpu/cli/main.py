@@ -194,10 +194,13 @@ def cmd_train(args):
 
     cfg = _pipeline_config(args)
     segments = pd.read_csv(args.segments)
-    rgb_store = FeatureStore(rgb_store_path(args.path))
     use_flow = cfg.model.modalities != "RGB"
-    flow_store = (FeatureStore(flow_store_path(args.path))
-                  if use_flow else None)
+    if args.data_type == "raw":
+        rgb_store = flow_store = None  # raw mode reads JPEG frame dirs
+    else:
+        rgb_store = FeatureStore(rgb_store_path(args.path))
+        flow_store = (FeatureStore(flow_store_path(args.path))
+                      if use_flow else None)
     mesh = make_mesh(MeshConfig()) if args.data_parallel else None
 
     skill_mode = args.dataset == "vua-ease"
@@ -278,7 +281,8 @@ def cmd_train(args):
         import dataclasses as dc
         mcfg = dc.replace(cfg.model, nclasses=nclasses,
                           importance_head=(cfg.model.importance_head
-                                           or args.importance_loss))
+                                           or args.importance_loss),
+                          multi_task=(skill_mode and "+" in args.domain))
         params = full_model_init(jax.random.fold_in(jax.random.key(0), fold),
                                  mcfg)
         keys, protos = prototypes_init(
@@ -286,7 +290,31 @@ def cmd_train(args):
         tcfg = TrainConfig(lr=args.lr, nepochs=args.nepochs,
                            batch_size=args.batch_size,
                            importance_loss=args.importance_loss)
-        if args.task == "Prototypes":
+        raw_mode = args.data_type == "raw"
+        if raw_mode:
+            # raw-video training (prepare_dataset.py:1795-1990): frozen
+            # encoder over 16-frame JPEG snippets + cls_head
+            if not skill_mode:
+                sys.exit("--data-type raw requires --dataset vua-ease")
+            from sais_tpu.train.classification import RawClassificationTrainer
+            mcfg = dc.replace(mcfg, data_type="raw",
+                              rep_dim=512 if args.encoder == "R3D"
+                              else cfg.model.rep_dim)
+            params = full_model_init(
+                jax.random.fold_in(jax.random.key(0), fold), mcfg)
+            if args.encoder == "R3D":
+                from sais_tpu.models.r3d import r3d18_init
+                enc_params = r3d18_init(jax.random.key(5))
+                vit_cfg = None
+            else:
+                from sais_tpu.models.vit import vit_init
+                enc_params = vit_init(jax.random.key(5), cfg.vit)
+                vit_cfg = cfg.vit
+            trainer = RawClassificationTrainer(mcfg, tcfg, params,
+                                               enc_params,
+                                               encoder_type=args.encoder,
+                                               mesh=mesh, vit_cfg=vit_cfg)
+        elif args.task == "Prototypes":
             trainer = PrototypeTrainer(mcfg, tcfg, params, keys, protos,
                                        mesh=mesh)
         else:
@@ -297,6 +325,13 @@ def cmd_train(args):
         def loader(phase, shuffle):
             rows = ds.frames[phase]
             tta = phase in ("val", "test")  # 3-way eval TTA
+            if raw_mode:
+                from sais_tpu.data.raw import jpeg_frame_source, raw_batches
+                src = jpeg_frame_source(args.path, dataset="VUA")
+                return lambda: raw_batches(
+                    rows, src, ds.skill_classes, args.domain, phase,
+                    args.batch_size, shuffle, width=args.raw_width,
+                    encoder_type=args.encoder, tta=tta)
             if skill_mode:
                 from sais_tpu.data.skill import skill_batches
                 return lambda: skill_batches(
@@ -312,7 +347,7 @@ def cmd_train(args):
                    for ph in ("train", "val", "test")
                    if len(ds.frames.get(ph, []))}
         savepath = os.path.join(args.path, "params", f"Fold_{fold}")
-        if args.task == "Prototypes":
+        if args.task == "Prototypes" and not raw_mode:
             result = trainer.fit(loaders, nepochs=args.nepochs)
             save_training_result(savepath, result)
             print(f"saved fold {fold} (best epoch {result['best_epoch']}) "
@@ -326,7 +361,8 @@ def cmd_train(args):
             save_training_result(savepath, {"model": trainer.params,
                                             "prototypes": protos})
             print(f"saved fold {fold} to {savepath}")
-    rgb_store.close()
+    if rgb_store is not None:
+        rgb_store.close()
     if flow_store is not None:
         flow_store.close()
 
@@ -573,6 +609,14 @@ def build_parser():
         sp.add_argument("--explanations", nargs="*",
                         help="EASE explanation CSVs (prepare_dataset.py"
                              ":65-77) for --importance-loss")
+        sp.add_argument("-dt", "--data-type", default="reps",
+                        choices=["reps", "raw"],
+                        help="raw: train on 16-frame JPEG snippets with a "
+                             "frozen encoder (prepare_dataset.py:1795-1990)")
+        sp.add_argument("--encoder", default="R3D", choices=["R3D", "ViT"],
+                        help="raw-path encoder (run_experiments.py -m)")
+        sp.add_argument("--raw-width", type=int, default=112,
+                        help="raw snippet resize width (R3D default 112)")
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
         # pretraining flags (main_dino.py argparse equivalents)

@@ -329,6 +329,14 @@ def collate_skill(rows: pd.DataFrame, rgb_store, flow_store,
         "label_cols": np.asarray(cols, np.int32),
         "importance": imp, "ipad": rgb_mask.copy(),
     }
+    if "+" in domain:
+        # multi-task: rows of the FIRST domain project through `linear`,
+        # the second through `linearB` (prepare_model.py:406-416, where the
+        # first '+'-joined domain is hardcoded as 'NH_02')
+        first = domain.split("+")[0]
+        batch["primary_domain"] = np.asarray(
+            [row.get("Domain", domain) == first
+             for _, row in rows.iterrows()], bool)
     if flow_list:
         fmax = bucket_for(max(f.shape[0] for f in flow_list),
                           [2, 4, 8, *buckets])

@@ -106,11 +106,18 @@ class ClassificationTrainer:
                 self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
+    def _pre(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Hook for subclasses to transform host batches (e.g. frozen
+        encoding of raw snippets) before device transfer."""
+        return batch
+
     def run_epoch(self, batches: Iterable[Dict[str, np.ndarray]],
                   train: bool) -> Tuple[float, Dict[str, float]]:
         losses, sizes, all_logits, all_labels = [], [], [], []
         for batch in batches:
             n = len(batch["labels"])
+            if "tta" not in batch:
+                batch = self._pre(batch)
             if train:
                 self.params, self.opt_state, loss, logits = self._train_step(
                     self.params, self.opt_state, self._device_batch(batch))
@@ -121,7 +128,8 @@ class ClassificationTrainer:
                 # logit-mean (calcMetrics, prepare_miscellaneous.py:171-173)
                 tta_losses, tta_logits = [], []
                 for variant in batch["tta"]:
-                    v = {k: x for k, x in variant.items() if k != "tta"}
+                    v = self._pre({k: x for k, x in variant.items()
+                                   if k != "tta"})
                     l, lg = self._eval_step(self.params,
                                             self._device_batch(v))
                     tta_losses.append(float(l))
@@ -144,3 +152,115 @@ class ClassificationTrainer:
             if len(labels) else {}
         m["loss"] = sum(losses) / total
         return m["loss"], m
+
+
+class RawClassificationTrainer(ClassificationTrainer):
+    """ClassificationHead training on RAW video snippets with a frozen
+    encoder (run_experiments.py '-fe', prepare_model.py:112-124).
+
+    Reference semantics (prepare_model.py:232-244, 423-440):
+    - R3D: per-snippet encoder features + per-snippet-index positional
+      embedding (getR3Dreps), then cls_head(relu(.)) per snippet;
+    - ViT: per-frame features through the standard temporal path, then
+      cls_head over the CLS track (handled by classification_forward).
+
+    The encoder runs in its own jit program outside the gradient (the
+    reference freezes it); the trainable path sees feature batches, so
+    the optimizer state holds only head/temporal parameters.
+    """
+
+    def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
+                 model_params: Any, encoder_params: Any,
+                 encoder_type: str = "R3D",
+                 mesh: Optional["jax.sharding.Mesh"] = None,
+                 vit_cfg=None):
+        self.encoder_type = encoder_type
+        self._encoder_params = encoder_params
+        self._vit_cfg = vit_cfg
+
+        if encoder_type == "R3D":
+            from sais_tpu.models.r3d import r3d18_features
+
+            def encode(enc, raw):
+                b, s = raw.shape[:2]
+                flat = raw.reshape((b * s,) + raw.shape[2:])
+                return r3d18_features(enc, flat).reshape(b, s, -1)
+        else:  # ViT: per-frame reps (B, S, T, D)
+            from sais_tpu.models.vit import vit_features
+
+            def encode(enc, raw):
+                b, s, t = raw.shape[:3]
+                flat = raw.reshape((b * s * t,) + raw.shape[3:])
+                feats = vit_features(enc, flat, self._vit_cfg)
+                return feats.reshape(b, s, t, -1)
+
+        self._encode = jax.jit(encode)
+
+        # build the inner trainer over FEATURE batches, with an R3D-specific
+        # logits path (getR3Dreps pos-emb + direct cls_head)
+        if encoder_type == "R3D":
+            task = "ClassificationHead"
+            super().__init__(model_cfg, train_cfg, model_params, task=task,
+                             mesh=mesh)
+
+            mcfg = model_cfg
+
+            def logits_fn(params, batch):
+                feats = batch["rgb"]                       # (B, S, D)
+                s = feats.shape[1]
+                reps = feats + params["frame_pos"][:s].astype(
+                    feats.dtype)[None]
+                logits = jnp.dot(jax.nn.relu(reps),
+                                 params["cls_head"]["w"]) \
+                    + params["cls_head"]["b"]
+                return jnp.mean(logits, axis=1)            # pool snippets
+
+            def loss_fn(params, batch):
+                logits = logits_fn(params, batch)
+                labels = batch["labels"]
+                weight = batch.get("weight")
+                if mcfg.nclasses == 1:
+                    per = _bce_with_logits(logits.reshape(-1),
+                                           labels.astype(jnp.float32)
+                                           .reshape(-1))
+                else:
+                    logp = jax.nn.log_softmax(logits, axis=-1)
+                    per = -jnp.take_along_axis(logp, labels[:, None],
+                                               axis=1)[:, 0]
+                if weight is None:
+                    loss = jnp.mean(per)
+                else:
+                    loss = jnp.sum(per * weight) / jnp.maximum(
+                        jnp.sum(weight), 1.0)
+                return loss, logits
+
+            def train_step(params, opt_state, batch):
+                (loss, logits), grads = jax.value_and_grad(
+                    loss_fn, has_aux=True)(params, batch)
+                updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                           params)
+                return (optax.apply_updates(params, updates), opt_state,
+                        loss, logits)
+
+            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            self._eval_step = jax.jit(loss_fn)
+        else:
+            super().__init__(model_cfg, train_cfg, model_params,
+                             task="ClassificationHead", mesh=mesh)
+
+    def _pre(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        """Frozen-encoder pass: raw snippets -> feature batch."""
+        out = {k: v for k, v in batch.items()
+               if k not in ("raw", "raw_flow")}
+        feats = self._encode(self._encoder_params,
+                             jnp.asarray(batch["raw"]))
+        if "raw_flow" in batch:
+            # RGB-Flow raw path sums the two feature streams
+            # (prepare_model.py:436-440)
+            feats = feats + self._encode(self._encoder_params,
+                                         jnp.asarray(batch["raw_flow"]))
+        out["rgb"] = np.asarray(feats)
+        if self.encoder_type != "R3D":
+            f = out["rgb"].shape[2]
+            out["rgb_mask"] = np.zeros(out["rgb"].shape[:2] + (f + 1,), bool)
+        return out

@@ -68,7 +68,9 @@ class PrototypeTrainer:
         def loss_fn(trainable, batch, with_importance):
             out = prototypes_forward(trainable["model"], mcfg,
                                      batch.get("rgb"), batch.get("rgb_mask"),
-                                     batch.get("flow"), batch.get("flow_mask"))
+                                     batch.get("flow"), batch.get("flow_mask"),
+                                     primary_domain=batch.get(
+                                         "primary_domain"))
             weight = batch.get("weight")
             if weight is None:
                 loss = nce_loss(out.video_rep, trainable["prototypes"],
