@@ -97,12 +97,27 @@ def _pipeline_config(args):
     return cfg
 
 
+def _already_extracted(store_path: str, videoname: str) -> bool:
+    """Idempotent skip-existing (the reference skips videos whose flow dir
+    already exists, extract_representations.py:485)."""
+    from sais_tpu.io.feature_store import FeatureStore
+    if not os.path.exists(store_path):
+        return False
+    with FeatureStore(store_path) as fs:
+        return videoname in fs.videos()
+
+
 def cmd_extract(args):
     from sais_tpu.infer.pipeline import FeatureExtractor
     from sais_tpu.io.feature_store import FeatureStore, rgb_store_path
     cfg = _pipeline_config(args)
+    if not args.force and _already_extracted(rgb_store_path(args.path),
+                                             args.videoname):
+        print(f"{args.videoname}: reps exist, skipping (--force to redo)")
+        return
     vit_params = _load_vit(args, cfg)
-    fx = FeatureExtractor(vit_params, cfg, batch_size=args.batch_size)
+    fx = FeatureExtractor(vit_params, cfg, batch_size=args.batch_size,
+                          exact_preprocess=args.exact_preprocess)
     t0 = time.time()
     reps = fx.extract_video(
         os.path.join(args.path, "videos", args.videoname + ".mp4"))
@@ -120,6 +135,10 @@ def cmd_flow(args):
     from sais_tpu.io.feature_store import FeatureStore, flow_store_path
     from sais_tpu.models.raft import raft_init, raft_params_from_torch
     cfg = _pipeline_config(args)
+    if not args.force and _already_extracted(flow_store_path(args.path),
+                                             args.videoname):
+        print(f"{args.videoname}: flow reps exist, skipping (--force to redo)")
+        return
     if args.raft_weights:
         from sais_tpu.port.torch_port import load_torch_pickle
         sd = load_torch_pickle(args.raft_weights)
@@ -484,7 +503,14 @@ def cmd_eval(args):
     from sais_tpu.eval.probes import knn_classifier, train_linear_probe
     from sais_tpu.io.feature_store import FeatureStore, rgb_store_path
     labels_df = pd.read_csv(args.segments)  # Video,Label per-frame-range
-    feats, labels = [], []
+    # video-level fold split: temporally adjacent frames of one video must
+    # not straddle train/test (an index-parity split leaks near-duplicate
+    # frames and makes k-NN numbers meaningless)
+    from sais_tpu.data.datasets import fold_video_split
+    train_v, val_v, test_v = fold_video_split(
+        labels_df["Video"].unique().tolist(), fold=0)
+    train_v = set(train_v) | set(val_v)
+    feats, labels, is_train = [], [], []
     with FeatureStore(rgb_store_path(args.path)) as fs:
         for _, row in labels_df.iterrows():
             reps = fs.read_video(row["Video"])
@@ -492,10 +518,14 @@ def cmd_eval(args):
                 row.get("EndFrame", len(reps)))
             feats.append(reps[s:e])
             labels.append(np.full(e - s, row["Label"]))
+            is_train.append(np.full(e - s, row["Video"] in train_v))
     feats = np.concatenate(feats)
     names = sorted(set(np.concatenate(labels).tolist()))
     y = np.asarray([names.index(v) for v in np.concatenate(labels)])
-    tr = np.arange(len(y)) % 2 == 0
+    tr = np.concatenate(is_train)
+    if tr.all() or not tr.any():
+        sys.exit("eval needs labels from at least two videos so train and "
+                 "test can hold disjoint videos")
     top1, top5 = knn_classifier(feats[tr], y[tr], feats[~tr], y[~tr], k=20)
     lin = train_linear_probe(feats[tr], y[tr], feats[~tr], y[~tr],
                              num_classes=len(names), epochs=10)
@@ -617,6 +647,13 @@ def build_parser():
                         help="raw-path encoder (run_experiments.py -m)")
         sp.add_argument("--raw-width", type=int, default=112,
                         help="raw snippet resize width (R3D default 112)")
+        sp.add_argument("--force", action="store_true",
+                        help="re-extract even when reps already exist "
+                             "(default skips, extract_representations.py:485)")
+        sp.add_argument("--exact-preprocess", action="store_true",
+                        help="host PIL preprocessing, bit-exact with the "
+                             "reference transform stack (parity runs; "
+                             "slower than the on-device path)")
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
         # pretraining flags (main_dino.py argparse equivalents)

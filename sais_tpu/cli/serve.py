@@ -35,12 +35,26 @@ class DecodeService:
         self.decoder = GestureDecoder(folds, cfg, device_batch=512)
 
     def warmup(self) -> None:
-        """Compile the hot programs against dummy data."""
+        """Compile ALL hot programs against dummy data — extractor AND the
+        decode path (temporal + prototypes per TTA bucket), so the first
+        real request pays pure compute, not XLA compiles."""
         import numpy as np
         frames = np.zeros((self.extractor.batch_size,
                            self.cfg.preprocess.resize,
                            self.cfg.preprocess.resize, 3), np.uint8)
         self.extractor._fn_pre(self.extractor._params, frames)
+        self.extractor._fn(self.extractor._params, frames)
+        # decode path: one window batch per TTA offset (F = 15/12/9 under
+        # the default geometry) at the decoder's device_batch shape
+        d = self.cfg.model.rep_dim
+        reps = np.zeros((self.cfg.window.duration_frames
+                         + self.decoder.device_batch
+                         * self.cfg.window.hop_frames, d), np.float32)
+        use_flow = "Flow" in self.cfg.model.modalities
+        flow = (np.zeros((max(len(reps)
+                              // self.cfg.window.flow_jump_factor, 1), d),
+                         np.float32) if use_flow else None)
+        self.decoder.window_probs("warmup", reps, flow)
 
     def decode_video(self, video: str, use_flow: bool = False) -> dict:
         t0 = time.time()
@@ -63,6 +77,14 @@ class DecodeService:
                 "seconds": round(time.time() - t0, 2)}
 
 
+def _percentile(values, q: float) -> float:
+    if not values:
+        return 0.0
+    s = sorted(values)
+    i = min(int(q * (len(s) - 1) + 0.5), len(s) - 1)
+    return s[i]
+
+
 def serve(service: DecodeService, socket_path: str,
           log=print) -> None:
     if os.path.exists(socket_path):
@@ -72,6 +94,7 @@ def serve(service: DecodeService, socket_path: str,
     srv.listen(4)
     log(f"sais serve: listening on {socket_path}")
     running = True
+    latencies: list = []  # per decode-request wall seconds
     while running:
         conn, _ = srv.accept()
         with conn, conn.makefile("rw") as f:
@@ -86,9 +109,15 @@ def serve(service: DecodeService, socket_path: str,
                         running = False
                     elif req.get("cmd") == "ping":
                         resp = {"ok": True, "pong": True}
+                    elif req.get("cmd") == "stats":
+                        resp = {"ok": True, "requests": len(latencies),
+                                "p50_s": round(_percentile(latencies, 0.5), 3),
+                                "p95_s": round(_percentile(latencies, 0.95),
+                                               3)}
                     else:
                         resp = service.decode_video(
                             req["video"], bool(req.get("flow", False)))
+                        latencies.append(resp["seconds"])
                 except Exception as e:  # report, keep serving
                     resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
                 f.write(json.dumps(resp) + "\n")

@@ -39,14 +39,21 @@ class FeatureExtractor:
     (extract_representations.py:351-378) redesigned for TPU throughput."""
 
     def __init__(self, vit_params, cfg: PipelineConfig, batch_size: int = 256,
-                 use_native_decode: bool = True):
+                 use_native_decode: bool = True,
+                 exact_preprocess: bool = False):
+        """exact_preprocess: preprocess on the host through PIL, bit-exact
+        with the reference's torchvision transform stack, then run the ViT
+        on device over the normalized floats.  The device path (antialiased
+        jax.image resize) matches PIL only to ~1e-2/255 per pixel; parity
+        runs against reference-computed features need this mode."""
         from sais_tpu.ops.preprocess import normalize_batch
         self.cfg = cfg
         self.batch_size = batch_size
-        self.use_native_decode = use_native_decode
+        self.use_native_decode = use_native_decode and not exact_preprocess
+        self.exact_preprocess = exact_preprocess
         compute = jnp.bfloat16 if cfg.compute_dtype == "bfloat16" else jnp.float32
 
-        def _fn(params, frames_u8):
+        def _fn_device(params, frames_u8):
             x = preprocess_batch(frames_u8, cfg.preprocess, dtype=compute)
             return vit_features(params, x, cfg.vit, compute_dtype=compute,
                                 allow_fused=True)
@@ -56,8 +63,24 @@ class FeatureExtractor:
             return vit_features(params, x, cfg.vit, compute_dtype=compute,
                                 allow_fused=True)
 
-        self._fn = jax.jit(_fn)
+        def _fn_float(params, frames_f32):
+            return vit_features(params, frames_f32.astype(compute), cfg.vit,
+                                compute_dtype=compute, allow_fused=True)
+
+        self._fn_device = jax.jit(_fn_device)
         self._fn_pre = jax.jit(_fn_pre)
+        self._fn_float = jax.jit(_fn_float)
+        if exact_preprocess:
+            from sais_tpu.ops.preprocess import preprocess_reference_host
+
+            def _fn(params, frames_u8):
+                host = preprocess_reference_host(np.asarray(frames_u8),
+                                                 cfg.preprocess)
+                return self._fn_float(params, jnp.asarray(host))
+
+            self._fn = _fn
+        else:
+            self._fn = self._fn_device
         self._params = vit_params
 
     def extract_array(self, frames_u8: np.ndarray) -> np.ndarray:

@@ -298,12 +298,19 @@ def test_full_pipeline_golden_csv():
                                                   max_positions=16)),
         compute_dtype="float32")
 
-    host = preprocess_reference_host(frames, cfg.preprocess)
-    ours_reps, _ = vit_forward(vit_params_from_torch(vit.state_dict()),
-                               jnp.asarray(host), cfg.vit)
-    ours_reps = np.asarray(ours_reps)
+    # the production parity path: FeatureExtractor in exact_preprocess mode
+    # (host PIL preprocessing, bit-identical with the torchvision stack)
+    from sais_tpu.infer.pipeline import FeatureExtractor
+    fx = FeatureExtractor(vit_params_from_torch(vit.state_dict()), cfg,
+                          batch_size=16, exact_preprocess=True)
+    ours_reps = fx.extract_array(frames)
     # stage gate: feature parity (identical PIL preprocessing both sides)
     np.testing.assert_allclose(ours_reps, reps_np, rtol=1e-3, atol=1e-4)
+    # sanity: direct forward over host-preprocessed frames agrees
+    host = preprocess_reference_host(frames, cfg.preprocess)
+    direct, _ = vit_forward(vit_params_from_torch(vit.state_dict()),
+                            jnp.asarray(host), cfg.vit)
+    np.testing.assert_allclose(ours_reps, np.asarray(direct), atol=1e-5)
 
     params = full_model_params_from_torch(sd, num_layers=2)
     dec = GestureDecoder([(params, jnp.asarray(pros.numpy()))], cfg,

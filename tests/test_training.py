@@ -134,3 +134,39 @@ def test_importance_loss_matches_reference_quirk():
                                      jnp.asarray(ipad.numpy()),
                                      jnp.asarray(labels.numpy()))
     np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+
+
+def test_masked_importance_loss_is_correct_bce():
+    """The 'corrected' variant (train/losses.py masked_importance_loss)
+    must equal a plain per-frame BCE masked to valid frames of low-skill
+    rows (torch oracle) — what calcImportanceLoss *intended* before its
+    broadcast quirk."""
+    from sais_tpu.train.losses import masked_importance_loss
+
+    gen = torch.Generator().manual_seed(1)
+    b, s, f = 5, 1, 7
+    scores = torch.randn(b, s, f + 1, 1, generator=gen)
+    targets = (torch.rand(b, s, f, generator=gen) > 0.5).float()
+    ipad = torch.zeros(b, s, f + 1, dtype=torch.bool)
+    ipad[1, :, 5:] = True
+    ipad[3, :, 2:] = True
+    labels = torch.tensor([0, 0, 1, 0, 2])
+
+    crit = torch.nn.BCEWithLogitsLoss(reduction="none")
+    per = crit(scores[:, :, 1:, 0], targets)          # (B, S, F)
+    valid = (~ipad)[:, :, :-1].float()
+    low = (labels == 0).float()[:, None, None]
+    w = valid * low
+    ref = (per * w).sum() / w.sum()
+
+    ours = masked_importance_loss(jnp.asarray(scores.numpy()),
+                                  jnp.asarray(targets.numpy()),
+                                  jnp.asarray(ipad.numpy()),
+                                  jnp.asarray(labels.numpy()))
+    np.testing.assert_allclose(float(ours), float(ref), rtol=1e-5)
+    # and it differs from the quirk on masked/padded inputs
+    quirk = importance_loss_reference(jnp.asarray(scores.numpy()),
+                                      jnp.asarray(targets.numpy()),
+                                      jnp.asarray(ipad.numpy()),
+                                      jnp.asarray(labels.numpy()))
+    assert abs(float(ours) - float(quirk)) > 1e-6
