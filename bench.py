@@ -3,18 +3,32 @@
 This is the reference pipeline's dominant cost (extract_representations.py
 :351-378, batch 1024, pinned to CPU) and the headline metric in
 BASELINE.json (frames/sec/chip).  Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": "frames/s/chip", "vs_baseline": N,
+   "mfu": ..., "tflops": ..., "e2e_video_min_per_s": ...}
 
 vs_baseline compares against the measured torch-CPU floor recorded in
 bench_baseline.json (the reference publishes no numbers of its own).
+MFU counts USEFUL FLOPs only (L=197 tokens, 2 FLOPs/MAC: 12 blocks of
+12*L*D^2 + 2*L^2*D matmul MACs plus the patch-embed projection) against
+the chip's peak bf16 throughput (v5e: 197 TFLOP/s; override with
+SAIS_TPU_PEAK_TFLOPS).  e2e_video_min_per_s decodes a synthetic 30 fps
+clip through the full pipeline (decode -> ViT -> windows -> temporal ->
+CSV) and reports video-minutes processed per wall second (RGB stream).
 """
 
 import json
 import os
+import tempfile
 import time
 
 
-def main():
+def vit_s16_flops_per_frame(l: int = 197, d: int = 384,
+                            depth: int = 12) -> float:
+    macs = depth * (12 * l * d * d + 2 * l * l * d) + 196 * 768 * d
+    return 2.0 * macs
+
+
+def bench_features():
     import jax
     import jax.numpy as jnp
 
@@ -45,18 +59,75 @@ def main():
         iters += 1
     jax.block_until_ready(inflight)
     dt = time.time() - t0
-    fps = batch * iters / dt
+    return batch * iters / dt
+
+
+def bench_e2e(seconds_of_video: int = 20):
+    """Full pipeline on a synthetic clip: decode -> features -> windows ->
+    temporal+prototypes -> CSV.  Returns video-minutes per wall second."""
+    import cv2
+    import numpy as np
+    import jax
+
+    from sais_tpu.config import PipelineConfig
+    from sais_tpu.infer.pipeline import FeatureExtractor, GestureDecoder
+    from sais_tpu.models.full_model import full_model_init, prototypes_init
+    from sais_tpu.models.vit import vit_init
+
+    cfg = PipelineConfig()
+    fps = 30
+    nframes = seconds_of_video * fps
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "clip.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                            (320, 240))
+        rng = np.random.default_rng(0)
+        for _ in range(nframes):
+            w.write(rng.integers(0, 255, (240, 320, 3), dtype=np.uint8))
+        w.release()
+
+        fx = FeatureExtractor(vit_init(jax.random.key(0), cfg.vit), cfg,
+                              batch_size=256)
+        params = full_model_init(jax.random.key(1), cfg.model)
+        import dataclasses
+        rgb_cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(cfg.model, modalities="RGB"))
+        dec = GestureDecoder(
+            [(params, prototypes_init(jax.random.key(2), 2)[1])], rgb_cfg)
+        # warm both programs
+        reps = fx.extract_video(path)
+        dec.decode("clip", reps, None)
+        t0 = time.time()
+        reps = fx.extract_video(path)
+        dec.decode("clip", reps, None)
+        dt = time.time() - t0
+    return (seconds_of_video / 60.0) / dt
+
+
+def main():
+    fps = bench_features()
+    flops = vit_s16_flops_per_frame()
+    peak = float(os.environ.get("SAIS_TPU_PEAK_TFLOPS", "197"))
+    tflops = fps * flops / 1e12
+
+    out = {
+        "metric": "dino_vit_s16_feature_extraction",
+        "value": round(fps, 1),
+        "unit": "frames/s/chip",
+        "tflops": round(tflops, 1),
+        "mfu": round(tflops / peak, 3),
+    }
+    if os.environ.get("SAIS_BENCH_E2E", "1") != "0":
+        try:
+            out["e2e_video_min_per_s"] = round(bench_e2e(), 3)
+        except Exception as e:  # e2e is best-effort; keep the headline
+            out["e2e_error"] = f"{type(e).__name__}: {e}"
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_baseline.json")) as f:
         base = json.load(f)["baseline_frames_per_sec"]
-
-    print(json.dumps({
-        "metric": "dino_vit_s16_feature_extraction",
-        "value": round(fps, 1),
-        "unit": "frames/s/chip",
-        "vs_baseline": round(fps / base, 1),
-    }))
+    out["vs_baseline"] = round(fps / base, 1)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -149,17 +149,34 @@ def prepare_tokens(params: Params, images: jnp.ndarray,
     return x + pe.astype(x.dtype)
 
 
+def _fused_geometry(b: int, l: int) -> Tuple[int, int]:
+    """(Lp, imgs_per_program) for the fused path.
+
+    Rows are the sublane dimension: padding to a multiple of 16 (bf16
+    sublane tile) is enough — Lp=224 for L=197 wastes 12% of matmul rows
+    vs 30% at the naive lane-multiple 256.  Batching 4 images per program
+    feeds the MXU taller qkv/proj/MLP operands.  Measured on v5e
+    (batch 1024): Lp 256/imgs 1 -> 11.2k f/s; Lp 224/imgs 4 -> 13.4k f/s.
+    """
+    lp = max(l + ((-l) % 16), 32)
+    for imgs in (4, 2, 1):
+        if b % imgs == 0 and imgs * lp <= 1024:
+            return lp, imgs
+    return lp, 1
+
+
 def _vit_forward_fused(params: Params, images: jnp.ndarray,
                        cfg: ViTConfig) -> jnp.ndarray:
     """bf16 TPU fast path: every transformer block runs as one Pallas
-    program per image (kernels/fused_mha.fused_vit_block) — only the
-    (B, L, D) activations touch HBM between layers.  ~2x the XLA path on
-    v5e; within bf16 noise of it (~0.08 max on CLS features)."""
+    program over a small group of images (kernels/fused_mha.
+    fused_vit_block) — only the (B, L, D) activations touch HBM between
+    layers.  >2x the XLA path on v5e; within bf16 noise of it (~0.08 max
+    on CLS features)."""
     from sais_tpu.kernels.fused_mha import fused_vit_block
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     x = prepare_tokens(params, images.astype(jnp.bfloat16), cfg)
     b, l, d = x.shape
-    lp = l + ((-l) % 128)
+    lp, imgs = _fused_geometry(b, l)
     if lp != l:
         x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
     for p in params["blocks"]:
@@ -168,7 +185,7 @@ def _vit_forward_fused(params: Params, images: jnp.ndarray,
             p["attn"]["proj_b"], p["mlp"]["fc1_w"], p["mlp"]["fc1_b"],
             p["mlp"]["fc2_w"], p["mlp"]["fc2_b"], p["ln1_s"], p["ln1_b"],
             p["ln2_s"], p["ln2_b"], num_heads=cfg.num_heads, valid_len=l,
-            eps=cfg.layernorm_eps)
+            eps=cfg.layernorm_eps, imgs=imgs)
     x = _layer_norm(x[:, :l], params["ln_s"], params["ln_b"],
                     cfg.layernorm_eps)
     return x[:, 0].astype(jnp.float32)
@@ -176,20 +193,27 @@ def _vit_forward_fused(params: Params, images: jnp.ndarray,
 
 def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
                                  cfg: ViTConfig,
-                                 interpret: bool = False) -> jnp.ndarray:
-    """Differentiable fused path: Pallas forward per block with an exact
-    XLA backward (kernels/fused_mha.make_trainable_fused_block) — for
-    training loops (DINO) that want the kernel's forward throughput."""
-    from sais_tpu.kernels.fused_mha import make_trainable_fused_block
+                                 interpret: bool = False,
+                                 backward: str = "pallas") -> jnp.ndarray:
+    """Differentiable fused path for training loops (DINO).
+
+    backward='pallas' (default): forward AND backward run as VMEM-resident
+    Pallas kernels (make_pallas_trainable_fused_block) — the backward
+    streams activations once and accumulates f32 weight grads on chip.
+    backward='xla': Pallas forward with an XLA-recompute backward (the
+    round-1 fallback, kept for comparison)."""
+    from sais_tpu.kernels.fused_mha import (
+        make_pallas_trainable_fused_block, make_trainable_fused_block)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     x = prepare_tokens(params, images.astype(jnp.bfloat16), cfg)
     b, l, d = x.shape
-    lp = l + ((-l) % 128)
+    lp = max(l + ((-l) % 16), 32)
     if lp != l:
         x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
-    block_op = make_trainable_fused_block(cfg.num_heads, l,
-                                          cfg.layernorm_eps,
-                                          interpret=interpret)
+    maker = (make_pallas_trainable_fused_block if backward == "pallas"
+             else make_trainable_fused_block)
+    block_op = maker(cfg.num_heads, l, cfg.layernorm_eps,
+                     interpret=interpret)
     for p in params["blocks"]:
         x = block_op(x, p["attn"]["qkv_w"], p["attn"]["qkv_b"],
                      p["attn"]["proj_w"], p["attn"]["proj_b"],

@@ -165,11 +165,15 @@ class DINOTrainer:
         gradient/center reductions replace the reference's DDP allreduce +
         DINOLoss dist.all_reduce (main_dino.py:630).
 
-        fused_blocks: Pallas forward + recompute-in-backward (custom VJP).
-        Saves per-block activations (remat-like memory profile) at the cost
-        of a full XLA recompute in the backward; measured ~10% slower than
-        the pure XLA step at ViT-S/batch-16 — use when activation memory
-        binds (larger models/batches), not for speed."""
+        fused_blocks: fully-fused Pallas forward AND backward kernels
+        (custom VJP, kernels/fused_mha.make_pallas_trainable_fused_block).
+        Only (x, x1) per block are saved — a remat-like memory profile with
+        the recompute running inside the VMEM-resident backward kernels.
+        Measured ~7% slower than the pure XLA step at ViT-S/batch-16
+        (451 vs 487 f/s on v5e): XLA's fused backward is near-roofline on
+        this matmul-dominated shape, so choose fused_blocks when activation
+        memory binds (large multi-crop batches / bigger ViTs), not for
+        raw step speed."""
         self.cfg = cfg
         self.vit_cfg = vit_cfg
         self.mesh = mesh
