@@ -150,13 +150,28 @@ def cmd_flow(args):
             sys.exit("need --raft-weights or --random-init")
         raft_params = raft_init(jax.random.key(3), cfg.raft)
     vit_params = _load_vit(args, cfg)
+    video_path = os.path.join(args.path, "videos", args.videoname + ".mp4")
+    if args.flow_jump == "auto":
+        # per-video jump = fps // 2, the reference's per-video fps tables
+        # (extract_representations.py:437-463, 484-494) read from the
+        # container instead of a hardcoded dict
+        from sais_tpu.io.video import VideoReader
+        with VideoReader(video_path) as r:
+            jump = max(int(r.fps // 2), 1)
+        import dataclasses as dc
+        cfg = dc.replace(cfg, window=dc.replace(cfg.window,
+                                                flow_jump_factor=jump))
+        print(f"flow jump {jump} (fps {2 * jump})")
+    elif args.flow_jump:
+        import dataclasses as dc
+        cfg = dc.replace(cfg, window=dc.replace(
+            cfg.window, flow_jump_factor=int(args.flow_jump)))
     fx = FlowExtractor(raft_params, vit_params, cfg,
                        pair_batch=args.flow_batch)
     t0 = time.time()
     # streaming: decode/RAFT/ViT pipelined, O(batch) host residency
     # (a multi-hour case would not fit in RAM as a frame stack)
-    reps = fx.extract_video(os.path.join(args.path, "videos",
-                                         args.videoname + ".mp4"))
+    reps = fx.extract_video(video_path)
     dt = time.time() - t0
     with FeatureStore(flow_store_path(args.path), "a") as fs:
         fs.write_video(args.videoname, reps)
@@ -595,6 +610,10 @@ def build_parser():
         sp.add_argument("--raft-weights")
         sp.add_argument("--flow-batch", type=int, default=None,
                         help="RAFT pair batch (default: auto by resolution)")
+        sp.add_argument("--flow-jump", default=None,
+                        help="flow pair stride: frames, or 'auto' = "
+                             "fps // 2 (per-video fps tables, "
+                             "extract_representations.py:437-463)")
         sp.add_argument("--params-dir")
         sp.add_argument("--random-init", action="store_true")
         sp.add_argument("--nfolds", type=int, default=1)

@@ -258,6 +258,19 @@ def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
     return x[:, 0].astype(jnp.float32), last_attn
 
 
+def vit_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
+               compute_dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
+    """Full normalized token sequence (B, 1+N, D) — the quantity
+    `get_intermediate_layers(x, n=1)[0]` exposes
+    (vision_transformer.py:225-233), consumed by the copy-detection /
+    retrieval / video-segmentation evals."""
+    x = prepare_tokens(params, images.astype(compute_dtype), cfg)
+    for p in params["blocks"]:
+        x, _ = block(x, p, cfg)
+    return _layer_norm(x, params["ln_s"], params["ln_b"],
+                       cfg.layernorm_eps).astype(jnp.float32)
+
+
 def vit_features(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                  compute_dtype: jnp.dtype = jnp.float32,
                  allow_fused: bool = False) -> jnp.ndarray:
