@@ -216,6 +216,11 @@ class RAFTConfig:
     corr_radius: int = 4
     iters: int = 32              # RAFT 'things' eval default
     small: bool = False
+    # dtype of the stored all-pairs correlation pyramid.  'bfloat16' halves
+    # the dominant HBM stream of the update loop (the level-0 volume is
+    # read every iteration) at ~1e-2 relative flow error; 'float32' is the
+    # checkpoint-parity default.
+    corr_dtype: str = "float32"
 
 
 @dataclasses.dataclass(frozen=True)

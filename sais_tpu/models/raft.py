@@ -191,13 +191,15 @@ def _lookup_level_matmul(corr: jnp.ndarray, coords: jnp.ndarray,
     b, n, hl, wl = corr.shape
     my = _interp_matrix(coords[..., 1], hl, radius)          # (B, N, k, Hl)
     mx = _interp_matrix(coords[..., 0], wl, radius)          # (B, N, k, Wl)
-    corr32 = corr.astype(jnp.float32)
-    sy = jnp.einsum("bnkh,bnhw->bnkw", my, corr32,
+    # the banded matmuls contract in the CORR VOLUME's dtype (bf16 halves
+    # the per-iteration HBM read of the level-0 volume, the scan's largest
+    # stream) with f32 accumulation
+    sy = jnp.einsum("bnkh,bnhw->bnkw", my.astype(corr.dtype), corr,
                     preferred_element_type=jnp.float32)      # (B, N, k, Wl)
-    out = jnp.einsum("bnaw,bncw->bnac", mx, sy,
+    out = jnp.einsum("bnaw,bncw->bnac", mx.astype(sy.dtype), sy,
                      preferred_element_type=jnp.float32)     # (B, N, a, c=b)
     k = 2 * radius + 1
-    return out.reshape(b, n, k * k)
+    return out.astype(jnp.float32).reshape(b, n, k * k)
 
 
 def corr_lookup(pyramid, coords: jnp.ndarray, radius: int,
@@ -226,11 +228,18 @@ def motion_encoder(flow, corr, p):
 
 
 def sep_conv_gru(h, x, p):
-    """Two sequential GRUs with (1,5) then (5,1) separable convolutions."""
+    """Two sequential GRUs with (1,5) then (5,1) separable convolutions.
+
+    The z and r gates share the same [h, x] input, so their convolutions
+    run as ONE conv with concatenated output channels (the weight concat
+    folds at trace time) — 4 instead of 6 convs per GRU pass."""
     for sfx in ("1", "2"):
         hx = jnp.concatenate([h, x], -1)
-        z = jax.nn.sigmoid(_conv(hx, p["convz" + sfx]))
-        r = jax.nn.sigmoid(_conv(hx, p["convr" + sfx]))
+        pz, pr = p["convz" + sfx], p["convr" + sfx]
+        zr = jax.nn.sigmoid(_conv(hx, {
+            "w": jnp.concatenate([pz["w"], pr["w"]], -1),
+            "b": jnp.concatenate([pz["b"], pr["b"]], -1)}))
+        z, r = jnp.split(zr, 2, axis=-1)
         q = jnp.tanh(_conv(jnp.concatenate([r * h, x], -1), p["convq" + sfx]))
         h = (1 - z) * h + z * q
     return h
@@ -305,6 +314,8 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     fmap = fmap.astype(jnp.float32)
     f1, f2 = jnp.split(fmap, 2, axis=0)
     pyramid = corr_pyramid(f1, f2, cfg.corr_levels)
+    if cfg.corr_dtype == "bfloat16":
+        pyramid = [c.astype(jnp.bfloat16) for c in pyramid]
 
     cnet = basic_encoder(x1, params["cnet"], "batch")
     net, inp = jnp.split(cnet, 2, axis=-1)
