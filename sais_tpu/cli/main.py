@@ -235,7 +235,16 @@ def cmd_train(args):
         rgb_store = FeatureStore(rgb_store_path(args.path))
         flow_store = (FeatureStore(flow_store_path(args.path))
                       if use_flow else None)
-    mesh = make_mesh(MeshConfig()) if args.data_parallel else None
+    if args.init_distributed:
+        # multi-process launch (one process per host/slice): the NCCL
+        # process-group equivalent, auto-detected on TPU pods
+        from sais_tpu.parallel.distributed import initialize
+        initialize()
+    if args.num_slices > 1:
+        from sais_tpu.parallel.distributed import multislice_mesh
+        mesh = multislice_mesh(args.num_slices)
+    else:
+        mesh = make_mesh(MeshConfig()) if args.data_parallel else None
 
     skill_mode = args.dataset == "vua-ease"
     explanations = None
@@ -675,6 +684,13 @@ def build_parser():
                              "slower than the on-device path)")
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
+        sp.add_argument("--num-slices", type=int, default=1,
+                        help="train over N TPU slices with a "
+                             "('dcn','data','model') mesh (DCN crosses "
+                             "slices; gradient reductions run ICI-first)")
+        sp.add_argument("--init-distributed", action="store_true",
+                        help="call jax.distributed.initialize (multi-host "
+                             "launch; auto-detects on TPU pods)")
         # pretraining flags (main_dino.py argparse equivalents)
         sp.add_argument("--out-dim", type=int, default=65536)
         sp.add_argument("--local-crops", type=int, default=8)

@@ -1,0 +1,116 @@
+"""Multi-process / multi-slice launch plumbing (DCN scaling).
+
+The reference's only distribution machinery is torch DDP over NCCL inside
+one SLURM job (dino-main/utils.py:468-500, run_with_submitit.py — vendored,
+unused).  Here scaling beyond one TPU slice is first-class:
+
+- `initialize()` wraps jax.distributed.initialize (TPU pods auto-discover
+  the coordinator; explicit args cover GKE/GCE launches) — the NCCL
+  process-group equivalent;
+- `multislice_mesh()` builds a ("dcn", "data", "model") Mesh whose
+  outermost axis crosses slices, so jit-inserted gradient reductions run
+  hierarchically: reduce-scatter/all-gather over ICI inside each slice,
+  one small all-reduce over DCN between slices (the 'How to Scale Your
+  Model' recipe — pick a mesh, annotate shardings, let XLA place the
+  collectives);
+- batch shardings split over ("dcn", "data") jointly, parameters
+  replicate, so the same jit train step drives 1 chip, 1 slice, or many
+  slices unchanged.
+
+Testable without hardware: pass an explicit device list (e.g. 8 virtual
+CPU devices as 2 fake slices) — only the device ORDER differs from the
+single-slice mesh, which is exactly what DCN topology is.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DCN_AXIS = "dcn"
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """jax.distributed.initialize wrapper.
+
+    On TPU pods all three arguments auto-detect from the metadata server;
+    on other launchers pass them explicitly or via JAX_COORDINATOR_ADDRESS
+    / JAX_NUM_PROCESSES / JAX_PROCESS_ID.
+    """
+    kwargs = {}
+    coordinator = coordinator_address or os.environ.get(
+        "JAX_COORDINATOR_ADDRESS")
+    if coordinator:
+        kwargs["coordinator_address"] = coordinator
+    nproc = num_processes if num_processes is not None else \
+        os.environ.get("JAX_NUM_PROCESSES")
+    if nproc is not None:
+        kwargs["num_processes"] = int(nproc)
+    pid = process_id if process_id is not None else \
+        os.environ.get("JAX_PROCESS_ID")
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+
+
+def multislice_mesh(num_slices: int, model_parallel: int = 1,
+                    devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
+    """("dcn", "data", "model") mesh with slices on the outermost axis.
+
+    With real multi-slice hardware and devices=None this delegates to
+    mesh_utils.create_hybrid_device_mesh so the per-slice blocks follow the
+    physical ICI topology; with an explicit device list (tests, CPU) the
+    list is split into `num_slices` equal blocks in order.
+    """
+    if devices is None:
+        try:
+            from jax.experimental import mesh_utils
+            per_slice = len(jax.devices()) // num_slices
+            arr = mesh_utils.create_hybrid_device_mesh(
+                (per_slice // model_parallel, model_parallel),
+                dcn_mesh_shape=(num_slices, 1),
+            ).reshape(num_slices, per_slice // model_parallel, model_parallel)
+            return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+        except Exception:
+            devices = jax.devices()
+    devices = list(devices)
+    n = len(devices)
+    if n % num_slices:
+        raise ValueError(f"{n} devices not divisible into {num_slices} slices")
+    per_slice = n // num_slices
+    if per_slice % model_parallel:
+        raise ValueError(f"slice size {per_slice} not divisible by "
+                         f"model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(num_slices,
+                                      per_slice // model_parallel,
+                                      model_parallel)
+    return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def is_multislice(mesh: Mesh) -> bool:
+    return DCN_AXIS in mesh.axis_names
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading batch axis split jointly over (dcn, data): each slice holds
+    a contiguous shard, gradients hierarchically reduce (ICI first)."""
+    return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_parallel_size(mesh: Mesh) -> int:
+    n = mesh.shape[DATA_AXIS]
+    if is_multislice(mesh):
+        n *= mesh.shape[DCN_AXIS]
+    return n

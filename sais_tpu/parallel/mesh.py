@@ -36,8 +36,22 @@ def make_mesh(cfg: MeshConfig = MeshConfig(),
 
 
 def data_sharding(mesh: Mesh) -> NamedSharding:
-    """Shard the leading (batch) axis across the data axis."""
+    """Shard the leading (batch) axis across the data axis — jointly with
+    the DCN (inter-slice) axis on multislice meshes, so every slice owns a
+    contiguous shard and gradient reductions run hierarchically."""
+    from sais_tpu.parallel.distributed import DCN_AXIS
+    if DCN_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
     return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def data_parallel_size(mesh: Mesh) -> int:
+    """Number of data-parallel shards (incl. the DCN axis when present)."""
+    from sais_tpu.parallel.distributed import DCN_AXIS
+    n = mesh.shape[DATA_AXIS]
+    if DCN_AXIS in mesh.axis_names:
+        n *= mesh.shape[DCN_AXIS]
+    return n
 
 
 def replicated(mesh: Mesh) -> NamedSharding:

@@ -102,7 +102,7 @@ class ClassificationTrainer:
         if self.mesh is not None:
             return mesh_lib.shard_batch(
                 mesh_lib.pad_batch_with_weight(
-                    batch, self.mesh.shape[mesh_lib.DATA_AXIS]),
+                    batch, mesh_lib.data_parallel_size(self.mesh)),
                 self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 

@@ -127,7 +127,7 @@ class PrototypeTrainer:
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         if self.mesh is not None:
             batch = mesh_lib.pad_batch_with_weight(
-                batch, self.mesh.shape[mesh_lib.DATA_AXIS])
+                batch, mesh_lib.data_parallel_size(self.mesh))
             return mesh_lib.shard_batch(batch, self.mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
