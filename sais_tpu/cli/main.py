@@ -93,13 +93,7 @@ def _pipeline_config(args):
     cfg = PipelineConfig()
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, modalities=args.modalities),
-        compute_dtype=args.dtype,
-        # throughput mode also stores the RAFT correlation pyramid in bf16:
-        # the shift lookup is HBM-bound, so this is ~1.4x on flow (the flow
-        # field is rendered to an 8-bit RGB image afterwards, so the ~1e-3
-        # relative corr error is far below the render quantization)
-        raft=dataclasses.replace(cfg.raft, corr_dtype=(
-            "bfloat16" if args.dtype == "bfloat16" else "float32")))
+        compute_dtype=args.dtype)
     return cfg
 
 

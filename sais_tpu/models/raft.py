@@ -264,6 +264,76 @@ def _lookup_level_matmul(corr: jnp.ndarray, coords: jnp.ndarray,
     return out.astype(jnp.float32).reshape(b, n, k * k)
 
 
+def corr_pyramid_lanes(f1: jnp.ndarray, f2: jnp.ndarray, levels: int):
+    """Correlation pyramid in lanes-major layout: (B, Hl, Wl, N).
+
+    The query-pixel axis N (= H*W of frame 1, e.g. 1200 at 240x320) sits in
+    the TPU lane dimension, so the per-level shift lookup's multiply-reduces
+    run at full 128-lane width.  The query-major layout (B, N, Hl, Wl) puts
+    Wl (e.g. 40) in lanes and wastes >2/3 of every vector register AND 3x
+    the HBM footprint/traffic to lane padding.
+    """
+    b, h, w, d = f1.shape
+    corr = jnp.einsum("bhwd,bnd->bhwn", f2.reshape(b, h, w, d),
+                      f1.reshape(b, h * w, d),
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.float32(d))
+    pyramid = [corr]
+    for _ in range(levels - 1):
+        c = pyramid[-1]
+        hh, ww = c.shape[1] // 2 * 2, c.shape[2] // 2 * 2  # floor semantics
+        c = c[:, :hh, :ww].reshape(b, hh // 2, 2, ww // 2, 2, h * w)
+        pyramid.append(c.mean(axis=(2, 4)))
+    return pyramid
+
+
+def _lookup_level_shift_lanes(corr_t: jnp.ndarray, coords: jnp.ndarray,
+                              radius: int) -> jnp.ndarray:
+    """Shift lookup on a lanes-major level: corr_t (B, Hl, Wl, N),
+    coords (B, N, 2) -> (B, (2r+1)^2, N), offsets x-major like the
+    query-major variants."""
+    b, hl, wl, n = corr_t.shape
+    r = radius
+    k = 2 * r + 1
+    pad_top = 2 * r + 2
+    ext_y = hl + 2 * r + 2
+    hp = hl + 4 * r + 3
+    cp = jnp.pad(corr_t, ((0, 0), (pad_top, hp - hl - pad_top), (0, 0),
+                          (0, 0)))
+    gy = _weight_vec(coords[..., 1], hl, r).transpose(0, 2, 1)  # (B, ext, N)
+    gy = gy[:, :, None, :].astype(corr_t.dtype)
+    sy = jnp.stack(
+        [jnp.sum(gy * cp[:, kc + 1:kc + 1 + ext_y], axis=1,
+                 dtype=jnp.float32)
+         for kc in range(k)], axis=1)            # (B, kc, Wl, N)
+    ext_x = wl + 2 * r + 2
+    wp = wl + 4 * r + 3
+    syp = jnp.pad(sy, ((0, 0), (0, 0), (pad_top, wp - wl - pad_top),
+                       (0, 0)))
+    gx = _weight_vec(coords[..., 0], wl, r).transpose(0, 2, 1)
+    gx = gx[:, None, :, :]
+    out = jnp.stack(
+        [jnp.sum(gx * syp[:, :, ka + 1:ka + 1 + ext_x], axis=2,
+                 dtype=jnp.float32)
+         for ka in range(k)], axis=1)            # (B, ka, kc, N)
+    return out.reshape(b, k * k, n)
+
+
+def corr_lookup_lanes(pyramid, coords: jnp.ndarray, radius: int
+                      ) -> jnp.ndarray:
+    """Lanes-major lookup over a corr_pyramid_lanes pyramid.
+
+    coords: (B, H, W, 2) xy at 1/8 res -> (B, H, W, levels*(2r+1)^2);
+    channel order identical to corr_lookup (level-major, x-major offsets).
+    """
+    b, h, w, _ = coords.shape
+    flat = coords.reshape(b, h * w, 2)
+    outs = [_lookup_level_shift_lanes(c, flat / (2 ** i), radius)
+            for i, c in enumerate(pyramid)]
+    out = jnp.concatenate(outs, axis=1)          # (B, C, N)
+    return out.transpose(0, 2, 1).reshape(b, h, w, -1)
+
+
 _LOOKUP_MODES = {"shift": _lookup_level_shift,
                  "matmul": _lookup_level_matmul,
                  "gather": _lookup_level}
@@ -380,7 +450,7 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
                          "instance")
     fmap = fmap.astype(jnp.float32)
     f1, f2 = jnp.split(fmap, 2, axis=0)
-    pyramid = corr_pyramid(f1, f2, cfg.corr_levels)
+    pyramid = corr_pyramid_lanes(f1, f2, cfg.corr_levels)
     if cfg.corr_dtype == "bfloat16":
         pyramid = [c.astype(jnp.bfloat16) for c in pyramid]
 
@@ -396,7 +466,7 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
 
     def step(carry, _):
         net, coords1 = carry
-        corr = corr_lookup(pyramid, coords1, cfg.corr_radius)
+        corr = corr_lookup_lanes(pyramid, coords1, cfg.corr_radius)
         flow = coords1 - coords0
         net2, mask, delta = update_block(net, inp, corr, flow,
                                          params["update"])

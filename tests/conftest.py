@@ -22,6 +22,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 # Torch golden comparisons need f32 matmuls to agree to ~1e-5.
 jax.config.update("jax_default_matmul_precision", "highest")
+# Persistent compilation cache: the suite is dominated by XLA:CPU compiles
+# of stable shapes; caching them makes repeat runs several times faster.
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/sais_tpu_test_xla"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 import numpy as np
 import pytest

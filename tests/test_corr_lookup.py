@@ -90,3 +90,27 @@ def test_corr_lookup_modes_agree_through_pyramid():
         got = np.asarray(corr_lookup(pyr, coords, 4, mode=mode))
         np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5,
                                    err_msg=mode)
+
+
+def test_lanes_layout_matches_query_major():
+    """corr_pyramid_lanes + corr_lookup_lanes (the raft_forward fast path)
+    must reproduce the query-major gather reference exactly."""
+    from sais_tpu.models.raft import corr_lookup_lanes, corr_pyramid_lanes
+
+    key = jax.random.PRNGKey(7)
+    b, h, w, d = 2, 14, 22, 32
+    f1 = jax.random.normal(key, (b, h, w, d))
+    f2 = jax.random.normal(jax.random.fold_in(key, 1), (b, h, w, d))
+    pyr_q = corr_pyramid(f1, f2, 4)
+    pyr_l = corr_pyramid_lanes(f1, f2, 4)
+    for cq, cl in zip(pyr_q, pyr_l):
+        np.testing.assert_allclose(np.asarray(cq),
+                                   np.asarray(cl).transpose(0, 3, 1, 2),
+                                   rtol=1e-5, atol=1e-5)
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords = (jnp.stack([gx, gy], -1)[None].repeat(b, 0)
+              + jax.random.normal(jax.random.fold_in(key, 2), (b, h, w, 2)) * 4)
+    ref = np.asarray(corr_lookup(pyr_q, coords, 4, mode="gather"))
+    got = np.asarray(corr_lookup_lanes(pyr_l, coords, 4))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
