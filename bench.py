@@ -62,6 +62,37 @@ def bench_features():
     return batch * iters / dt
 
 
+def bench_raft(batch: int = 8, iters: int = 32, n: int = 12):
+    """RAFT flow pairs at 240x320 (the dual-stream pipeline's hot kernel).
+    Returns ms/pair.  Fetches the result to host each round so the remote
+    tunnel's async dispatch can't fake the timing."""
+    import functools
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sais_tpu.config import RAFTConfig
+    from sais_tpu.models.raft import raft_forward, raft_init
+
+    cfg = RAFTConfig()
+    params = raft_init(jax.random.key(0), cfg)
+    key = jax.random.key(42)
+    fn = jax.jit(functools.partial(raft_forward, cfg=cfg, iters=iters))
+    argsets = []
+    for i in range(3):
+        kk = jax.random.fold_in(key, i)
+        argsets.append((jax.random.uniform(kk, (batch, 240, 320, 3)) * 255,
+                        jax.random.uniform(jax.random.fold_in(kk, 1),
+                                           (batch, 240, 320, 3)) * 255))
+    out = fn(params, *argsets[0])
+    np.asarray(jnp.sum(out))                       # compile + sync
+    t0 = time.time()
+    for i in range(n):
+        out = fn(params, *argsets[i % len(argsets)])
+    np.asarray(jnp.sum(out))
+    return (time.time() - t0) / n / batch * 1e3
+
+
 def bench_e2e(seconds_of_video: int = 20):
     """Full pipeline on a synthetic clip: decode -> features -> windows ->
     temporal+prototypes -> CSV.  Returns video-minutes per wall second."""
@@ -122,6 +153,11 @@ def main():
             out["e2e_video_min_per_s"] = round(bench_e2e(), 3)
         except Exception as e:  # e2e is best-effort; keep the headline
             out["e2e_error"] = f"{type(e).__name__}: {e}"
+    if os.environ.get("SAIS_BENCH_RAFT", "1") != "0":
+        try:
+            out["raft_ms_per_pair"] = round(bench_raft(), 2)
+        except Exception as e:
+            out["raft_error"] = f"{type(e).__name__}: {e}"
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_baseline.json")) as f:
