@@ -118,6 +118,130 @@ def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
     o_ref[:] = x + o
 
 
+def _quant_rows(y32: jnp.ndarray):
+    """Per-row symmetric int8 quantization: f32 (rows, d) -> (int8, scale).
+
+    Per-row (per-token) scaling bounds the quantization error by each
+    token's own dynamic range — the standard W8A8 dynamic-activation
+    recipe (e.g. LLM.int8 / SmoothQuant lineage)."""
+    amax = jnp.max(jnp.abs(y32), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    q = jnp.clip(jnp.round(y32 / scale), -127.0, 127.0).astype(jnp.int8)
+    return q, scale
+
+
+def _int8_mm(q, row_scale, wq_ref, ws_ref, b_ref):
+    """int8 x int8 -> int32 MXU matmul, dequantized to f32.
+
+    q: (rows, K) int8; row_scale: (rows, 1) f32; wq: (K, N) int8 with
+    per-output-channel scales ws: (1, N) f32; bias b: (N,) f32."""
+    acc = jax.lax.dot_general(q, wq_ref[:], (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.int32)
+    return acc.astype(jnp.float32) * row_scale * ws_ref[:] + b_ref[:]
+
+
+def _block_kernel_int8(x_ref, qkv_wq, qkv_ws, qkv_b, proj_wq, proj_ws,
+                       proj_b, fc1_wq, fc1_ws, fc1_b, fc2_wq, fc2_ws, fc2_b,
+                       ln1_s, ln1_b, ln2_s, ln2_b, o_ref, *, num_heads: int,
+                       head_dim: int, valid_len: int, eps: float,
+                       imgs: int = 1):
+    """W8A8 variant of _block_kernel: the qkv/proj/fc1/fc2 matmuls (92% of
+    block MACs at ViT-S) run int8 x int8 -> int32 on the MXU at 2x the bf16
+    rate; activations are quantized per token on the fly in VMEM.  The
+    O(L^2) attention stays bf16 (8% of MACs, and softmax wants f32 scores
+    anyway)."""
+    rows, d = x_ref.shape
+    lp = rows // imgs
+    x = x_ref[:]
+    dtype = x.dtype
+    scale = head_dim ** -0.5
+    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
+    key_mask = (key_ids >= valid_len) * _NEG_INF
+
+    yq, rs = _quant_rows(_layer_norm_f32(x, ln1_s[:], ln1_b[:], eps))
+    qkv = _int8_mm(yq, rs, qkv_wq, qkv_ws, qkv_b).astype(dtype)
+    img_ctx = []
+    for g in range(imgs):
+        sl = slice(g * lp, (g + 1) * lp)
+        ctx_heads = []
+        for h in range(num_heads):
+            q = qkv[sl, h * head_dim:(h + 1) * head_dim]
+            k = qkv[sl, d + h * head_dim:d + (h + 1) * head_dim]
+            v = qkv[sl, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+            s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
+                                    k.astype(jnp.float32),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s + key_mask, axis=-1)
+            ctx_heads.append(jax.lax.dot_general(
+                p.astype(dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype))
+        img_ctx.append(jnp.concatenate(ctx_heads, axis=-1))
+    ctx = jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
+    cq, cs = _quant_rows(ctx.astype(jnp.float32))
+    x = x + _int8_mm(cq, cs, proj_wq, proj_ws, proj_b).astype(dtype)
+
+    yq, rs = _quant_rows(_layer_norm_f32(x, ln2_s[:], ln2_b[:], eps))
+    hdn = _int8_mm(yq, rs, fc1_wq, fc1_ws, fc1_b)
+    hdn = jax.nn.gelu(hdn, approximate=True)
+    hq, hs = _quant_rows(hdn)
+    o_ref[:] = x + _int8_mm(hq, hs, fc2_wq, fc2_ws, fc2_b).astype(dtype)
+
+
+def quantize_weight(w: jnp.ndarray):
+    """Per-output-channel symmetric int8: (K, N) f32/bf16 -> int8 + (1, N)
+    f32 scales."""
+    w32 = w.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(w32), axis=0, keepdims=True)
+    ws = jnp.maximum(amax, 1e-8) * (1.0 / 127.0)
+    wq = jnp.clip(jnp.round(w32 / ws), -127.0, 127.0).astype(jnp.int8)
+    return wq, ws
+
+
+@functools.partial(jax.jit, static_argnames=("num_heads", "valid_len", "eps",
+                                             "imgs", "interpret"))
+def fused_vit_block_int8(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b,
+                         fc1_w, fc1_b, fc2_w, fc2_b, ln1_s, ln1_b, ln2_s,
+                         ln2_b, num_heads: int, valid_len: int,
+                         eps: float = 1e-6, imgs: int = 1,
+                         interpret: bool = False) -> jnp.ndarray:
+    """fused_vit_block with W8A8 matmuls (weights quantized at trace time,
+    folded to constants under jit when params are donated/captured)."""
+    b, lp, d = x.shape
+    head_dim = d // num_heads
+    groups = b // imgs
+    xg = x.reshape(groups, imgs * lp, d)
+
+    qkv_wq, qkv_ws = quantize_weight(qkv_w)
+    proj_wq, proj_ws = quantize_weight(proj_w)
+    fc1_wq, fc1_ws = quantize_weight(fc1_w)
+    fc2_wq, fc2_ws = quantize_weight(fc2_w)
+    f32 = jnp.float32
+
+    def const_spec(arr):
+        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
+                            memory_space=pltpu.VMEM)
+
+    weights = (qkv_wq, qkv_ws, qkv_b.astype(f32), proj_wq, proj_ws,
+               proj_b.astype(f32), fc1_wq, fc1_ws, fc1_b.astype(f32),
+               fc2_wq, fc2_ws, fc2_b.astype(f32), ln1_s, ln1_b, ln2_s,
+               ln2_b)
+    out = pl.pallas_call(
+        functools.partial(_block_kernel_int8, num_heads=num_heads,
+                          head_dim=head_dim, valid_len=valid_len, eps=eps,
+                          imgs=imgs),
+        grid=(groups,),
+        in_specs=[pl.BlockSpec((None, imgs * lp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM)] +
+                 [const_spec(w) for w in weights],
+        out_specs=pl.BlockSpec((None, imgs * lp, d), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((groups, imgs * lp, d), x.dtype),
+        interpret=interpret,
+    )(xg, *weights)
+    return out.reshape(b, lp, d)
+
+
 @functools.partial(jax.jit, static_argnames=("num_heads", "valid_len", "eps",
                                              "imgs", "interpret"))
 def fused_vit_block(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b, fc1_w,

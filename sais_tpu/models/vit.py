@@ -153,10 +153,10 @@ def _fused_geometry(b: int, l: int) -> Tuple[int, int]:
     """(Lp, imgs_per_program) for the fused path.
 
     Rows are the sublane dimension: padding to a multiple of 16 (bf16
-    sublane tile) is enough — Lp=224 for L=197 wastes 12% of matmul rows
+    sublane tile) is enough — Lp=208 for L=197 wastes 5% of matmul rows
     vs 30% at the naive lane-multiple 256.  Batching 4 images per program
     feeds the MXU taller qkv/proj/MLP operands.  Measured on v5e
-    (batch 1024): Lp 256/imgs 1 -> 11.2k f/s; Lp 224/imgs 4 -> 13.4k f/s.
+    (batch 1024): Lp 256/imgs 1 -> 11.2k f/s; Lp 208/imgs 4 -> 14.2k f/s.
     """
     lp = max(l + ((-l) % 16), 32)
     for imgs in (4, 2, 1):
@@ -166,21 +166,28 @@ def _fused_geometry(b: int, l: int) -> Tuple[int, int]:
 
 
 def _vit_forward_fused(params: Params, images: jnp.ndarray,
-                       cfg: ViTConfig) -> jnp.ndarray:
+                       cfg: ViTConfig, quant: Optional[str] = None
+                       ) -> jnp.ndarray:
     """bf16 TPU fast path: every transformer block runs as one Pallas
     program over a small group of images (kernels/fused_mha.
     fused_vit_block) — only the (B, L, D) activations touch HBM between
     layers.  >2x the XLA path on v5e; within bf16 noise of it (~0.08 max
-    on CLS features)."""
-    from sais_tpu.kernels.fused_mha import fused_vit_block
+    on CLS features).
+
+    quant='int8' additionally runs the qkv/proj/MLP matmuls W8A8 on the
+    MXU's 2x int8 path (per-channel weight scales, per-token dynamic
+    activation scales; attention stays bf16)."""
+    from sais_tpu.kernels.fused_mha import (fused_vit_block,
+                                            fused_vit_block_int8)
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     x = prepare_tokens(params, images.astype(jnp.bfloat16), cfg)
     b, l, d = x.shape
     lp, imgs = _fused_geometry(b, l)
     if lp != l:
         x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
+    block = fused_vit_block_int8 if quant == "int8" else fused_vit_block
     for p in params["blocks"]:
-        x = fused_vit_block(
+        x = block(
             x, p["attn"]["qkv_w"], p["attn"]["qkv_b"], p["attn"]["proj_w"],
             p["attn"]["proj_b"], p["mlp"]["fc1_w"], p["mlp"]["fc1_b"],
             p["mlp"]["fc2_w"], p["mlp"]["fc2_b"], p["ln1_s"], p["ln1_b"],
@@ -228,7 +235,8 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
 def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                 *, return_last_attention: bool = False,
                 compute_dtype: jnp.dtype = jnp.float32,
-                allow_fused: bool = False
+                allow_fused: bool = False,
+                quant: Optional[str] = None
                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full ViT forward: returns (cls_features (B, D), last_attn or None).
 
@@ -245,7 +253,7 @@ def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
     if (allow_fused and compute_dtype == jnp.bfloat16
             and not return_last_attention
             and jax.default_backend() == "tpu"):
-        return _vit_forward_fused(params, images, cfg), None
+        return _vit_forward_fused(params, images, cfg, quant=quant), None
     x = prepare_tokens(params, images.astype(compute_dtype), cfg)
     last_attn = None
     depth = len(params["blocks"])
@@ -273,12 +281,14 @@ def vit_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
 
 def vit_features(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                  compute_dtype: jnp.dtype = jnp.float32,
-                 allow_fused: bool = False) -> jnp.ndarray:
+                 allow_fused: bool = False,
+                 quant: Optional[str] = None) -> jnp.ndarray:
     """CLS feature extraction — the hot loop of the reference pipeline
     (extract_representations.py:351-378, batch 1024).  Inference callers
-    pass allow_fused=True for the Pallas fast path (2x on v5e)."""
+    pass allow_fused=True for the Pallas fast path (2x on v5e); quant='int8'
+    additionally runs the block matmuls W8A8 (opt-in throughput mode)."""
     return vit_forward(params, images, cfg, compute_dtype=compute_dtype,
-                       allow_fused=allow_fused)[0]
+                       allow_fused=allow_fused, quant=quant)[0]
 
 
 def _trunc_normal(key: jax.Array, shape: Tuple[int, ...],
