@@ -207,9 +207,12 @@ class FlowExtractor:
         pair_batch = self.pair_batch
         if pair_batch is None:
             # all-pairs correlation is O((HW/64)^2) per pair; size the batch
-            # so the f32 level-0 volume stays under ~2 GB of HBM
+            # so the f32 level-0 volume stays under ~2 GB of HBM.  Cap at 8:
+            # measured ms/pair on v5e at 240x320 is 8.6/6.7/4.96/8.1/7.4 for
+            # b=2/4/8/12/16 — per-pair cost cliffs above 8 (XLA tiling of
+            # the lookup spills) and never amortizes further.
             hw8 = (frames.shape[1] // 8) * (frames.shape[2] // 8)
-            pair_batch = max(1, min(16, int(2e9 / max(hw8 * hw8 * 4, 1))))
+            pair_batch = max(1, min(8, int(2e9 / max(hw8 * hw8 * 4, 1))))
         flows = []
         for i in range(0, len(starts), pair_batch):
             chunk = starts[i:i + pair_batch]
@@ -297,15 +300,16 @@ class FlowExtractor:
             else:
                 buf1.append(item[0])
                 buf2.append(item[1])
-            if buf1 and (done or len(buf1) == (pair_batch or 16)):
+            if buf1 and (done or len(buf1) == (pair_batch or 8)):
                 i1 = np.stack(buf1)
                 i2 = np.stack(buf2)
                 self.peak_buffered_pairs = max(self.peak_buffered_pairs,
                                                len(buf1))
                 buf1, buf2 = [], []
                 if pair_batch is None:
+                    # cap 8: see flow_fields — per-pair cost cliffs above 8
                     hw8 = (i1.shape[1] // 8) * (i1.shape[2] // 8)
-                    pair_batch = max(1, min(16,
+                    pair_batch = max(1, min(8,
                                             int(2e9 / max(hw8 * hw8 * 4, 1))))
                 for s in range(0, len(i1), pair_batch):
                     a = jnp.asarray(i1[s:s + pair_batch], jnp.float32)
