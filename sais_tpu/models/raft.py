@@ -334,6 +334,35 @@ def corr_lookup_lanes(pyramid, coords: jnp.ndarray, radius: int
     return out.transpose(0, 2, 1).reshape(b, h, w, -1)
 
 
+def corr_lookup_motion(pyramid, coords: jnp.ndarray, radius: int,
+                       convc1: Params) -> jnp.ndarray:
+    """Lookup fused with the motion encoder's 1x1 convc1 + ReLU.
+
+    convc1 is a pointwise conv over the level-major offset channels, so it
+    splits into one GEMM per level that consumes the lanes-major lookup
+    output (B, K, N) DIRECTLY — contracting the offset axis against the
+    level's (K, 256) weight block with N staying in MXU rows.  This removes
+    the per-iteration (B, levels*K, N) -> (B, H, W, C) transpose (a
+    lane->sublane relayout of the whole volume slice) from the scan.
+    Returns relu(convc1(corr_features)): (B, H, W, 256).
+    """
+    b, h, w, _ = coords.shape
+    k2 = (2 * radius + 1) ** 2
+    flat = coords.reshape(b, h * w, 2)
+    # convc1["w"]: (1, 1, levels*K, 256) conv kernel -> per-level GEMM blocks
+    wmat = convc1["w"].reshape(len(pyramid), k2, convc1["w"].shape[-1])
+    acc = None
+    for i, c in enumerate(pyramid):
+        lvl = _lookup_level_shift_lanes(c, flat / (2 ** i), radius)
+        # (B, K, N) x (K, O) -> (B, N, O)
+        part = jax.lax.dot_general(
+            lvl, wmat[i].astype(lvl.dtype), (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    acc = acc + convc1["b"].astype(jnp.float32)
+    return jax.nn.relu(acc).reshape(b, h, w, -1)
+
+
 _LOOKUP_MODES = {"shift": _lookup_level_shift,
                  "matmul": _lookup_level_matmul,
                  "gather": _lookup_level}
@@ -357,7 +386,13 @@ def corr_lookup(pyramid, coords: jnp.ndarray, radius: int,
 
 def motion_encoder(flow, corr, p):
     c = jax.nn.relu(_conv(corr, p["convc1"]))
-    c = jax.nn.relu(_conv(c, p["convc2"]))
+    return _motion_encoder_tail(flow, c, p)
+
+
+def _motion_encoder_tail(flow, c1, p):
+    """Motion encoder from relu(convc1(corr)) onward (the fused lookup path
+    computes c1 inside corr_lookup_motion)."""
+    c = jax.nn.relu(_conv(c1, p["convc2"]))
     f = jax.nn.relu(_conv(flow, p["convf1"]))
     f = jax.nn.relu(_conv(f, p["convf2"]))
     out = jax.nn.relu(_conv(jnp.concatenate([c, f], -1), p["conv"]))
@@ -388,6 +423,16 @@ def flow_head(x, p):
 
 def update_block(net, inp, corr, flow, p):
     motion = motion_encoder(flow, corr, p["encoder"])
+    return _update_block_tail(net, inp, motion, p)
+
+
+def update_block_pre(net, inp, corr_c1, flow, p):
+    """update_block taking relu(convc1(corr)) from corr_lookup_motion."""
+    motion = _motion_encoder_tail(flow, corr_c1, p["encoder"])
+    return _update_block_tail(net, inp, motion, p)
+
+
+def _update_block_tail(net, inp, motion, p):
     net = sep_conv_gru(net, jnp.concatenate([inp, motion], -1), p["gru"])
     delta = flow_head(net, p["flow_head"])
     mask = 0.25 * _conv(jax.nn.relu(_conv(net, p["mask0"])), p["mask2"])
@@ -466,10 +511,11 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
 
     def step(carry, _):
         net, coords1 = carry
-        corr = corr_lookup_lanes(pyramid, coords1, cfg.corr_radius)
+        corr_c1 = corr_lookup_motion(pyramid, coords1, cfg.corr_radius,
+                                     params["update"]["encoder"]["convc1"])
         flow = coords1 - coords0
-        net2, mask, delta = update_block(net, inp, corr, flow,
-                                         params["update"])
+        net2, mask, delta = update_block_pre(net, inp, corr_c1, flow,
+                                             params["update"])
         return (net2, coords1 + delta), mask
 
     (net, coords1), masks = jax.lax.scan(step, (net, coords0), None,
