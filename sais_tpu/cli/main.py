@@ -247,6 +247,7 @@ def cmd_train(args):
         mesh = make_mesh(MeshConfig()) if args.data_parallel else None
 
     skill_mode = args.dataset == "vua-ease"
+    stitch_mode = args.dataset == "vua-ease-stitch"
     explanations = None
     if args.importance_loss:
         if not skill_mode:
@@ -276,6 +277,16 @@ def cmd_train(args):
                 importance_loss=args.importance_loss,
                 meta=meta, group=args.group if args.balance_groups else None)
             ds = SegmentDataset(frames, [str(c) for c in classes])
+            ds.skill_classes = classes
+        elif stitch_mode:
+            # VUA_EASE_Stitch sub-phase recognition branch
+            # (prepare_dataset.py:428-568): same annotations, label = EASE
+            # domain (NH vs ND vs NW)
+            from sais_tpu.data.datasets import SegmentDataset
+            from sais_tpu.data.reference_datasets import stitch_phase_tables
+            frames, classes = stitch_phase_tables(
+                segments, fold, training_fraction=args.training_fraction)
+            ds = SegmentDataset(frames, list(classes))
             ds.skill_classes = classes
         elif args.dataset in ("vua-gestures", "dvc-ucl"):
             # gesture-timestamp classification branches
@@ -325,7 +336,8 @@ def cmd_train(args):
         mcfg = dc.replace(cfg.model, nclasses=nclasses,
                           importance_head=(cfg.model.importance_head
                                            or args.importance_loss),
-                          multi_task=(skill_mode and "+" in args.domain))
+                          multi_task=(skill_mode and "+" in args.domain),
+                          self_attention=not args.no_self_attention)
         params = full_model_init(jax.random.fold_in(jax.random.key(0), fold),
                                  mcfg)
         keys, protos = prototypes_init(
@@ -381,6 +393,14 @@ def cmd_train(args):
                     rows, rgb_store, flow_store, ds.skill_classes,
                     args.domain, phase, args.batch_size, shuffle,
                     importance_loss=args.importance_loss, tta=tta)
+            if stitch_mode:
+                from sais_tpu.data.skill import skill_batches
+                classes_ = list(ds.skill_classes)
+                return lambda: skill_batches(
+                    rows, rgb_store, flow_store, classes_,
+                    "NH_vs_ND_vs_NW", phase, args.batch_size, shuffle,
+                    tta=tta,
+                    label_fn=lambda row: classes_.index(row["EASE"]))
             return lambda: segment_batches(rows, rgb_store, flow_store,
                                            ds.classes, cfg.window,
                                            args.batch_size, shuffle,
@@ -646,11 +666,21 @@ def build_parser():
                         choices=["fold-video", "per-gesture-video", "louo",
                                  "instance"])
         sp.add_argument("--dataset", default="segments",
-                        choices=["segments", "vua-ease", "vua-gestures",
-                                 "dvc-ucl"],
+                        choices=["segments", "vua-ease", "vua-ease-stitch",
+                                 "vua-gestures", "dvc-ucl"],
                         help="vua-ease: EASE stitch-annotation skill branch; "
+                             "vua-ease-stitch: sub-phase (NH/ND/NW) "
+                             "recognition over the same annotations; "
                              "vua-gestures/dvc-ucl: gesture-timestamp "
                              "classification branches")
+        sp.add_argument("-tf", "--training-fraction", type=float, default=1.0,
+                        help="subsample the train split to this fraction "
+                             "(run_experiments.py -tf; sample(random_state=0)"
+                             ", prepare_dataset.py:549,703)")
+        sp.add_argument("-sa", "--no-self-attention", action="store_true",
+                        help="disable the temporal transformer: snippets "
+                             "become plain frame means (reference CLI "
+                             "without -sa, prepare_model.py:296-301)")
         sp.add_argument("-bg", "--balance-groups", action="store_true",
                         help="balance surgeon/patient groups within classes "
                              "(balanceGroups, prepare_dataset.py:190-213)")

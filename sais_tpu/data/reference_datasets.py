@@ -293,8 +293,49 @@ def vua_ease_window(race: str, row) -> Tuple[int, int]:
             row["Needle Withdrawal Start Frame"])
 
 
+def stitch_phase_tables(stitch_df: pd.DataFrame, fold: int,
+                        training_fraction: float = 1.0
+                        ) -> Tuple[Dict[str, pd.DataFrame], List[str]]:
+    """VUA_EASE_Stitch sub-phase recognition, TRAINING path
+    (prepare_dataset.py:428-568, `else` branch at :513-565).
+
+    Rows are EASE stitch annotations; the label is the EASE domain name
+    (equivalently the RACE sub-phase: NH vs ND vs NW).  Reproduces the
+    reference exactly: File 102/372 exclusion, per-RACE duration filter,
+    the three RACE/EASE pairings with maj in {0,1,2}, the fold-seeded
+    0.9/0.1 video split, Domain='NH_vs_ND_vs_NW', and the -tf
+    training-fraction subsample (df_train.sample(n, random_state=0),
+    :549-551).  Classes are returned in LabelEncoder (alphabetical) order.
+    """
+    from sais_tpu.data.skill import duration_filter, ease_video_split
+
+    df = stitch_df[~stitch_df["File"].isin([102, 372])].copy()
+    if "Video" not in df.columns:
+        df["Video"] = df["Path"].apply(
+            lambda p: p.split("\\")[-1] if "\\" in p else p.split("/")[-1])
+    df = duration_filter(df)
+    pairs = [("Needle Withdrawal", "Wrist Rotation"),
+             ("Needle Handling", "# Repositions"),
+             ("Needle Driving", "Driving Sequence")]
+    keep = False
+    for race, ease in pairs:
+        keep = keep | ((df["RACE"] == race) & (df["EASE"] == ease))
+    df = df[keep & df["maj"].isin([0, 1, 2])]
+    tr, va, te = ease_video_split(df, fold)
+    tr, va, te = tr.copy(), va.copy(), te.copy()
+    for part in (tr, va, te):
+        part["Domain"] = "NH_vs_ND_vs_NW"
+    if training_fraction < 1 and len(tr):
+        tr = tr.sample(n=int(len(tr) * training_fraction), random_state=0)
+    classes = sorted(["Wrist Rotation", "# Repositions", "Driving Sequence"])
+    return ({"train": tr.reset_index(drop=True),
+             "val": va.reset_index(drop=True),
+             "test": te.reset_index(drop=True)}, classes)
+
+
 def ns_vs_vua_tables(vua_stitch: pd.DataFrame, ns_timestamps: pd.DataFrame,
-                     fold: int, balance: bool = True
+                     fold: int, balance: bool = True,
+                     training_fraction: float = 1.0
                      ) -> Tuple[Dict[str, pd.DataFrame], List[str]]:
     """Combined NS-vs-VUA activity-discrimination dataset
     (prepare_dataset.py:569-888, training path):
@@ -334,6 +375,10 @@ def ns_vs_vua_tables(vua_stitch: pd.DataFrame, ns_timestamps: pd.DataFrame,
     vua_tr = vua[vua["Video"].isin(train_cases)]
     vua_va = vua[vua["Video"].isin(val_cases)]
     vua_te = vua[~vua["Video"].isin(train_cases + val_cases)]
+    if training_fraction < 1 and len(vua_tr):
+        # -tf subsample of the VUA train rows (prepare_dataset.py:703-705)
+        vua_tr = vua_tr.sample(n=int(len(vua_tr) * training_fraction),
+                               random_state=0)
 
     ns = clean_gesture_timestamps(ns_timestamps, int_labels=False)
     ns = ns[~ns["Video"].str.contains("P-129")]

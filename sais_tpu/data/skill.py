@@ -282,8 +282,8 @@ def collate_skill(rows: pd.DataFrame, rgb_store, flow_store,
                   importance_loss: bool = False,
                   buckets: Sequence[int] = (16, 32, 64, 128),
                   tta_offset: int = 0,
-                  fps_table: Mapping[str, float] = VUA_FPS_TABLE
-                  ) -> Dict[str, np.ndarray]:
+                  fps_table: Mapping[str, float] = VUA_FPS_TABLE,
+                  label_fn=None) -> Dict[str, np.ndarray]:
     """One static-shaped batch for PrototypeTrainer from stitch rows.
 
     Includes per-frame importance targets + ipad mask for `-il` training
@@ -299,8 +299,12 @@ def collate_skill(rows: pd.DataFrame, rgb_store, flow_store,
         idx = skill_segment_indices(row, phase, tta_offset)
         reps = rgb_store.read_video(str(row["Video"]))
         rgb_list.append(reps[idx])
-        label = encode_skill_label(int(row["maj"]), row.get("Domain", domain),
-                                   domain, classes)
+        # label_fn overrides the maj-score encoding (e.g. the stitch
+        # sub-phase branch labels by EASE domain, prepare_dataset.py:511)
+        label = (label_fn(row) if label_fn is not None
+                 else encode_skill_label(int(row["maj"]),
+                                         row.get("Domain", domain),
+                                         domain, classes))
         cols.append(label)
         if (importance_loss and phase == "train" and label == 0
                 and isinstance(row.get("frame importance"), (list, np.ndarray))):
@@ -356,7 +360,8 @@ def skill_batches(phase_rows: pd.DataFrame, rgb_store, flow_store,
                   batch_size: int, shuffle: bool,
                   importance_loss: bool = False, seed: int = 0,
                   tta: bool = False,
-                  fps_table: Mapping[str, float] = VUA_FPS_TABLE):
+                  fps_table: Mapping[str, float] = VUA_FPS_TABLE,
+                  label_fn=None):
     """Yield skill batches; with tta=True each yield carries the 3 TTA
     variants (dict-of-3 semantics of pad_collate,
     prepare_dataset.py:2808-2935) under a 'tta' key."""
@@ -368,7 +373,7 @@ def skill_batches(phase_rows: pd.DataFrame, rgb_store, flow_store,
         variants = [
             collate_skill(rows, rgb_store, flow_store, classes, domain,
                           phase, importance_loss, tta_offset=off,
-                          fps_table=fps_table)
+                          fps_table=fps_table, label_fn=label_fn)
             for off in offsets
         ]
         out = dict(variants[0])

@@ -39,9 +39,9 @@ Params = Dict[str, Any]
 
 
 class TemporalOutput(NamedTuple):
-    full_seq: jnp.ndarray   # (B, S, F+1, D) post-ReLU encoder output
-    cls_seq: jnp.ndarray    # (B, S, D) CLS-token track
-    attn: jnp.ndarray       # (B*S, F+1, F+1) last-layer head-averaged attn
+    full_seq: Optional[jnp.ndarray]  # (B, S, F+1, D) post-ReLU encoder
+    cls_seq: jnp.ndarray    # (B, S, D) CLS-token track (frame mean w/o -sa)
+    attn: jnp.ndarray       # (B*S, F+1, F+1) attn, or (1, 1) placeholder
 
 
 def _linear(x, p):
@@ -56,7 +56,17 @@ def temporal_features(params: Params, reps: jnp.ndarray,
 
     reps: (B, S, F, D) padded frame features; pad_mask: (B, S, F+1) bool with
     True = padded key (slot 0 is the prepended CLS and is never padded).
+
+    With cfg.self_attention=False (reference CLI without -sa,
+    prepare_model.py:296-301, 352-355) the transformer, positional
+    embeddings and CLS token are all skipped: the per-snippet track is a
+    plain mean over the padded frame axis — INCLUDING zero pad rows, which
+    is the reference's exact (quirky) torch.mean(x, 2) behavior — and the
+    attention output is the reference's ones((1, 1)) placeholder.
     """
+    if not cfg.self_attention:
+        return TemporalOutput(None, jnp.mean(reps, axis=2),
+                              jnp.ones((1, 1), reps.dtype))
     b, s, f, d = reps.shape
     x = reps + params["frame_pos"][:f].astype(reps.dtype)[None, None]
     cls = jnp.broadcast_to(params["frame_cls"].astype(reps.dtype),
@@ -121,7 +131,7 @@ def prototypes_forward(params: Params, cfg: ModelConfig,
         video_rep = _linear(act, params["linear"])
     aux_logits = _linear(jax.nn.relu(video_rep), params["linear2"])
     importances = None
-    if cfg.importance_head and "importance" in params:
+    if cfg.importance_head and "importance" in params and full_seq is not None:
         importances = heads.importance_scores(full_seq, params)
     return PrototypesOutput(video_rep, aux_logits, attn, importances)
 

@@ -277,3 +277,119 @@ def test_balance_groups_matches_reference():
     for label in (0, 2):
         counts = out[out["maj"] == label]["Caseload Group"].value_counts()
         assert counts.min() == counts.max()
+
+
+def _stitch_multi_race_df(n_videos=15, seed=3):
+    """Synthetic stitch table covering all three RACE/EASE pairings."""
+    rng = np.random.default_rng(seed)
+    races = [("Needle Handling", "# Repositions"),
+             ("Needle Driving", "Driving Sequence"),
+             ("Needle Withdrawal", "Wrist Rotation")]
+    rows = []
+    for v in range(n_videos):
+        for s, (race, ease) in enumerate(races):
+            start = int(rng.integers(30, 200))
+            entry = start + int(rng.integers(40, 120))
+            wd_start = entry + int(rng.integers(30, 80))
+            wd_end = wd_start + int(rng.integers(90, 150))
+            rows.append({
+                "File": v, "Video": f"vid{v}", "Stitch": s,
+                "Path": f"p\\vid{v}", "RACE": race, "EASE": ease,
+                "maj": int(rng.integers(0, 3)),
+                "Needle Handling Start Frame": start,
+                "Needle Entry Start Frame": entry,
+                "Needle Withdrawal Start Frame": wd_start,
+                "Needle Withdrawal End Frame": wd_end,
+            })
+    return pd.DataFrame(rows)
+
+
+def test_stitch_phase_tables_rng_exact():
+    """Literal transcription of the reference split (prepare_dataset.py
+    :513-551) must agree row-for-row."""
+    import random as pyrandom
+
+    from sais_tpu.data.reference_datasets import stitch_phase_tables
+
+    df = _stitch_multi_race_df()
+    fold = 2
+    tables, classes = stitch_phase_tables(df, fold)
+    assert classes == ["# Repositions", "Driving Sequence", "Wrist Rotation"]
+
+    # --- reference transcription ---
+    ref = df[~df["File"].isin([102, 372])].copy()
+
+    def durFilterFunc(row):
+        if row["RACE"] == "Needle Handling":
+            return (row["Needle Entry Start Frame"]
+                    - row["Needle Handling Start Frame"]) > 20
+        if row["RACE"] == "Needle Withdrawal":
+            return (row["Needle Withdrawal End Frame"]
+                    - row["Needle Withdrawal Start Frame"]) > 80
+        diff = (row["Needle Withdrawal Start Frame"]
+                - row["Needle Entry Start Frame"])
+        return diff > int(diff * 0.20)
+
+    ref = ref[ref.apply(durFilterFunc, axis=1)]
+
+    def RaceAndEaseFilter(row):
+        return (row["RACE"], row["EASE"]) in {
+            ("Needle Withdrawal", "Wrist Rotation"),
+            ("Needle Handling", "# Repositions"),
+            ("Needle Driving", "Driving Sequence")}
+
+    ref = ref[ref.apply(RaceAndEaseFilter, axis=1)]
+    ref = ref[ref["maj"].isin([0, 1, 2])]
+    cases = ref["Video"].unique().tolist()
+    pyrandom.seed(fold)
+    train_cases = pyrandom.sample(cases, int(0.9 * len(cases)))
+    val_cases = pyrandom.sample(train_cases, int(0.1 * len(train_cases)))
+    train_cases = list(set(train_cases) - set(val_cases))
+    test_cases = list(set(cases) - set(train_cases) - set(val_cases))
+    assert sorted(tables["train"]["Video"].unique()) == sorted(train_cases)
+    assert sorted(tables["val"]["Video"].unique()) == sorted(val_cases)
+    assert sorted(tables["test"]["Video"].unique()) == sorted(test_cases)
+    assert (tables["train"]["Domain"] == "NH_vs_ND_vs_NW").all()
+
+
+def test_stitch_phase_training_fraction():
+    from sais_tpu.data.reference_datasets import stitch_phase_tables
+
+    df = _stitch_multi_race_df()
+    full, _ = stitch_phase_tables(df, fold=1)
+    frac, _ = stitch_phase_tables(df, fold=1, training_fraction=0.5)
+    n = len(full["train"])
+    assert len(frac["train"]) == int(n * 0.5)
+    # reference semantics: df_train.sample(n, random_state=0)
+    expect = full["train"].sample(n=int(n * 0.5), random_state=0)
+    assert list(frac["train"]["Stitch"]) == list(expect["Stitch"])
+    assert list(frac["train"]["Video"]) == list(expect["Video"])
+    # val/test untouched
+    assert len(frac["val"]) == len(full["val"])
+    assert len(frac["test"]) == len(full["test"])
+
+
+def test_ns_vs_vua_training_fraction_applies_to_vua_part():
+    from sais_tpu.data.reference_datasets import ns_vs_vua_tables
+
+    vua = _stitch_multi_race_df(n_videos=20)
+    rng = np.random.default_rng(7)
+    ns_rows = []
+    for v in range(12):
+        for g in ["a", "b", "c", "d", "e", "f"]:
+            for i in range(25):
+                s = int(rng.integers(0, 5000))
+                ns_rows.append({"Video": f"ns{v}", "Gesture": g,
+                                "StartFrame": s,
+                                "EndFrame": s + 20 + i,
+                                "Note": np.nan})
+    ns = pd.DataFrame(ns_rows)
+    full, _ = ns_vs_vua_tables(vua, ns, fold=0, balance=False)
+    frac, _ = ns_vs_vua_tables(vua, ns, fold=0, balance=False,
+                               training_fraction=0.5)
+    n_vua_full = (full["train"]["Domain"] == "VUA").sum()
+    n_vua_frac = (frac["train"]["Domain"] == "VUA").sum()
+    assert n_vua_frac == int(n_vua_full * 0.5)
+    # the unconditional domain balancing (prepare_dataset.py:879-881) then
+    # downsamples NS to the (now smaller) VUA minority count
+    assert (frac["train"]["Domain"] == "NS").sum() == n_vua_frac

@@ -278,3 +278,50 @@ def test_gesture_segment_batches_tta():
     assert len(batches) == 1 and len(batches[0]["tta"]) == 3
     np.testing.assert_array_equal(batches[0]["rgb"],
                                   batches[0]["tta"][0]["rgb"])
+
+
+def test_stitch_phase_batches_and_training_step():
+    """vua-ease-stitch mode: stitch sub-phase rows collate with the EASE
+    label_fn and drive a PrototypeTrainer step (the CLI loader path)."""
+    from sais_tpu.data.reference_datasets import stitch_phase_tables
+    from sais_tpu.data.skill import skill_batches
+    from tests.test_reference_datasets import _stitch_multi_race_df
+
+    df = _stitch_multi_race_df(n_videos=10)
+    tables, classes = stitch_phase_tables(df, fold=0)
+    rng = np.random.default_rng(0)
+    reps = {f"vid{v}": rng.normal(size=(2000, DIM)).astype(np.float32)
+            for v in range(10)}
+    store = _ArrayStore(reps)
+
+    rows = tables["train"]
+    batches = list(skill_batches(
+        rows, store, None, list(classes), "NH_vs_ND_vs_NW", "train",
+        batch_size=4, shuffle=False,
+        label_fn=lambda row: list(classes).index(row["EASE"])))
+    assert batches
+    first = batches[0]
+    sub = rows.iloc[:len(first["labels"])]
+    expect = [list(classes).index(e) for e in sub["EASE"]]
+    assert list(first["labels"]) == expect
+
+    import dataclasses
+
+    import jax
+
+    from sais_tpu.config import ModelConfig, TemporalConfig, TrainConfig
+    from sais_tpu.models.full_model import full_model_init, prototypes_init
+    from sais_tpu.train.loop import PrototypeTrainer
+
+    mcfg = dataclasses.replace(
+        ModelConfig(), rep_dim=DIM, proj_dim=16, nclasses=3,
+        modalities="RGB",
+        temporal=TemporalConfig(rep_dim=DIM, num_layers=1, num_heads=2,
+                                ffn_dim=64, max_positions=256))
+    params = full_model_init(jax.random.key(0), mcfg)
+    keys, protos = prototypes_init(jax.random.key(1), 3, proj_dim=16)
+    trainer = PrototypeTrainer(mcfg, TrainConfig(lr=0.01, nepochs=1,
+                                                 batch_size=4),
+                               params, keys, protos)
+    _, metrics = trainer.run_epoch(iter(batches[:2]), train=True)
+    assert np.isfinite(metrics["loss"])

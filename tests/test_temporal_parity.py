@@ -183,3 +183,47 @@ def test_prototypes_forward_flow_only_parity():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(out.attn), g_attn.numpy(),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_no_self_attention_mean_pool_path():
+    """cfg.self_attention=False (reference CLI without -sa): snippets become
+    plain means over the PADDED frame axis — including zero pad rows, the
+    reference's exact torch.mean(x, 2) quirk (prepare_model.py:296-301) —
+    with no transformer, pos-emb or CLS, and a ones((1,1)) attention
+    placeholder."""
+    import dataclasses
+
+    import jax
+
+    from sais_tpu.config import ModelConfig
+    from sais_tpu.models.full_model import (full_model_init,
+                                            prototypes_forward,
+                                            temporal_features)
+
+    cfg = dataclasses.replace(ModelConfig(), rep_dim=16, proj_dim=8,
+                              modalities="RGB", self_attention=False,
+                              importance_head=True)
+    params = full_model_init(jax.random.key(0), cfg)
+    b, s, f, d = 3, 2, 5, 16
+    reps = jax.random.normal(jax.random.key(1), (b, s, f, d))
+    reps = reps.at[:, :, 3:].set(0.0)          # pad rows are zero
+    mask = jnp.zeros((b, s, f + 1), bool).at[:, :, 4:].set(True)
+
+    t = temporal_features(params, reps, mask, cfg)
+    assert t.full_seq is None
+    assert t.attn.shape == (1, 1) and float(t.attn[0, 0]) == 1.0
+    # mean INCLUDES the zero pad rows (divides by full F)
+    np.testing.assert_allclose(np.asarray(t.cls_seq),
+                               np.asarray(reps).sum(2) / f, rtol=1e-6)
+
+    out = prototypes_forward(params, cfg, rgb=reps, rgb_mask=mask)
+    assert out.video_rep.shape == (b, 8)
+    assert out.importances is None             # needs the transformer
+    # downstream math matches the reference chain: mean over snippets ->
+    # relu -> linear -> video rep
+    pooled = np.asarray(reps).sum(2).mean(1) / f
+    act = np.maximum(pooled, 0.0)
+    expect = act @ np.asarray(params["linear"]["w"]) + np.asarray(
+        params["linear"]["b"])
+    np.testing.assert_allclose(np.asarray(out.video_rep), expect, rtol=1e-5,
+                               atol=1e-6)
