@@ -265,17 +265,23 @@ def cmd_train(args):
             from sais_tpu.data.skill import build_ease_dataset
             from sais_tpu.data.datasets import SegmentDataset
             meta = None
-            if args.balance_groups:
+            if args.balance_groups and args.single_group:
+                sys.exit("-bg and -sg are mutually exclusive "
+                         "(prepare_dataset.py:281-287 asserts this)")
+            if args.balance_groups or args.single_group:
                 from sais_tpu.data.reference_datasets import prepare_usc_meta
                 if not args.meta:
-                    sys.exit("--balance-groups needs --meta <csv>")
+                    sys.exit("--balance-groups/--single-group need "
+                             "--meta <csv>")
                 meta = prepare_usc_meta(pd.read_csv(args.meta))
+            use_group = args.balance_groups or args.single_group
             frames, classes = build_ease_dataset(
                 segments, args.domain, fold,
                 balance=args.balance_classes,
                 explanations=explanations,
                 importance_loss=args.importance_loss,
-                meta=meta, group=args.group if args.balance_groups else None)
+                meta=meta, group=args.group if use_group else None,
+                group_val=args.single_group)
             ds = SegmentDataset(frames, [str(c) for c in classes])
             ds.skill_classes = classes
         elif stitch_mode:
@@ -365,10 +371,10 @@ def cmd_train(args):
                 from sais_tpu.models.vit import vit_init
                 enc_params = vit_init(jax.random.key(5), cfg.vit)
                 vit_cfg = cfg.vit
-            trainer = RawClassificationTrainer(mcfg, tcfg, params,
-                                               enc_params,
-                                               encoder_type=args.encoder,
-                                               mesh=mesh, vit_cfg=vit_cfg)
+            trainer = RawClassificationTrainer(
+                mcfg, tcfg, params, enc_params, encoder_type=args.encoder,
+                mesh=mesh, vit_cfg=vit_cfg,
+                freeze_encoder=not args.unfreeze_encoder)
         elif args.task == "Prototypes":
             trainer = PrototypeTrainer(mcfg, tcfg, params, keys, protos,
                                        mesh=mesh)
@@ -677,6 +683,11 @@ def build_parser():
                         help="subsample the train split to this fraction "
                              "(run_experiments.py -tf; sample(random_state=0)"
                              ", prepare_dataset.py:549,703)")
+        sp.add_argument("--unfreeze-encoder", action="store_true",
+                        help="raw path: train the R3D/ViT encoder jointly "
+                             "with the head (the reference CLI default "
+                             "without -fe; our default matches -fe = "
+                             "frozen, prepare_model.py:112-124)")
         sp.add_argument("-sa", "--no-self-attention", action="store_true",
                         help="disable the temporal transformer: snippets "
                              "become plain frame means (reference CLI "
@@ -684,7 +695,13 @@ def build_parser():
         sp.add_argument("-bg", "--balance-groups", action="store_true",
                         help="balance surgeon/patient groups within classes "
                              "(balanceGroups, prepare_dataset.py:190-213)")
-        sp.add_argument("--meta", help="surgeon/patient meta CSV for -bg")
+        sp.add_argument("--meta", help="surgeon/patient meta CSV for -bg/-sg")
+        sp.add_argument("-sg", "--single-group", nargs="?",
+                        const="ProstateLarge60ml", default=None,
+                        help="restrict the train split to one group value "
+                             "of --group (run_experiments.py:100-103; bare "
+                             "-sg uses the reference's hardcoded "
+                             "ProstateLarge60ml)")
         sp.add_argument("--group", default="Caseload Group",
                         help="meta column for group balancing")
         sp.add_argument("-d", "--domain", default="NH_02",

@@ -155,8 +155,8 @@ class ClassificationTrainer:
 
 
 class RawClassificationTrainer(ClassificationTrainer):
-    """ClassificationHead training on RAW video snippets with a frozen
-    encoder (run_experiments.py '-fe', prepare_model.py:112-124).
+    """ClassificationHead training on RAW video snippets
+    (run_experiments.py '-fe', prepare_model.py:112-124).
 
     Reference semantics (prepare_model.py:232-244, 423-440):
     - R3D: per-snippet encoder features + per-snippet-index positional
@@ -164,19 +164,23 @@ class RawClassificationTrainer(ClassificationTrainer):
     - ViT: per-frame features through the standard temporal path, then
       cls_head over the CLS track (handled by classification_forward).
 
-    The encoder runs in its own jit program outside the gradient (the
-    reference freezes it); the trainable path sees feature batches, so
-    the optimizer state holds only head/temporal parameters.
+    freeze_encoder=True (the reference's '-fe'): the encoder runs in its
+    own jit program outside the gradient and the optimizer state holds
+    only head/temporal parameters.  freeze_encoder=False (reference CLI
+    default — '-fe' absent leaves requires_grad True): the encoder sits
+    inside the jitted loss and its parameters train jointly with the head
+    via the same SGD.
     """
 
     def __init__(self, model_cfg: ModelConfig, train_cfg: TrainConfig,
                  model_params: Any, encoder_params: Any,
                  encoder_type: str = "R3D",
                  mesh: Optional["jax.sharding.Mesh"] = None,
-                 vit_cfg=None):
+                 vit_cfg=None, freeze_encoder: bool = True):
         self.encoder_type = encoder_type
         self._encoder_params = encoder_params
         self._vit_cfg = vit_cfg
+        self.freeze_encoder = freeze_encoder
 
         if encoder_type == "R3D":
             from sais_tpu.models.r3d import r3d18_features
@@ -248,8 +252,70 @@ class RawClassificationTrainer(ClassificationTrainer):
             super().__init__(model_cfg, train_cfg, model_params,
                              task="ClassificationHead", mesh=mesh)
 
+        if not freeze_encoder:
+            self._build_unfrozen(model_cfg, encoder_type, encode)
+
+    def _build_unfrozen(self, mcfg, encoder_type, encode):
+        """Joint (encoder, head) training: encode inside the jitted loss so
+        gradients flow into the encoder (reference default without -fe)."""
+        joint = {"model": self.params, "encoder": self._encoder_params}
+        if self.mesh is not None:
+            joint = mesh_lib.replicate(joint, self.mesh)
+        self.params = joint
+        self.opt_state = self.optimizer.init(joint)
+        if self.mesh is not None:
+            self.opt_state = mesh_lib.replicate(self.opt_state, self.mesh)
+
+        def head_logits(model, feats):
+            if encoder_type == "R3D":
+                s = feats.shape[1]
+                reps = feats + model["frame_pos"][:s].astype(feats.dtype)[None]
+                logits = jnp.dot(jax.nn.relu(reps),
+                                 model["cls_head"]["w"])                     + model["cls_head"]["b"]
+                return jnp.mean(logits, axis=1)
+            from sais_tpu.models.full_model import classification_forward
+            f = feats.shape[2]
+            mask = jnp.zeros(feats.shape[:2] + (f + 1,), bool)
+            logits = classification_forward(model, mcfg, feats, mask)
+            if logits.ndim == 3:
+                logits = jnp.mean(logits, axis=1)
+            return logits
+
+        def loss_fn(params, batch):
+            feats = encode(params["encoder"], batch["raw"])
+            if "raw_flow" in batch:
+                feats = feats + encode(params["encoder"], batch["raw_flow"])
+            logits = head_logits(params["model"], feats)
+            labels = batch["labels"]
+            weight = batch.get("weight")
+            if mcfg.nclasses == 1:
+                per = _bce_with_logits(logits.reshape(-1),
+                                       labels.astype(jnp.float32).reshape(-1))
+            else:
+                logp = jax.nn.log_softmax(logits, axis=-1)
+                per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+            if weight is None:
+                loss = jnp.mean(per)
+            else:
+                loss = jnp.sum(per * weight) / jnp.maximum(jnp.sum(weight),
+                                                           1.0)
+            return loss, logits
+
+        def train_step(params, opt_state, batch):
+            (loss, logits), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, batch)
+            updates, opt_state = self.optimizer.update(grads, opt_state,
+                                                       params)
+            return (optax.apply_updates(params, updates), opt_state, loss,
+                    logits)
+
+        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self._eval_step = jax.jit(loss_fn)
+
     def _pre(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
         """Frozen-encoder pass: raw snippets -> feature batch."""
+        if not self.freeze_encoder:
+            return batch  # raw goes to device; encoding happens in the loss
         out = {k: v for k, v in batch.items()
                if k not in ("raw", "raw_flow")}
         feats = self._encode(self._encoder_params,

@@ -158,3 +158,36 @@ def test_skill_collate_emits_primary_domain():
                           "train")
     np.testing.assert_array_equal(batch["primary_domain"],
                                   [True, True, False, False])
+
+
+@pytest.mark.slow
+def test_raw_unfrozen_encoder_trains_jointly():
+    """freeze_encoder=False (reference CLI without -fe): the encoder sits
+    inside the jitted loss and its parameters receive gradient updates."""
+    from sais_tpu.models.full_model import full_model_init
+    from sais_tpu.models.r3d import r3d18_init
+    from sais_tpu.train.classification import RawClassificationTrainer
+
+    rows = _stitch_rows()
+    src = _SyntheticFrames({f"vid{v}": 0 if v % 2 == 0 else 1
+                            for v in range(8)})
+    cfg = ModelConfig(rep_dim=512, modalities="RGB", nclasses=2,
+                      data_type="raw",
+                      temporal=TemporalConfig(rep_dim=512, num_layers=1,
+                                              num_heads=2, ffn_dim=64,
+                                              max_positions=8))
+    params = full_model_init(jax.random.key(0), cfg)
+    enc = r3d18_init(jax.random.key(1))
+    t = RawClassificationTrainer(cfg, TrainConfig(lr=1e-4), params, enc,
+                                 encoder_type="R3D", freeze_encoder=False)
+    enc0 = jax.tree.map(np.asarray, t.params["encoder"])
+    batches = list(raw_batches(rows, src, [0, 2], "NH_02", "train",
+                               batch_size=4, shuffle=False, width=32))
+    l0, _ = t.run_epoch(iter(batches), train=True)
+    l1, _ = t.run_epoch(iter(batches), train=True)
+    assert np.isfinite(l0) and np.isfinite(l1)
+    # encoder params actually moved (requires_grad=True semantics)
+    moved = jax.tree.leaves(jax.tree.map(
+        lambda a, b: float(np.abs(np.asarray(a) - b).max()),
+        t.params["encoder"], enc0))
+    assert max(moved) > 0.0
