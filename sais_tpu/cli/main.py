@@ -94,6 +94,11 @@ def _pipeline_config(args):
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, modalities=args.modalities),
         compute_dtype=args.dtype)
+    if getattr(args, "norm", "imagenet") == "half":
+        # timm ViT_Supervised_ImageNet normalization (0.5/0.5 per channel,
+        # extract_representations.py:152-156)
+        cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
+            cfg.preprocess, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)))
     return cfg
 
 
@@ -729,6 +734,13 @@ def build_parser():
                         help="host PIL preprocessing, bit-exact with the "
                              "reference transform stack (parity runs; "
                              "slower than the on-device path)")
+        sp.add_argument("--norm", default="imagenet",
+                        choices=["imagenet", "half"],
+                        help="feature-extraction normalization: imagenet "
+                             "stats for ViT_SelfSupervised_* encoders, "
+                             "half = 0.5/0.5 for the timm "
+                             "ViT_Supervised_ImageNet variant "
+                             "(extract_representations.py:145-162)")
         sp.add_argument("--data-parallel", action="store_true",
                         help="shard batches over all visible devices")
         sp.add_argument("--num-slices", type=int, default=1,
