@@ -404,9 +404,12 @@ def ns_vs_vua_tables(vua_stitch: pd.DataFrame, ns_timestamps: pd.DataFrame,
 
 def gronau_gesture_inference_table(df: pd.DataFrame,
                                    gestures: Sequence[str] = tuple(
-                                       NS_TOP6_GESTURES)) -> pd.DataFrame:
-    """NS Gronau_inference sampling (prepare_dataset.py:794-827): per
-    (PID, gesture) with >= 3 examples, sample exactly 3 (random_state=1)."""
+                                       NS_TOP6_GESTURES),
+                                   random_state: int = 1) -> pd.DataFrame:
+    """Per-(PID, gesture) breadth-sampling inference tables: with >= 3
+    examples, sample exactly 3.  The reference uses random_state=1 for
+    Gronau_inference (prepare_dataset.py:794-827, :1150-1166) and
+    random_state=0 for RAPN_inference (:1180-1198) — pass it accordingly."""
     df = clean_gesture_timestamps(df, int_labels=False)
     df = filter_min_frames(df)
     df = df[df["Gesture"].isin(list(gestures))]
@@ -415,8 +418,16 @@ def gronau_gesture_inference_table(df: pd.DataFrame,
         for gesture in sorted(df["Gesture"].unique().tolist()):
             cur = df[(df["PID"] == pid) & (df["Gesture"] == gesture)]
             if len(cur) >= 3:
-                parts.append(cur.sample(n=3, replace=False, random_state=1))
+                parts.append(cur.sample(n=3, replace=False,
+                                        random_state=random_state))
     return pd.concat(parts, axis=0) if parts else pd.DataFrame()
+
+
+def rapn_gesture_inference_table(df: pd.DataFrame,
+                                 gestures: Sequence[str] = tuple(
+                                     NS_TOP6_GESTURES)) -> pd.DataFrame:
+    """RAPN_inference variant (prepare_dataset.py:1180-1198)."""
+    return gronau_gesture_inference_table(df, gestures, random_state=0)
 
 
 # ---------------------------------------------------------------------------
