@@ -486,6 +486,8 @@ def cmd_pretrain(args):
         print(f"resumed from epoch {start_epoch}")
     logger = MetricLogger(jsonl_path=os.path.join(outdir, "log.txt"))
 
+    from sais_tpu.ops.augment import center_border_crop
+    hf, wf = (0.8, 0.7) if args.crop_policy == "gronau" else (0.8, 0.8)
     aug = jax.jit(lambda k, x: multi_crop_batch(
         k, x, dcfg.n_global_crops, dcfg.n_local_crops))
 
@@ -496,6 +498,8 @@ def cmd_pretrain(args):
                     if batch.shape[0] < bs:
                         continue
                     key = jax.random.key(hash((epoch, vi, bi)) % (2 ** 31))
+                    batch = center_border_crop(batch, hf, wf,
+                                               args.trim_right)
                     g, l = aug(key, jnp.asarray(batch, jnp.float32) / 255.0)
                     loss = trainer.step(g, l)
                     logger.update(loss=loss)
@@ -753,6 +757,15 @@ def build_parser():
         # pretraining flags (main_dino.py argparse equivalents)
         sp.add_argument("--out-dim", type=int, default=65536)
         sp.add_argument("--local-crops", type=int, default=8)
+        sp.add_argument("--crop-policy", default="default",
+                        choices=["default", "gronau"],
+                        help="pretrain border removal: 0.8/0.8 center crop, "
+                             "or 0.8/0.7 for Gronau videos "
+                             "(main_dino.py getCropDims)")
+        sp.add_argument("--trim-right", type=int, default=0,
+                        help="extra right-hand pixel trim after the border "
+                             "crop (VUA_Lab/AFB timer overlay: 130, "
+                             "main_dino.py:306-308)")
         sp.add_argument("--optimizer", default="adamw",
                         choices=["adamw", "sgd", "lars"])
     return p

@@ -179,3 +179,24 @@ def multi_crop_batch(key: jax.Array, images: jnp.ndarray,
                                                                LOCAL))
         locals_ = jnp.stack(lcrops, 1).reshape(n_local * b, 96, 96, 3)
     return globals_, locals_
+
+
+def center_border_crop(frames, height_frac: float = 0.8,
+                       width_frac: float = 0.8, trim_right_px: int = 0):
+    """SurgDataset border removal before augmentation (main_dino.py:300-326).
+
+    CenterCrop((height_frac*H, width_frac*W)) — 0.8/0.8 by default,
+    0.8/0.7 for the Gronau datasets (getCropDims, main_dino.py:320-325);
+    trim_right_px additionally removes a right-hand strip (the VUA_Lab /
+    VUA_AFB timer overlay, 130 px, main_dino.py:306-308).  Works on host
+    numpy or device arrays, (B, H, W, C); crop offsets follow
+    torchvision's int(round((H - ch) / 2)) convention.
+    """
+    h, w = frames.shape[1], frames.shape[2]
+    ch, cw = int(height_frac * h), int(width_frac * w)
+    top = int(round((h - ch) / 2.0))
+    left = int(round((w - cw) / 2.0))
+    out = frames[:, top:top + ch, left:left + cw]
+    if trim_right_px:
+        out = out[:, :, :max(out.shape[2] - trim_right_px, 1)]
+    return out

@@ -133,3 +133,24 @@ def test_dino_trainer_smoke():
     assert max(jax.tree.leaves(moved)) > 0
     # center updated away from zero
     assert float(jnp.abs(trainer.center).max()) > 0
+
+
+def test_center_border_crop_matches_torchvision_semantics():
+    """Border removal parity with SurgDataset (main_dino.py:300-326).
+    torchvision is absent here; compare against a transcription of
+    F.center_crop: crop_top = int(round((H - ch) / 2.)) etc."""
+    from sais_tpu.ops.augment import center_border_crop
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 255, (1, 200, 320, 3), dtype=np.uint8)
+    for hf, wf in ((0.8, 0.8), (0.8, 0.7)):
+        ours = center_border_crop(img, hf, wf)[0]
+        ch, cw = int(hf * 200), int(wf * 320)
+        top = int(round((200 - ch) / 2.0))
+        left = int(round((320 - cw) / 2.0))
+        ref = img[0][top:top + ch, left:left + cw]
+        assert ours.shape == (ch, cw, 3)
+        np.testing.assert_array_equal(ours, ref)
+    # VUA_Lab/AFB right-hand timer trim
+    trimmed = center_border_crop(img, 0.8, 0.8, trim_right_px=130)
+    assert trimmed.shape[2] == int(0.8 * 320) - 130
