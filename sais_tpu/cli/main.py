@@ -459,16 +459,46 @@ def cmd_pretrain(args):
     from sais_tpu.train.dino import DINOConfig, DINOTrainer
     from sais_tpu.utils.logging import MetricLogger
 
-    videos = sorted(glob.glob(os.path.join(args.path, "videos", "*.mp4")))
-    if not videos:
-        sys.exit(f"no videos under {os.path.join(args.path, 'videos')}")
+    if args.source == "flows":
+        # pretrain on rendered optical-flow images, the reference's
+        # --optical_flow_to_reps mode (main_dino.py:254-257 loads
+        # <ds>_FlowPaths.csv and reads the flows_%08d.jpg renders)
+        videos = sorted(d for d in glob.glob(
+            os.path.join(args.path, "flows", "*")) if os.path.isdir(d))
+        if not videos:
+            sys.exit(f"no flow dirs under {os.path.join(args.path, 'flows')}")
+    else:
+        videos = sorted(glob.glob(os.path.join(args.path, "videos", "*.mp4")))
+        if not videos:
+            sys.exit(f"no videos under {os.path.join(args.path, 'videos')}")
 
     bs = args.batch_size
     dcfg = DINOConfig(out_dim=args.out_dim, epochs=args.nepochs,
                       batch_size=bs, n_local_crops=args.local_crops,
                       warmup_epochs=min(10, max(args.nepochs // 10, 0)))
+    def _jpeg_dir_batches(d, n):
+        import cv2
+        paths = sorted(glob.glob(os.path.join(d, "*.jpg")))
+        for i in range(0, len(paths), n):
+            imgs = [cv2.cvtColor(cv2.imread(p2), cv2.COLOR_BGR2RGB)
+                    for p2 in paths[i:i + n]]
+            if imgs:
+                yield np.stack(imgs)
+
+    def _frame_count(v):
+        if args.source == "flows":
+            return len(glob.glob(os.path.join(v, "*.jpg")))
+        return VideoReader(v).frame_count
+
+    def _batches(v, n):
+        if args.source == "flows":
+            yield from _jpeg_dir_batches(v, n)
+        else:
+            with VideoReader(v) as r:
+                yield from r.batches(n)
+
     # rough steps/epoch from total frame count
-    total = sum(VideoReader(v).frame_count for v in videos)
+    total = sum(_frame_count(v) for v in videos)
     niter = max(total // bs, 1)
     mesh = None
     if args.data_parallel:
@@ -493,16 +523,15 @@ def cmd_pretrain(args):
 
     for epoch in range((start_epoch or 0), args.nepochs):
         for vi, video in enumerate(videos):
-            with VideoReader(video) as r:
-                for bi, batch in enumerate(r.batches(bs)):
-                    if batch.shape[0] < bs:
-                        continue
-                    key = jax.random.key(hash((epoch, vi, bi)) % (2 ** 31))
-                    batch = center_border_crop(batch, hf, wf,
-                                               args.trim_right)
-                    g, l = aug(key, jnp.asarray(batch, jnp.float32) / 255.0)
-                    loss = trainer.step(g, l)
-                    logger.update(loss=loss)
+            for bi, batch in enumerate(_batches(video, bs)):
+                if batch.shape[0] < bs:
+                    continue
+                key = jax.random.key(hash((epoch, vi, bi)) % (2 ** 31))
+                batch = center_border_crop(batch, hf, wf,
+                                           args.trim_right)
+                g, l = aug(key, jnp.asarray(batch, jnp.float32) / 255.0)
+                loss = trainer.step(g, l)
+                logger.update(loss=loss)
         mgr.save(epoch + 1, trainer.state())
         logger.write_epoch(epoch)
         print(f"epoch {epoch}: loss {logger.meters['loss'].global_avg:.4f}")
@@ -757,6 +786,12 @@ def build_parser():
         # pretraining flags (main_dino.py argparse equivalents)
         sp.add_argument("--out-dim", type=int, default=65536)
         sp.add_argument("--local-crops", type=int, default=8)
+        sp.add_argument("--source", default="videos",
+                        choices=["videos", "flows"],
+                        help="pretrain input: decoded video frames, or the "
+                             "rendered flow JPEGs under <root>/flows "
+                             "(reference --optical_flow_to_reps, "
+                             "main_dino.py:254-257)")
         sp.add_argument("--crop-policy", default="default",
                         choices=["default", "gronau"],
                         help="pretrain border removal: 0.8/0.8 center crop, "
