@@ -87,6 +87,16 @@ def cmd_paths(args):
     print(f"wrote manifests under {os.path.join(args.path, 'paths')}")
 
 
+def _extract_mesh(args):
+    """Device mesh for data-parallel extraction (--data-parallel on
+    extract/flow/pipeline shards frame/pair batches over all chips)."""
+    if not getattr(args, "data_parallel", False):
+        return None
+    from sais_tpu.config import MeshConfig
+    from sais_tpu.parallel.mesh import make_mesh
+    return make_mesh(MeshConfig())
+
+
 def _pipeline_config(args):
     import dataclasses
     from sais_tpu.config import PipelineConfig, ModelConfig
@@ -122,7 +132,8 @@ def cmd_extract(args):
         return
     vit_params = _load_vit(args, cfg)
     fx = FeatureExtractor(vit_params, cfg, batch_size=args.batch_size,
-                          exact_preprocess=args.exact_preprocess)
+                          exact_preprocess=args.exact_preprocess,
+                          mesh=_extract_mesh(args))
     t0 = time.time()
     reps = fx.extract_video(
         os.path.join(args.path, "videos", args.videoname + ".mp4"))
@@ -172,7 +183,8 @@ def cmd_flow(args):
         cfg = dc.replace(cfg, window=dc.replace(
             cfg.window, flow_jump_factor=int(args.flow_jump)))
     fx = FlowExtractor(raft_params, vit_params, cfg,
-                       pair_batch=args.flow_batch)
+                       pair_batch=args.flow_batch,
+                       mesh=_extract_mesh(args))
     t0 = time.time()
     # streaming: decode/RAFT/ViT pipelined, O(batch) host residency
     # (a multi-hour case would not fit in RAM as a frame stack)

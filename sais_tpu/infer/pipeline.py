@@ -40,14 +40,25 @@ class FeatureExtractor:
 
     def __init__(self, vit_params, cfg: PipelineConfig, batch_size: int = 256,
                  use_native_decode: bool = True,
-                 exact_preprocess: bool = False):
+                 exact_preprocess: bool = False,
+                 mesh: Optional["jax.sharding.Mesh"] = None):
         """exact_preprocess: preprocess on the host through PIL, bit-exact
         with the reference's torchvision transform stack, then run the ViT
         on device over the normalized floats.  The device path (antialiased
         jax.image resize) matches PIL only to ~1e-2/255 per pixel; parity
-        runs against reference-computed features need this mode."""
+        runs against reference-computed features need this mode.
+
+        mesh: optional device mesh — frame batches are sharded over every
+        mesh device (data parallelism for the pipeline's dominant FLOPs,
+        SURVEY §2.2: the reference's dead DDP scaffolding made real).  Each
+        device runs the full per-shard forward (fused Pallas path included)
+        via shard_map; no collectives are needed."""
         from sais_tpu.ops.preprocess import normalize_batch
         self.cfg = cfg
+        self.mesh = mesh
+        if mesh is not None:
+            ndev = mesh.devices.size
+            batch_size = max(ndev, batch_size - batch_size % ndev)
         self.batch_size = batch_size
         self.use_native_decode = use_native_decode and not exact_preprocess
         self.exact_preprocess = exact_preprocess
@@ -67,9 +78,21 @@ class FeatureExtractor:
             return vit_features(params, frames_f32.astype(compute), cfg.vit,
                                 compute_dtype=compute, allow_fused=True)
 
-        self._fn_device = jax.jit(_fn_device)
-        self._fn_pre = jax.jit(_fn_pre)
-        self._fn_float = jax.jit(_fn_float)
+        def _jit(fn):
+            if mesh is None:
+                return jax.jit(fn)
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            # batch dim sharded over EVERY mesh axis jointly (a tuple in
+            # one PartitionSpec slot = joint sharding of that dim)
+            spec = P(tuple(mesh.axis_names))
+            return jax.jit(shard_map(fn, mesh=mesh,
+                                     in_specs=(P(), spec),
+                                     out_specs=spec, check_rep=False))
+
+        self._fn_device = _jit(_fn_device)
+        self._fn_pre = _jit(_fn_pre)
+        self._fn_float = _jit(_fn_float)
         if exact_preprocess:
             from sais_tpu.ops.preprocess import preprocess_reference_host
 
@@ -173,14 +196,24 @@ class FlowExtractor:
     def __init__(self, raft_params, vit_params, cfg: PipelineConfig,
                  pair_batch: Optional[int] = None,
                  iters: Optional[int] = None,
-                 flow_resize: Optional[Tuple[int, int]] = None):
+                 flow_resize: Optional[Tuple[int, int]] = None,
+                 mesh: Optional["jax.sharding.Mesh"] = None):
         """flow_resize: optional (H, W) to resize frames before RAFT — the
         reference's CinVivo policy for oversized inputs (216x384,
-        extract_representations.py:122-123)."""
+        extract_representations.py:122-123).
+
+        mesh: optional device mesh — pair batches shard over all devices
+        (each chip runs its own RAFT shard; the per-chip sweet spot of 8
+        pairs scales to 8*ndev per dispatch)."""
         from sais_tpu.models.raft import (pad_to_multiple_of_8, raft_forward,
                                           unpad)
         self.cfg = cfg
+        self.mesh = mesh
+        self._ndev = 1 if mesh is None else mesh.devices.size
         self.pair_batch = pair_batch  # None -> sized per resolution below
+        if pair_batch is not None and mesh is not None:
+            self.pair_batch = max(self._ndev,
+                                  pair_batch - pair_batch % self._ndev)
         self.flow_resize = flow_resize
         self._unpad = unpad
         self._pad = pad_to_multiple_of_8
@@ -190,9 +223,18 @@ class FlowExtractor:
         def _flow(params, i1, i2):
             return raft_forward(params, i1, i2, raft_cfg, iters=iters)
 
-        self._flow_fn = jax.jit(_flow)
+        if mesh is None:
+            self._flow_fn = jax.jit(_flow)
+        else:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            spec = P(tuple(mesh.axis_names))
+            self._flow_fn = jax.jit(shard_map(
+                _flow, mesh=mesh, in_specs=(P(), spec, spec),
+                out_specs=spec, check_rep=False))
         self._raft_params = raft_params
-        self._features = FeatureExtractor(vit_params, cfg, batch_size=64)
+        self._features = FeatureExtractor(vit_params, cfg, batch_size=64,
+                                          mesh=mesh)
 
     def flow_fields(self, frames: np.ndarray) -> np.ndarray:
         """frames: (N, H, W, 3) uint8 -> (P, H, W, 2) flow for pairs
@@ -207,21 +249,27 @@ class FlowExtractor:
         pair_batch = self.pair_batch
         if pair_batch is None:
             # all-pairs correlation is O((HW/64)^2) per pair; size the batch
-            # so the f32 level-0 volume stays under ~2 GB of HBM.  Cap at 8:
-            # measured ms/pair on v5e at 240x320 is 8.6/6.7/4.96/8.1/7.4 for
-            # b=2/4/8/12/16 — per-pair cost cliffs above 8 (XLA tiling of
-            # the lookup spills) and never amortizes further.
+            # so the f32 level-0 volume stays under ~2 GB of HBM.  Cap at 8
+            # PER CHIP: measured ms/pair on v5e at 240x320 is
+            # 8.6/6.7/4.96/8.1/7.4 for b=2/4/8/12/16 — per-pair cost cliffs
+            # above 8 (XLA tiling of the lookup spills) and never amortizes
+            # further.
             hw8 = (frames.shape[1] // 8) * (frames.shape[2] // 8)
             pair_batch = max(1, min(8, int(2e9 / max(hw8 * hw8 * 4, 1))))
+            pair_batch *= self._ndev
         flows = []
         for i in range(0, len(starts), pair_batch):
             chunk = starts[i:i + pair_batch]
+            n = len(chunk)
+            if self.mesh is not None and n < pair_batch:
+                chunk = np.concatenate(
+                    [chunk, np.repeat(chunk[-1:], pair_batch - n)])
             i1 = frames[chunk]
             i2 = frames[chunk + jump]
             p1, pads = self._pad(jnp.asarray(i1, jnp.float32))
             p2, _ = self._pad(jnp.asarray(i2, jnp.float32))
             flow = self._flow_fn(self._raft_params, p1, p2)
-            flows.append(np.asarray(self._unpad(flow, pads)))
+            flows.append(np.asarray(self._unpad(flow, pads))[:n])
         return (np.concatenate(flows) if flows
                 else np.zeros((0,) + frames.shape[1:3] + (2,), np.float32))
 
@@ -300,24 +348,36 @@ class FlowExtractor:
             else:
                 buf1.append(item[0])
                 buf2.append(item[1])
-            if buf1 and (done or len(buf1) == (pair_batch or 8)):
+            if buf1 and (done or len(buf1) == (pair_batch
+                                               or 8 * self._ndev)):
                 i1 = np.stack(buf1)
                 i2 = np.stack(buf2)
                 self.peak_buffered_pairs = max(self.peak_buffered_pairs,
                                                len(buf1))
                 buf1, buf2 = [], []
                 if pair_batch is None:
-                    # cap 8: see flow_fields — per-pair cost cliffs above 8
+                    # cap 8 per chip: see flow_fields — per-pair cost cliffs
+                    # above 8
                     hw8 = (i1.shape[1] // 8) * (i1.shape[2] // 8)
                     pair_batch = max(1, min(8,
                                             int(2e9 / max(hw8 * hw8 * 4, 1))))
+                    pair_batch *= self._ndev
                 for s in range(0, len(i1), pair_batch):
-                    a = jnp.asarray(i1[s:s + pair_batch], jnp.float32)
-                    b = jnp.asarray(i2[s:s + pair_batch], jnp.float32)
+                    a_np = i1[s:s + pair_batch]
+                    b_np = i2[s:s + pair_batch]
+                    n = a_np.shape[0]
+                    if self.mesh is not None and n < pair_batch:
+                        reps = pair_batch - n
+                        a_np = np.concatenate(
+                            [a_np, np.repeat(a_np[-1:], reps, axis=0)])
+                        b_np = np.concatenate(
+                            [b_np, np.repeat(b_np[-1:], reps, axis=0)])
+                    a = jnp.asarray(a_np, jnp.float32)
+                    b = jnp.asarray(b_np, jnp.float32)
                     p1, pads = self._pad(a)
                     p2, _ = self._pad(b)
                     flow = np.asarray(self._unpad(
-                        self._flow_fn(self._raft_params, p1, p2), pads))
+                        self._flow_fn(self._raft_params, p1, p2), pads))[:n]
                     rgb = np.stack([flow_to_rgb_uint8(f) for f in flow])
                     reps_out.append(self._features.extract_array(rgb))
         t.join()
