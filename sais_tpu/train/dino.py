@@ -159,7 +159,7 @@ class DINOTrainer:
     def __init__(self, vit_cfg: ViTConfig, cfg: DINOConfig,
                  niter_per_ep: int, key: jax.Array,
                  optimizer: str = "adamw", mesh=None,
-                 fused_blocks: bool = False):
+                 fused_blocks: Optional[bool] = None):
         """mesh: optional jax.sharding.Mesh for data-parallel steps — crops
         shard on the data axis, params replicate, and the jit-inserted
         gradient/center reductions replace the reference's DDP allreduce +
@@ -169,11 +169,14 @@ class DINOTrainer:
         (custom VJP, kernels/fused_mha.make_pallas_trainable_fused_block).
         Only (x, x1) per block are saved — a remat-like memory profile with
         the recompute running inside the VMEM-resident backward kernels.
-        Measured ~7% slower than the pure XLA step at ViT-S/batch-16
-        (451 vs 487 f/s on v5e): XLA's fused backward is near-roofline on
-        this matmul-dominated shape, so choose fused_blocks when activation
-        memory binds (large multi-crop batches / bigger ViTs), not for
-        raw step speed."""
+        Measured on v5e: ~7% slower than the pure XLA step at ViT-S
+        batch 16 (451 vs 487 img/s) but 10% FASTER at batch 64 (513 vs
+        466 img/s) where the taller per-program operands amortize the
+        recompute.  Default (None): auto — fused on TPU when
+        cfg.batch_size >= 32, XLA otherwise."""
+        if fused_blocks is None:
+            fused_blocks = (cfg.batch_size >= 32
+                            and jax.default_backend() == "tpu")
         self.cfg = cfg
         self.vit_cfg = vit_cfg
         self.mesh = mesh
