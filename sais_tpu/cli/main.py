@@ -229,8 +229,20 @@ def cmd_decode(args):
 
 def cmd_train(args):
     """Fold-driver training (run_experiments.py:85-116 semantics): iterate
-    folds, split/balance per fold, train with early stopping, save
-    params/prototypes/metrics under params/Fold_<k>."""
+    domains x folds, split/balance per fold, train with early stopping,
+    save params/[domain/]Fold_<k>."""
+    if getattr(args, "domains", None):
+        # reference -domains loop (run_experiments.py:44,85-90): one
+        # invocation trains every domain; artifacts nest per domain
+        import copy
+        for dom in args.domains:
+            print(f"Domain: {dom}")
+            sub = copy.copy(args)
+            sub.domains = None
+            sub.domain = dom
+            sub.params_subdir = dom if len(args.domains) > 1 else None
+            cmd_train(sub)
+        return
     import jax
     import pandas as pd
     from sais_tpu.data.collate import segment_batches
@@ -432,7 +444,10 @@ def cmd_train(args):
         loaders = {ph: loader(ph, ph == "train")
                    for ph in ("train", "val", "test")
                    if len(ds.frames.get(ph, []))}
-        savepath = os.path.join(args.path, "params", f"Fold_{fold}")
+        subdir = getattr(args, "params_subdir", None)
+        savepath = os.path.join(args.path, "params",
+                                *((subdir,) if subdir else ()),
+                                f"Fold_{fold}")
         if args.task == "Prototypes" and not raw_mode:
             result = trainer.fit(loaders, nepochs=args.nepochs)
             save_training_result(savepath, result)
@@ -754,6 +769,10 @@ def build_parser():
                              "ProstateLarge60ml)")
         sp.add_argument("--group", default="Caseload Group",
                         help="meta column for group balancing")
+        sp.add_argument("--domains", nargs="+", default=None,
+                        help="train several domains in one invocation "
+                             "(run_experiments.py -domains); artifacts "
+                             "nest under params/<domain>/Fold_<k>")
         sp.add_argument("-d", "--domain", default="NH_02",
                         help="EASE domain, e.g. NH_02 or NH_02+ND_02 "
                              "(run_experiments.py -d)")
