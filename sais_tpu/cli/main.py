@@ -373,6 +373,10 @@ def cmd_train(args):
                                            or args.importance_loss),
                           multi_task=(skill_mode and "+" in args.domain),
                           self_attention=not args.no_self_attention)
+        if args.rep_dim:
+            mcfg = dc.replace(
+                mcfg, rep_dim=args.rep_dim,
+                temporal=dc.replace(mcfg.temporal, rep_dim=args.rep_dim))
         params = full_model_init(jax.random.fold_in(jax.random.key(0), fold),
                                  mcfg)
         keys, protos = prototypes_init(
@@ -769,6 +773,10 @@ def build_parser():
                              "ProstateLarge60ml)")
         sp.add_argument("--group", default="Caseload Group",
                         help="meta column for group balancing")
+        sp.add_argument("-dim", "--rep-dim", type=int, default=None,
+                        help="representation dim override "
+                             "(run_experiments.py -dim; default 384 for "
+                             "ViT reps, 512 for the R3D raw path)")
         sp.add_argument("--domains", nargs="+", default=None,
                         help="train several domains in one invocation "
                              "(run_experiments.py -domains); artifacts "
