@@ -227,6 +227,86 @@ def cmd_decode(args):
         print("wrote inference artifacts under params/Fold_0")
 
 
+def cmd_assess(args):
+    """Skill assessment over annotated stitch segments (-f video):
+    EASE-domain probabilities + frame-importance + CLS attention, exported
+    in the reference's inference-artifact layout (train.py:113-121)."""
+    import pandas as pd
+    from sais_tpu.infer.skill import SkillAssessor
+    from sais_tpu.io.feature_store import (FeatureStore, flow_store_path,
+                                           rgb_store_path)
+    from sais_tpu.train.checkpoint import save_inference_artifacts
+
+    cfg = _pipeline_config(args)
+    import dataclasses as dc
+    cfg = dc.replace(cfg, model=dc.replace(
+        cfg.model, importance_head=True, nclasses=args.nclasses))
+    folds = _load_folds(args, cfg)
+    segments = pd.read_csv(args.segments)
+    rows = segments[segments["Video"].astype(str) == args.videoname]
+    if not len(rows):
+        sys.exit(f"no segments for video {args.videoname} in "
+                 f"{args.segments}")
+    with FeatureStore(rgb_store_path(args.path)) as fs:
+        rgb = fs.read_video(args.videoname)
+    flow = None
+    if cfg.model.modalities != "RGB":
+        with FeatureStore(flow_store_path(args.path)) as fs:
+            flow = fs.read_video(args.videoname)
+    for fold, (params, protos) in enumerate(folds):
+        assessor = SkillAssessor(params, protos, cfg)
+        art = assessor.assess_segments(rgb, flow, rows,
+                                       flow_jump=cfg.window.flow_jump_factor)
+        savepath = os.path.join(args.path, "params", f"Fold_{fold}")
+        save_inference_artifacts(
+            savepath, args.phase,
+            {"reps": art["reps"], "probs": art["probs"],
+             "videonames": [args.videoname] * len(rows)},
+            attention=art["attention"],
+            importance=art["importance"] or None)
+        import numpy as _np
+        mean_probs = _np.mean(
+            [_np.stack(art["probs"][t]) for t in (0, 1, 2)], axis=0)
+        out = rows.copy()
+        for c in range(mean_probs.shape[1]):
+            out[f"prob_{c}"] = mean_probs[:, c]
+        dest = os.path.join(args.path, "results",
+                            f"{args.videoname}_skill_fold{fold}.csv")
+        os.makedirs(os.path.dirname(dest), exist_ok=True)
+        out.to_csv(dest)
+        print(f"fold {fold}: wrote {dest} + artifacts under {savepath}")
+
+
+def cmd_steps(args):
+    """Sub-phase (step) recognition over a full-length video: 10 s / 5 s
+    sliding windows (prepare_dataset.py:459-486), fold-ensembled."""
+    from sais_tpu.data.tasks import step_window_config
+    from sais_tpu.infer.pipeline import GestureDecoder
+    from sais_tpu.infer.skill import StepRecognizer
+    from sais_tpu.io.feature_store import (FeatureStore, flow_store_path,
+                                           rgb_store_path)
+
+    cfg = _pipeline_config(args)
+    import dataclasses as dc
+    cfg = dc.replace(cfg, window=step_window_config(args.fps),
+                     model=dc.replace(cfg.model, nclasses=3))
+    folds = _load_folds(args, cfg)
+    with FeatureStore(rgb_store_path(args.path)) as fs:
+        rgb = fs.read_video(args.videoname)
+    flow = None
+    if cfg.model.modalities != "RGB":
+        with FeatureStore(flow_store_path(args.path)) as fs:
+            flow = fs.read_video(args.videoname)
+    dec = GestureDecoder(folds, cfg)
+    rec = StepRecognizer(dec, fps=args.fps)
+    df = rec.recognize(args.videoname, rgb, flow)
+    dest = os.path.join(args.path, "results",
+                        f"{args.videoname}_steps.csv")
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    df.to_csv(dest)
+    print(f"wrote {len(df)} step windows to {dest}")
+
+
 def cmd_train(args):
     """Fold-driver training (run_experiments.py:85-116 semantics): iterate
     domains x folds, split/balance per fold, train with early stopping,
@@ -699,6 +779,7 @@ def build_parser():
     for name, fn in [("frames", cmd_frames), ("paths", cmd_paths),
                      ("extract", cmd_extract), ("flow", cmd_flow),
                      ("decode", cmd_decode), ("pipeline", cmd_pipeline),
+                     ("assess", cmd_assess), ("steps", cmd_steps),
                      ("train", cmd_train), ("pretrain", cmd_pretrain),
                      ("eval", cmd_eval), ("port", cmd_port),
                      ("serve", cmd_serve), ("request", cmd_request)]:
@@ -806,6 +887,13 @@ def build_parser():
                         help="host PIL preprocessing, bit-exact with the "
                              "reference transform stack (parity runs; "
                              "slower than the on-device path)")
+        sp.add_argument("--phase", default="inference",
+                        help="assess: artifact phase suffix "
+                             "(reps_and_labels_<phase> etc., "
+                             "train.py:113-121)")
+        sp.add_argument("--fps", type=float, default=20.0,
+                        help="steps: video fps for the 10 s / 5 s windows "
+                             "(prepare_dataset.py:471-473)")
         sp.add_argument("--norm", default="imagenet",
                         choices=["imagenet", "half"],
                         help="feature-extraction normalization: imagenet "
