@@ -243,10 +243,23 @@ def cmd_assess(args):
         cfg.model, importance_head=True, nclasses=args.nclasses))
     folds = _load_folds(args, cfg)
     segments = pd.read_csv(args.segments)
+    if "Video" not in segments.columns and "Path" in segments.columns:
+        segments["Video"] = segments["Path"].apply(
+            lambda pth: pth.split("\\")[-1] if "\\" in pth
+            else pth.split("/")[-1])
     rows = segments[segments["Video"].astype(str) == args.videoname]
     if not len(rows):
         sys.exit(f"no segments for video {args.videoname} in "
                  f"{args.segments}")
+    if "StartFrame" not in rows.columns:
+        # stitch-schema CSV (per-RACE frame columns): derive the
+        # race-specific windows exactly like the reference
+        # (getStartAndEndFrame; data/reference_datasets.vua_ease_window)
+        from sais_tpu.data.reference_datasets import vua_ease_window
+        rows = rows.copy()
+        se = rows.apply(lambda r: pd.Series(vua_ease_window(r["RACE"], r)),
+                        axis=1)
+        rows[["StartFrame", "EndFrame"]] = se.to_numpy()
     with FeatureStore(rgb_store_path(args.path)) as fs:
         rgb = fs.read_video(args.videoname)
     flow = None
@@ -290,7 +303,8 @@ def cmd_steps(args):
     import dataclasses as dc
     cfg = dc.replace(cfg, window=step_window_config(args.fps),
                      model=dc.replace(cfg.model, nclasses=3))
-    folds = _load_folds(args, cfg)
+    args.nclasses = 3          # random-init prototypes must match the 3
+    folds = _load_folds(args, cfg)  # step classes (NH/ND/NW)
     with FeatureStore(rgb_store_path(args.path)) as fs:
         rgb = fs.read_video(args.videoname)
     flow = None
@@ -357,6 +371,11 @@ def cmd_train(args):
 
     skill_mode = args.dataset == "vua-ease"
     stitch_mode = args.dataset == "vua-ease-stitch"
+    if args.training_fraction < 1 and not stitch_mode:
+        sys.exit("-tf only applies to --dataset vua-ease-stitch (and the "
+                 "library-level NS_vs_VUA tables): the reference subsamples "
+                 "the train split only in those branches "
+                 "(prepare_dataset.py:549, :703)")
     explanations = None
     if args.importance_loss:
         if not skill_mode:
@@ -377,6 +396,11 @@ def cmd_train(args):
             if args.balance_groups and args.single_group:
                 sys.exit("-bg and -sg are mutually exclusive "
                          "(prepare_dataset.py:281-287 asserts this)")
+            if (args.balance_groups or args.single_group) \
+                    and not args.balance_classes:
+                sys.exit("-bg/-sg require -bc: the reference applies group "
+                         "balancing/restriction only inside the "
+                         "balance==True branch (prepare_dataset.py:281-291)")
             if args.balance_groups or args.single_group:
                 from sais_tpu.data.reference_datasets import prepare_usc_meta
                 if not args.meta:
@@ -838,10 +862,14 @@ def build_parser():
                              "with the head (the reference CLI default "
                              "without -fe; our default matches -fe = "
                              "frozen, prepare_model.py:112-124)")
-        sp.add_argument("-sa", "--no-self-attention", action="store_true",
+        sp.add_argument("--no-self-attention", action="store_true",
                         help="disable the temporal transformer: snippets "
-                             "become plain frame means (reference CLI "
-                             "without -sa, prepare_model.py:296-301)")
+                             "become plain frame means — equivalent to the "
+                             "reference CLI WITHOUT -sa "
+                             "(prepare_model.py:296-301). Our default "
+                             "matches the reference's published commands "
+                             "(-sa on). No -sa short alias on purpose: its "
+                             "polarity here would be inverted.")
         sp.add_argument("-bg", "--balance-groups", action="store_true",
                         help="balance surgeon/patient groups within classes "
                              "(balanceGroups, prepare_dataset.py:190-213)")

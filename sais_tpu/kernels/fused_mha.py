@@ -205,8 +205,14 @@ def fused_vit_block_int8(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b,
                          ln2_b, num_heads: int, valid_len: int,
                          eps: float = 1e-6, imgs: int = 1,
                          interpret: bool = False) -> jnp.ndarray:
-    """fused_vit_block with W8A8 matmuls (weights quantized at trace time,
-    folded to constants under jit when params are donated/captured)."""
+    """fused_vit_block with W8A8 matmuls.
+
+    Weights are quantized INSIDE the traced function (params are jit
+    arguments in every call path, so the abs-max/round/clip runs each
+    call).  That costs ~88 MFLOP across all 12 ViT-S blocks — noise next
+    to the ~4.6 TFLOP forward at extraction batch 1024 — so the recurring
+    quantization is not what limits this mode to +3.8%; the int8 dot
+    itself doesn't reach the MXU's nominal 2x rate (see PERFORMANCE.md)."""
     b, lp, d = x.shape
     head_dim = d // num_heads
     groups = b // imgs

@@ -23,8 +23,56 @@ from sais_tpu.config import ModelConfig, TrainConfig
 from sais_tpu.models.full_model import classification_forward, mil_forward
 from sais_tpu.parallel import mesh as mesh_lib
 from sais_tpu.train import metrics as metrics_lib
-from sais_tpu.train.losses import (_bce_with_logits,
-                                   binary_cross_entropy_logits, cross_entropy)
+from sais_tpu.train.losses import _bce_with_logits
+
+
+def make_weighted_loss(logits_fn, nclasses: int):
+    """loss_fn(params, batch) -> (loss, logits).
+
+    CE (or BCEWithLogits when nclasses == 1) with the optional zero-weight
+    masking for mesh-padded rows (pad_batch_with_weight contract): padded
+    rows contribute neither to the loss nor to the gradients, mirroring
+    PrototypeTrainer's masked NCE (train/loop.py).  One definition shared
+    by every classification trainer so the padding semantics cannot
+    diverge between paths."""
+
+    def loss_fn(params, batch):
+        logits = logits_fn(params, batch)
+        labels = batch["labels"]
+        weight = batch.get("weight")
+        if nclasses == 1:
+            per = _bce_with_logits(logits.reshape(-1),
+                                   labels.astype(jnp.float32).reshape(-1))
+        else:
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
+        if weight is None:
+            loss = jnp.mean(per)
+        else:
+            loss = jnp.sum(per * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+        return loss, logits
+
+    return loss_fn
+
+
+def r3d_head_logits(model, feats):
+    """getR3Dreps semantics (prepare_model.py:232-244): per-snippet pos-emb
+    + cls_head(relu(.)), mean-pooled over snippets."""
+    s = feats.shape[1]
+    reps = feats + model["frame_pos"][:s].astype(feats.dtype)[None]
+    logits = jnp.dot(jax.nn.relu(reps), model["cls_head"]["w"]) \
+        + model["cls_head"]["b"]
+    return jnp.mean(logits, axis=1)
+
+
+def make_train_step(optimizer, loss_fn):
+    def train_step(params, opt_state, batch):
+        (loss, logits), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params, batch)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss, logits
+
+    return train_step
 
 
 class ClassificationTrainer:
@@ -59,40 +107,9 @@ class ClassificationTrainer:
                 logits = jnp.mean(logits, axis=1)
             return logits
 
-        def loss_fn(params, batch):
-            logits = logits_fn(params, batch)
-            labels = batch["labels"]
-            weight = batch.get("weight")
-            if weight is None:
-                if mcfg.nclasses == 1:
-                    loss = binary_cross_entropy_logits(logits, labels)
-                else:
-                    loss = cross_entropy(logits, labels)
-            else:
-                # padded-batch path (batch % n_devices != 0 on a mesh):
-                # padded rows carry weight 0 so they contribute neither to
-                # the loss nor to the gradients — mirroring
-                # PrototypeTrainer's masked NCE (train/loop.py)
-                if mcfg.nclasses == 1:
-                    per = _bce_with_logits(logits.reshape(-1),
-                                           labels.astype(jnp.float32)
-                                           .reshape(-1))
-                else:
-                    logp = jax.nn.log_softmax(logits, axis=-1)
-                    per = -jnp.take_along_axis(logp, labels[:, None],
-                                               axis=1)[:, 0]
-                loss = jnp.sum(per * weight) / jnp.maximum(jnp.sum(weight),
-                                                           1.0)
-            return loss, logits
-
-        def train_step(params, opt_state, batch):
-            (loss, logits), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch)
-            updates, opt_state = self.optimizer.update(grads, opt_state,
-                                                       params)
-            return optax.apply_updates(params, updates), opt_state, loss, logits
-
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        loss_fn = make_weighted_loss(logits_fn, mcfg.nclasses)
+        self._train_step = jax.jit(make_train_step(self.optimizer, loss_fn),
+                                   donate_argnums=(0, 1))
         self._eval_step = jax.jit(loss_fn)
         if mesh is not None:
             self.params = mesh_lib.replicate(self.params, mesh)
@@ -207,46 +224,12 @@ class RawClassificationTrainer(ClassificationTrainer):
             super().__init__(model_cfg, train_cfg, model_params, task=task,
                              mesh=mesh)
 
-            mcfg = model_cfg
-
-            def logits_fn(params, batch):
-                feats = batch["rgb"]                       # (B, S, D)
-                s = feats.shape[1]
-                reps = feats + params["frame_pos"][:s].astype(
-                    feats.dtype)[None]
-                logits = jnp.dot(jax.nn.relu(reps),
-                                 params["cls_head"]["w"]) \
-                    + params["cls_head"]["b"]
-                return jnp.mean(logits, axis=1)            # pool snippets
-
-            def loss_fn(params, batch):
-                logits = logits_fn(params, batch)
-                labels = batch["labels"]
-                weight = batch.get("weight")
-                if mcfg.nclasses == 1:
-                    per = _bce_with_logits(logits.reshape(-1),
-                                           labels.astype(jnp.float32)
-                                           .reshape(-1))
-                else:
-                    logp = jax.nn.log_softmax(logits, axis=-1)
-                    per = -jnp.take_along_axis(logp, labels[:, None],
-                                               axis=1)[:, 0]
-                if weight is None:
-                    loss = jnp.mean(per)
-                else:
-                    loss = jnp.sum(per * weight) / jnp.maximum(
-                        jnp.sum(weight), 1.0)
-                return loss, logits
-
-            def train_step(params, opt_state, batch):
-                (loss, logits), grads = jax.value_and_grad(
-                    loss_fn, has_aux=True)(params, batch)
-                updates, opt_state = self.optimizer.update(grads, opt_state,
-                                                           params)
-                return (optax.apply_updates(params, updates), opt_state,
-                        loss, logits)
-
-            self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+            loss_fn = make_weighted_loss(
+                lambda params, batch: r3d_head_logits(params, batch["rgb"]),
+                model_cfg.nclasses)
+            self._train_step = jax.jit(
+                make_train_step(self.optimizer, loss_fn),
+                donate_argnums=(0, 1))
             self._eval_step = jax.jit(loss_fn)
         else:
             super().__init__(model_cfg, train_cfg, model_params,
@@ -268,11 +251,7 @@ class RawClassificationTrainer(ClassificationTrainer):
 
         def head_logits(model, feats):
             if encoder_type == "R3D":
-                s = feats.shape[1]
-                reps = feats + model["frame_pos"][:s].astype(feats.dtype)[None]
-                logits = jnp.dot(jax.nn.relu(reps),
-                                 model["cls_head"]["w"])                     + model["cls_head"]["b"]
-                return jnp.mean(logits, axis=1)
+                return r3d_head_logits(model, feats)
             from sais_tpu.models.full_model import classification_forward
             f = feats.shape[2]
             mask = jnp.zeros(feats.shape[:2] + (f + 1,), bool)
@@ -281,35 +260,15 @@ class RawClassificationTrainer(ClassificationTrainer):
                 logits = jnp.mean(logits, axis=1)
             return logits
 
-        def loss_fn(params, batch):
+        def logits_fn(params, batch):
             feats = encode(params["encoder"], batch["raw"])
             if "raw_flow" in batch:
                 feats = feats + encode(params["encoder"], batch["raw_flow"])
-            logits = head_logits(params["model"], feats)
-            labels = batch["labels"]
-            weight = batch.get("weight")
-            if mcfg.nclasses == 1:
-                per = _bce_with_logits(logits.reshape(-1),
-                                       labels.astype(jnp.float32).reshape(-1))
-            else:
-                logp = jax.nn.log_softmax(logits, axis=-1)
-                per = -jnp.take_along_axis(logp, labels[:, None], axis=1)[:, 0]
-            if weight is None:
-                loss = jnp.mean(per)
-            else:
-                loss = jnp.sum(per * weight) / jnp.maximum(jnp.sum(weight),
-                                                           1.0)
-            return loss, logits
+            return head_logits(params["model"], feats)
 
-        def train_step(params, opt_state, batch):
-            (loss, logits), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, batch)
-            updates, opt_state = self.optimizer.update(grads, opt_state,
-                                                       params)
-            return (optax.apply_updates(params, updates), opt_state, loss,
-                    logits)
-
-        self._train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        loss_fn = make_weighted_loss(logits_fn, mcfg.nclasses)
+        self._train_step = jax.jit(make_train_step(self.optimizer, loss_fn),
+                                   donate_argnums=(0, 1))
         self._eval_step = jax.jit(loss_fn)
 
     def _pre(self, batch: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
