@@ -529,7 +529,10 @@ def cmd_train(args):
                 return lambda: raw_batches(
                     rows, src, ds.skill_classes, args.domain, phase,
                     args.batch_size, shuffle, width=args.raw_width,
-                    encoder_type=args.encoder, tta=tta)
+                    encoder_type=args.encoder, tta=tta,
+                    # dual-stream raw: the reference loader always pairs
+                    # RGB with flow JPEGs (prepare_dataset.py raw branch)
+                    use_flow=use_flow)
             if skill_mode:
                 from sais_tpu.data.skill import skill_batches
                 return lambda: skill_batches(

@@ -94,7 +94,8 @@ def serve(service: DecodeService, socket_path: str,
     srv.listen(4)
     log(f"sais serve: listening on {socket_path}")
     running = True
-    latencies: list = []  # per decode-request wall seconds
+    from collections import deque
+    latencies: "deque" = deque(maxlen=10000)  # bounded: long-lived daemon
     while running:
         conn, _ = srv.accept()
         with conn, conn.makefile("rw") as f:
@@ -110,10 +111,10 @@ def serve(service: DecodeService, socket_path: str,
                     elif req.get("cmd") == "ping":
                         resp = {"ok": True, "pong": True}
                     elif req.get("cmd") == "stats":
-                        resp = {"ok": True, "requests": len(latencies),
-                                "p50_s": round(_percentile(latencies, 0.5), 3),
-                                "p95_s": round(_percentile(latencies, 0.95),
-                                               3)}
+                        lat = sorted(latencies)
+                        resp = {"ok": True, "requests": len(lat),
+                                "p50_s": round(_percentile(lat, 0.5), 3),
+                                "p95_s": round(_percentile(lat, 0.95), 3)}
                     else:
                         resp = service.decode_video(
                             req["video"], bool(req.get("flow", False)))

@@ -96,12 +96,15 @@ def segment_batches(dataset_rows: pd.DataFrame, rgb_store, flow_store,
     the dict-of-3 semantics of pad_collate (:2808-2935); the trainers mean
     losses and probs/logits over them (perform_training.py:126-149).
     """
-    from sais_tpu.data.datasets import batched_indices
+    from sais_tpu.data.datasets import CachingStore, batched_indices
     label_to_col = {c: i for i, c in enumerate(classes)}
     offsets = tuple(wcfg.tta_offsets) if tta else (0,)
     for idx in batched_indices(len(dataset_rows), batch_size, shuffle, seed):
+        # one read per distinct video per batch, shared by all TTA variants
+        rgb_c = CachingStore(rgb_store)
+        flow_c = CachingStore(flow_store) if flow_store is not None else None
         variants = [
-            collate_segments(dataset_rows.iloc[idx], rgb_store, flow_store,
+            collate_segments(dataset_rows.iloc[idx], rgb_c, flow_c,
                              label_to_col, wcfg, tta_offset=off,
                              use_flow=use_flow)
             for off in offsets

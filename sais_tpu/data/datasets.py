@@ -89,3 +89,21 @@ def batched_indices(n: int, batch_size: int, shuffle: bool,
     if shuffle:
         np.random.default_rng(seed).shuffle(idx)
     return [idx[i:i + batch_size] for i in range(0, n, batch_size)]
+
+
+class CachingStore:
+    """Per-batch read cache over a FeatureStore-like object.
+
+    FeatureStore.read_video materializes the full (nframes, D) dataset;
+    the 3-way TTA collation otherwise re-reads every row's video once per
+    variant (3x the I/O — hundreds of MB per batch for hour-long videos).
+    Scope one instance per batch so memory stays bounded."""
+
+    def __init__(self, store):
+        self._store = store
+        self._cache = {}
+
+    def read_video(self, name):
+        if name not in self._cache:
+            self._cache[name] = self._store.read_video(name)
+        return self._cache[name]

@@ -56,9 +56,12 @@ def raw_segment_indices(row, tta_offset: int = 0) -> np.ndarray:
         start, end = start_f, end_f - int(diff * 0.20)
     jump = max((end - start) // RAW_SNIPPET_LEN, 1)
     if tta_offset:
-        # offsets shift start AND the reference end for NW-style windows
-        # (indices2 = arange(startIdx+3, endIdx+3, jump)[:16], :1906-1908)
-        idx = np.arange(start + tta_offset, end + tta_offset, jump)
+        # TTA variants sample from the RAW annotation span, NOT the
+        # race-adjusted base window: indices2 = arange(startIdx+3,
+        # endIdx+3, jump_size)[:16] (prepare_dataset.py:1884-1886) — for
+        # Needle Withdrawal that window starts ~40 frames after the base
+        # one, and for NH/ND it ignores the 20%-tail drop.
+        idx = np.arange(start_f + tta_offset, end_f + tta_offset, jump)
     else:
         idx = np.arange(start, end, jump)
     return idx[:RAW_SNIPPET_LEN]
@@ -91,17 +94,23 @@ def process_snippet(frames_u8: np.ndarray, width: int,
                     ) -> np.ndarray:
     """processImages (prepare_dataset.py:1936-1947): /255, center-crop
     0.8H x 0.8W, bilinear resize to (width, width), normalize.
-    (T, H, W, 3) uint8 -> (T, width, width, 3) float32, channels-last."""
-    from PIL import Image
+    (T, H, W, 3) uint8 -> (T, width, width, 3) float32, channels-last.
+
+    Matches torchvision's tensor path: crop origin int(round((H-ch)/2))
+    (F.center_crop) and a NON-antialiased bilinear resize of the float
+    tensor (F.resize on tensors) — cv2.INTER_LINEAR on float32 uses the
+    same half-pixel convention."""
+    import cv2
 
     out = []
     for frame in frames_u8:
         h, w = frame.shape[:2]
         ch, cw = int(0.8 * h), int(0.8 * w)
-        top, left = (h - ch) // 2, (w - cw) // 2
-        crop = frame[top:top + ch, left:left + cw]
-        img = Image.fromarray(crop).resize((width, width), Image.BILINEAR)
-        x = np.asarray(img, np.float32) / 255.0
+        top = int(round((h - ch) / 2.0))
+        left = int(round((w - cw) / 2.0))
+        crop = frame[top:top + ch, left:left + cw].astype(np.float32) / 255.0
+        x = cv2.resize(crop, (width, width),
+                       interpolation=cv2.INTER_LINEAR)
         out.append((x - np.asarray(mean, np.float32))
                    / np.asarray(std, np.float32))
     return np.stack(out)

@@ -271,9 +271,17 @@ def skill_segment_indices(row, phase: str, tta_offset: int = 0) -> np.ndarray:
 
 
 def _flow_jump(videoname: str,
-               fps_table: Mapping[str, float] = VUA_FPS_TABLE) -> int:
-    """jump = fps // 2 with the per-video fps table
-    (prepare_dataset.py:2245, fps_dict :24-26)."""
+               fps_table: Mapping[str, float] = VUA_FPS_TABLE,
+               phase: str = "") -> int:
+    """Flow jump factor (prepare_dataset.py:2240-2245): fixed 15 for
+    Gronau inference, fixed 30 for Lab/AFB, HMH per-video fps // 2
+    (HMH_FPS_TABLE = extract_representations.py:437-463), otherwise the
+    VUA per-video table (fps_dict, prepare_dataset.py:24-26)."""
+    from sais_tpu.config import FLOW_JUMP_BY_PHASE, HMH_FPS_TABLE
+    if phase in FLOW_JUMP_BY_PHASE:
+        return FLOW_JUMP_BY_PHASE[phase]
+    if "HMH" in phase:
+        return int(HMH_FPS_TABLE.get(str(videoname), 30.0) // 2)
     return int(fps_table.get(str(videoname), 30.0) // 2)
 
 
@@ -312,7 +320,7 @@ def collate_skill(rows: pd.DataFrame, rgb_store, flow_store,
         else:
             imp_list.append(np.zeros((len(idx),), np.float32))
         if flow_store is not None:
-            jump = _flow_jump(row["Video"], fps_table)
+            jump = _flow_jump(row["Video"], fps_table, phase)
             fidx = np.unique(idx // jump)
             flow_list.append(flow_store.read_video(str(row["Video"]))[fidx])
 
@@ -365,13 +373,16 @@ def skill_batches(phase_rows: pd.DataFrame, rgb_store, flow_store,
     """Yield skill batches; with tta=True each yield carries the 3 TTA
     variants (dict-of-3 semantics of pad_collate,
     prepare_dataset.py:2808-2935) under a 'tta' key."""
-    from sais_tpu.data.datasets import batched_indices
+    from sais_tpu.data.datasets import CachingStore, batched_indices
 
     offsets = (0, 3, 6) if tta else (0,)
     for idx in batched_indices(len(phase_rows), batch_size, shuffle, seed):
         rows = phase_rows.iloc[idx]
+        # one read per distinct video per batch, shared by all TTA variants
+        rgb_c = CachingStore(rgb_store)
+        flow_c = CachingStore(flow_store) if flow_store is not None else None
         variants = [
-            collate_skill(rows, rgb_store, flow_store, classes, domain,
+            collate_skill(rows, rgb_c, flow_c, classes, domain,
                           phase, importance_loss, tta_offset=off,
                           fps_table=fps_table, label_fn=label_fn)
             for off in offsets

@@ -73,12 +73,14 @@ def whiten_and_normalize(queries: np.ndarray, database: np.ndarray,
     return qn, dn
 
 
+_matmul = jax.jit(jnp.matmul)  # module-level: one compile per shape
+
+
 def rank_copies(queries: np.ndarray, database: np.ndarray,
                 topk: int = 20) -> Tuple[np.ndarray, np.ndarray]:
     """Cosine similarity top-k (eval_copy_detection.py:294-299); returns
     (similarities, indices), the device matmul jitted."""
-    sim = np.asarray(jax.jit(jnp.matmul)(jnp.asarray(queries),
-                                         jnp.asarray(database.T)))
+    sim = np.asarray(_matmul(jnp.asarray(queries), jnp.asarray(database.T)))
     idx = np.argsort(-sim, axis=1)[:, :topk]
     return np.take_along_axis(sim, idx, axis=1), idx
 

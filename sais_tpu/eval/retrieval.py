@@ -23,6 +23,8 @@ from sais_tpu.config import ViTConfig
 from sais_tpu.models.vit import vit_features
 
 
+_matmul = jax.jit(jnp.matmul)  # module-level: one compile per shape
+
 def multi_scale_features(params, images: jnp.ndarray,
                          cfg: ViTConfig) -> jnp.ndarray:
     """utils.multi_scale: CLS features at 3 scales, averaged then
@@ -52,7 +54,7 @@ def retrieval_ranks(db_features: np.ndarray,
     dbn = db_features / np.linalg.norm(db_features, axis=1, keepdims=True)
     qn = query_features / np.linalg.norm(query_features, axis=1,
                                          keepdims=True)
-    sim = np.asarray(jax.jit(jnp.matmul)(jnp.asarray(dbn), jnp.asarray(qn.T)))
+    sim = np.asarray(_matmul(jnp.asarray(dbn), jnp.asarray(qn.T)))
     return np.argsort(-sim, axis=0)
 
 

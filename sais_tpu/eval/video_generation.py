@@ -57,7 +57,16 @@ def attention_video(vit_params, cfg: ViTConfig, video_path: str,
                 h = (h - h.min()) / max(h.max() - h.min(), 1e-8)
                 hm = cv2.applyColorMap((h * 255).astype(np.uint8),
                                        cv2.COLORMAP_INFERNO)[:, :, ::-1]
-                base = cv2.resize(frame, (h.shape[1], h.shape[0]))
+                # the attention map covers the CENTER-CROPPED region the
+                # ViT saw; crop the base frame identically before resizing
+                # or the overlay lands up to 10% of the frame off
+                from sais_tpu.ops.preprocess import center_crop_bounds
+                r0, r1 = center_crop_bounds(frame.shape[0],
+                                            pre.crop_height_frac)
+                c0, c1 = center_crop_bounds(frame.shape[1],
+                                            pre.crop_width_frac)
+                base = cv2.resize(frame[r0:r1, c0:c1],
+                                  (h.shape[1], h.shape[0]))
                 blend = ((1 - alpha) * base + alpha * hm).astype(np.uint8)
                 if writer is None:
                     writer = cv2.VideoWriter(

@@ -148,12 +148,15 @@ class FeatureExtractor:
                 pass  # native lib unavailable: python decode path below
 
         q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=prefetch)
+        producer_error: List[BaseException] = []
 
         def producer():
             try:
                 with VideoReader(video_path) as r:
                     for batch in r.batches(self.batch_size):
                         q.put(batch)
+            except BaseException as e:  # surface decode failures to the
+                producer_error.append(e)  # consumer instead of fake EOF
             finally:
                 q.put(None)
 
@@ -169,6 +172,8 @@ class FeatureExtractor:
 
         out = self._drain(gen(), self._fn)
         t.join()
+        if producer_error:
+            raise producer_error[0]
         return out
 
     def _drain(self, batches, fn) -> np.ndarray:
@@ -302,9 +307,13 @@ class FlowExtractor:
         """
         from sais_tpu.ops.flow_viz import flow_to_rgb_uint8
 
+        import os
+        if frame_source is None and not os.path.exists(video_path):
+            raise FileNotFoundError(video_path)
         jump = self.cfg.window.flow_jump_factor
         q: "queue.Queue[Optional[Tuple[np.ndarray, np.ndarray]]]" = \
             queue.Queue(maxsize=prefetch)
+        producer_error: List[BaseException] = []
 
         def producer():
             prev = None
@@ -329,6 +338,8 @@ class FlowExtractor:
                 finally:
                     if ctx is not None:
                         ctx.close()
+            except BaseException as e:  # re-raised in the consumer: a decode
+                producer_error.append(e)  # failure must not look like EOF
             finally:
                 q.put(None)
 
@@ -381,6 +392,8 @@ class FlowExtractor:
                     rgb = np.stack([flow_to_rgb_uint8(f) for f in flow])
                     reps_out.append(self._features.extract_array(rgb))
         t.join()
+        if producer_error:
+            raise producer_error[0]
         if not reps_out:
             return np.zeros((0, self.cfg.vit.embed_dim), np.float32)
         return np.concatenate(reps_out)

@@ -100,17 +100,13 @@ def is_multislice(mesh: Mesh) -> bool:
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
-    """Leading batch axis split jointly over (dcn, data): each slice holds
-    a contiguous shard, gradients hierarchically reduce (ICI first)."""
-    return NamedSharding(mesh, P((DCN_AXIS, DATA_AXIS)))
+    """Leading batch axis split jointly over (dcn, data).  Alias of
+    parallel.mesh.data_sharding, which handles both single- and
+    multi-slice meshes — one implementation, re-exported here so the
+    multislice call sites read naturally."""
+    from sais_tpu.parallel.mesh import data_sharding
+    return data_sharding(mesh)
 
 
-def replicated(mesh: Mesh) -> NamedSharding:
-    return NamedSharding(mesh, P())
-
-
-def data_parallel_size(mesh: Mesh) -> int:
-    n = mesh.shape[DATA_AXIS]
-    if is_multislice(mesh):
-        n *= mesh.shape[DCN_AXIS]
-    return n
+# single implementations live in parallel.mesh (DCN-aware); re-export
+from sais_tpu.parallel.mesh import data_parallel_size, replicated  # noqa: E402,F401

@@ -74,3 +74,25 @@ def test_flow_extractor_end_to_end():
         b = fx.extract_video(None, frame_source=iter(sub))
         assert a.shape == b.shape, n
         np.testing.assert_allclose(b, a, atol=1e-5)
+
+
+def test_extract_video_missing_file_raises():
+    """Producer-thread decode failures must surface, not masquerade as an
+    empty video (code-review finding: try/finally swallowed them)."""
+    import dataclasses
+
+    import jax
+
+    from sais_tpu.infer.pipeline import FeatureExtractor, FlowExtractor
+    from sais_tpu.models.raft import raft_init
+    from sais_tpu.models.vit import vit_init
+
+    cfg = dataclasses.replace(PipelineConfig(), compute_dtype="float32")
+    vit = vit_init(jax.random.key(0), cfg.vit)
+    fx = FeatureExtractor(vit, cfg, use_native_decode=False)
+    with pytest.raises(FileNotFoundError):
+        fx.extract_video("/nonexistent/video.mp4")
+    raft = raft_init(jax.random.key(1), cfg.raft)
+    fl = FlowExtractor(raft, vit, cfg)
+    with pytest.raises(FileNotFoundError):
+        fl.extract_video("/nonexistent/video.mp4")

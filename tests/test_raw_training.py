@@ -44,9 +44,21 @@ def test_raw_indices_match_reference_math():
     np.testing.assert_array_equal(idx, np.arange(360, 440, 80 // 16)[:16])
     # raw path uses FRAME NUMBERS (no -1): first index == start frame - 40
     assert idx[0] == 400 - 40
-    # TTA offset shifts both ends (indices2 = arange(s+3, e+3, jump)[:16])
+    # TTA variants sample from the RAW annotation span with the base
+    # window's jump (indices2 = arange(startIdx+3, endIdx+3, jump)[:16],
+    # prepare_dataset.py:1884-1886) — for NW that is the withdrawal span
+    # itself, NOT the +/-40 base window shifted
     idx3 = raw_segment_indices(row, tta_offset=3)
-    np.testing.assert_array_equal(idx3, idx + 3)
+    nw_start, nw_end = int(row["Needle Withdrawal Start Frame"]), int(
+        row["Needle Withdrawal End Frame"])
+    np.testing.assert_array_equal(
+        idx3, np.arange(nw_start + 3, nw_end + 3, 80 // 16)[:16])
+    # NH: base start equals the raw start, so the variant is the shifted
+    # base grid as long as 16 samples fit before the (undropped) end
+    row = _row()
+    idx = raw_segment_indices(row)
+    idx3 = raw_segment_indices(row, tta_offset=3)
+    np.testing.assert_array_equal(idx3, (idx + 3)[:len(idx3)])
 
 
 def test_process_snippet_shapes_and_stats():
@@ -191,3 +203,31 @@ def test_raw_unfrozen_encoder_trains_jointly():
         lambda a, b: float(np.abs(np.asarray(a) - b).max()),
         t.params["encoder"], enc0))
     assert max(moved) > 0.0
+
+
+def test_process_snippet_matches_torch_tensor_path():
+    """processImages parity: torchvision's tensor path = float crop with
+    round-half-even origin + NON-antialiased bilinear resize
+    (prepare_dataset.py:1936-1947).  torchvision is absent here, so the
+    oracle is torch.nn.functional.interpolate (what F.resize calls for
+    tensors)."""
+    import torch
+    import torch.nn.functional as F
+
+    rng = np.random.default_rng(0)
+    frames = rng.integers(0, 255, (3, 101, 143, 3), dtype=np.uint8)
+    mean, std = R3D_MEAN, R3D_STD
+    ours = process_snippet(frames, 64, mean, std)
+
+    t = torch.from_numpy(frames).permute(0, 3, 1, 2).float() / 255.0
+    h, w = 101, 143
+    ch, cw = int(0.8 * h), int(0.8 * w)
+    top = int(round((h - ch) / 2.0))
+    left = int(round((w - cw) / 2.0))
+    t = t[:, :, top:top + ch, left:left + cw]
+    t = F.interpolate(t, size=(64, 64), mode="bilinear",
+                      align_corners=False)
+    m = torch.tensor(mean)[None, :, None, None]
+    sd = torch.tensor(std)[None, :, None, None]
+    ref = ((t - m) / sd).permute(0, 2, 3, 1).numpy()
+    np.testing.assert_allclose(ours, ref, atol=5e-3)   # cv2 fixed-point
