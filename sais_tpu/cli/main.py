@@ -702,6 +702,10 @@ def cmd_serve(args):
             raft_params = raft_params_from_torch(
                 sd.get("state_dict", sd) if isinstance(sd, dict) else sd)
         else:
+            if not args.random_init:
+                # same guard as cmd_flow: random RAFT weights behind a
+                # long-lived daemon would silently serve garbage flow
+                sys.exit("need --raft-weights or --random-init")
             raft_params = raft_init(jax.random.key(3), cfg.raft)
     svc = DecodeService(args.path, cfg, vit_params, folds, raft_params,
                         batch_size=args.batch_size)

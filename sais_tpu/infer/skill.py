@@ -52,7 +52,13 @@ class SkillAssessor:
         for b in self.buckets:
             if n <= b:
                 return b
-        return self.buckets[-1]
+        # grow beyond the configured buckets (next power of two) instead of
+        # silently clamping — a clamp made the padded-array assignment
+        # crash for segments longer than the largest bucket
+        b = self.buckets[-1]
+        while b < n:
+            b *= 2
+        return b
 
     def assess_segments(self, rgb_reps: np.ndarray,
                         flow_reps: Optional[np.ndarray],

@@ -430,20 +430,29 @@ def flow_head(x, p):
 
 def update_block(net, inp, corr, flow, p):
     motion = motion_encoder(flow, corr, p["encoder"])
-    return _update_block_tail(net, inp, motion, p)
+    net, delta = _update_block_tail(net, inp, motion, p)
+    return net, upsample_mask(net, p), delta
 
 
 def update_block_pre(net, inp, corr_c1, flow, p):
-    """update_block taking relu(convc1(corr)) from corr_lookup_motion."""
+    """update_block taking relu(convc1(corr)) from corr_lookup_motion,
+    WITHOUT the upsampling mask: at inference only the final iteration's
+    mask is consumed, so raft_forward computes it once after the scan
+    (from the same final GRU state — identical values) instead of paying
+    the mask convs (~14% of update FLOPs) and a stacked
+    (iters, B, H/8, W/8, 576) HBM buffer (~700 MB at b8/32it) per pass."""
     motion = _motion_encoder_tail(flow, corr_c1, p["encoder"])
     return _update_block_tail(net, inp, motion, p)
+
+
+def upsample_mask(net, p):
+    return 0.25 * _conv(jax.nn.relu(_conv(net, p["mask0"])), p["mask2"])
 
 
 def _update_block_tail(net, inp, motion, p):
     net = sep_conv_gru(net, jnp.concatenate([inp, motion], -1), p["gru"])
     delta = flow_head(net, p["flow_head"])
-    mask = 0.25 * _conv(jax.nn.relu(_conv(net, p["mask0"])), p["mask2"])
-    return net, mask, delta
+    return net, delta
 
 
 def upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
@@ -521,13 +530,15 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
         corr_c1 = corr_lookup_motion(pyramid, coords1, cfg.corr_radius,
                                      params["update"]["encoder"]["convc1"])
         flow = coords1 - coords0
-        net2, mask, delta = update_block_pre(net, inp, corr_c1, flow,
-                                             params["update"])
-        return (net2, coords1 + delta), mask
+        net2, delta = update_block_pre(net, inp, corr_c1, flow,
+                                       params["update"])
+        return (net2, coords1 + delta), None
 
-    (net, coords1), masks = jax.lax.scan(step, (net, coords0), None,
-                                         length=iters)
-    return upsample_flow(coords1 - coords0, masks[-1])
+    (net, coords1), _ = jax.lax.scan(step, (net, coords0), None,
+                                     length=iters)
+    # mask from the FINAL GRU state only (see update_block_pre docstring)
+    mask = upsample_mask(net, params["update"])
+    return upsample_flow(coords1 - coords0, mask)
 
 
 # ---------------------------------------------------------------------------

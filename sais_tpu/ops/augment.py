@@ -139,7 +139,7 @@ def _random_resized_crop(key, img, out_size, scale):
 def augment_crop(key: jax.Array, img: jnp.ndarray, spec: CropSpec
                  ) -> jnp.ndarray:
     """One augmented crop of one image.  img: (H, W, 3) float in [0,1]."""
-    k = jax.random.split(key, 7)
+    k = jax.random.split(key, 8)
     x = _random_resized_crop(k[0], img, spec.size, spec.scale)
     flip = jax.random.bernoulli(k[1], 0.5)
     x = jnp.where(flip, x[:, ::-1, :], x)
@@ -148,7 +148,10 @@ def augment_crop(key: jax.Array, img: jnp.ndarray, spec: CropSpec
     do_gray = jax.random.bernoulli(k[4], 0.2)
     x = jnp.where(do_gray, _rgb_to_gray(x), x)
     do_blur = jax.random.bernoulli(k[5], spec.blur_p)
-    x = jnp.where(do_blur, _gaussian_blur(k[5], x, spec.size), x)
+    # sigma draws from its OWN key: sharing k[5] with the gate made the
+    # conditional sigma distribution collapse to the bottom of [0.1, 2]
+    # (blurred iff u<p ties sigma to small u)
+    x = jnp.where(do_blur, _gaussian_blur(k[7], x, spec.size), x)
     if spec.solarize_p > 0:
         do_sol = jax.random.bernoulli(k[6], spec.solarize_p)
         x = jnp.where(do_sol, jnp.where(x >= 0.5, 1.0 - x, x), x)
