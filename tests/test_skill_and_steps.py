@@ -104,3 +104,18 @@ def test_step_recognizer_end_to_end():
     probs = df[["Needle Handling", "Needle Driving",
                 "Needle Withdrawal"]].to_numpy()
     np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)
+
+
+def test_flow_jump_phase_resolution():
+    """prepare_dataset.py:2240-2245: fixed 15 for Gronau inference, fixed
+    30 for Lab/AFB, HMH per-video fps // 2 (HMH_FPS_TABLE), else the VUA
+    per-video table."""
+    from sais_tpu.data.skill import _flow_jump
+
+    assert _flow_jump("x", phase="Gronau_inference") == 15
+    assert _flow_jump("x", phase="Lab_inference") == 30
+    assert _flow_jump("x", phase="AFB_inference") == 30
+    assert _flow_jump("HMV4", phase="HMH_inference") == 30   # 60 fps // 2
+    assert _flow_jump("HMV8", phase="HMH_inference") == 29   # 59.94 // 2
+    assert _flow_jump("1", phase="train") == 10              # VUA 20 fps
+    assert _flow_jump("unknown", phase="train") == 15        # default 30
