@@ -188,7 +188,9 @@ def cmd_flow(args):
     t0 = time.time()
     # streaming: decode/RAFT/ViT pipelined, O(batch) host residency
     # (a multi-hour case would not fit in RAM as a frame stack)
-    reps = fx.extract_video(video_path)
+    save_dir = (os.path.join(args.path, "flows", args.videoname)
+                if args.save_flows else None)
+    reps = fx.extract_video(video_path, save_flow_dir=save_dir)
     dt = time.time() - t0
     with FeatureStore(flow_store_path(args.path), "a") as fs:
         fs.write_video(args.videoname, reps)
@@ -922,6 +924,12 @@ def build_parser():
                         help="host PIL preprocessing, bit-exact with the "
                              "reference transform stack (parity runs; "
                              "slower than the on-device path)")
+        sp.add_argument("--save-flows", action="store_true",
+                        help="also write the rendered flow images as "
+                             "flows/<video>/flows_%%08d.jpg (the reference "
+                             "saveFlows layout, extract_representations"
+                             ".py:254-262; consumed by `sais pretrain "
+                             "--source flows`)")
         sp.add_argument("--phase", default="inference",
                         help="assess: artifact phase suffix "
                              "(reps_and_labels_<phase> etc., "

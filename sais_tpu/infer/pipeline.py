@@ -289,7 +289,8 @@ class FlowExtractor:
         return reps, rgb
 
     def extract_video(self, video_path: str, prefetch: int = 8,
-                      frame_source=None) -> np.ndarray:
+                      frame_source=None,
+                      save_flow_dir: Optional[str] = None) -> np.ndarray:
         """Streaming dual-stream extraction: decode -> RAFT -> flow RGB ->
         DINO reps without ever materializing the video in host RAM.
 
@@ -347,6 +348,7 @@ class FlowExtractor:
         t.start()
 
         reps_out: List[np.ndarray] = []
+        n_saved = 0
         self.peak_buffered_pairs = 0
         pair_batch = self.pair_batch
         done = False
@@ -390,6 +392,20 @@ class FlowExtractor:
                     flow = np.asarray(self._unpad(
                         self._flow_fn(self._raft_params, p1, p2), pads))[:n]
                     rgb = np.stack([flow_to_rgb_uint8(f) for f in flow])
+                    if save_flow_dir is not None:
+                        # reference saveFlows layout: flows_%08d.jpg
+                        # numbered by pair index = frame // jump
+                        # (extract_representations.py:254-262,
+                        # generate_paths.py:64-69); PIL writer for
+                        # byte-comparable JPEGs
+                        from PIL import Image
+                        import os as _os
+                        _os.makedirs(save_flow_dir, exist_ok=True)
+                        for im in rgb:
+                            Image.fromarray(im).save(_os.path.join(
+                                save_flow_dir,
+                                f"flows_{n_saved:08d}.jpg"))
+                            n_saved += 1
                     reps_out.append(self._features.extract_array(rgb))
         t.join()
         if producer_error:
