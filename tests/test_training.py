@@ -170,3 +170,18 @@ def test_masked_importance_loss_is_correct_bce():
                                       jnp.asarray(ipad.numpy()),
                                       jnp.asarray(labels.numpy()))
     assert abs(float(ours) - float(quirk)) > 1e-6
+
+
+def test_nonfinite_loss_aborts():
+    """Failure detection (SURVEY §5.3): a NaN loss stops the epoch loudly
+    instead of training onward with poisoned parameters."""
+    mcfg = _model_cfg()
+    trainer = _trainer(mcfg)
+    # NaN prototypes poison the NCE loss immediately
+    import dataclasses as dc
+    trainer.state = dc.replace(
+        trainer.state,
+        prototypes=jnp.full_like(trainer.state.prototypes, jnp.nan))
+    batches = _toy_batches(nbatches=1)
+    with pytest.raises(FloatingPointError):
+        trainer.run_epoch(iter(batches), train=True)
