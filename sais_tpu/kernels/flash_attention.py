@@ -92,8 +92,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     if key_padding_mask is None:
         key_padding_mask = jnp.zeros((b, l), bool)
 
-    # pad L to the block size and Dh to the 128-lane boundary
-    lp = l + ((-l) % max(block_q, block_k))
+    # pad L to a multiple of BOTH blocks (floor-dividing the key loop by
+    # block_k would silently drop trailing keys otherwise) and Dh to the
+    # 128-lane boundary
+    import math as _math
+    step = _math.lcm(block_q, block_k)
+    lp = l + ((-l) % step)
     q = _pad_to(q, 2, max(block_q, block_k))
     k = _pad_to(k, 2, max(block_q, block_k))
     v = _pad_to(v, 2, max(block_q, block_k))

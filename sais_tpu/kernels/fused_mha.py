@@ -64,6 +64,13 @@ def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
                   eps: float, imgs: int = 1):
     """One full pre-norm ViT block for `imgs` images, entirely in VMEM.
 
+    MAINTENANCE NOTE: the per-head attention inner loop appears, with
+    variant-specific differences, in _block_kernel, _block_kernel_int8,
+    _block_fwd_train_kernel and _attn_bwd_kernel's recompute.  Any change
+    to the shared math (masking, dtype casts, softmax) must be applied to
+    ALL FOUR, and test_fused_backward's forward/gradient agreement
+    assertions are the guard that catches drift.
+
     With imgs > 1 the qkv / proj / MLP matmuls run over all images' rows at
     once ((imgs*Lp, D) operands feed the MXU with taller tiles) while the
     O(L^2) attention still runs per image, per head.

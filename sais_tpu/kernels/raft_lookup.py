@@ -43,8 +43,10 @@ def _lookup_kernel(cp_ref, gy_ref, gx_ref, o_ref, *, radius: int,
     sy = jnp.stack(
         [jnp.sum(gy[:, None, :] * cp[kc + 1:kc + 1 + ext_y], axis=0)
          for kc in range(k)], axis=0)    # (k, Wl, N)
+    # wp = wl + 4r + 3 exactly (shifted windows read [ka+1, ka+1+ext_x),
+    # max index = (2r) + 1 + (wl + 2r + 2) - 1 = wl + 4r + 2)
     zl = jnp.zeros((k, pad_w, n), sy.dtype)
-    zr = jnp.zeros((k, pad_w + 2 * r + 1, n), sy.dtype)
+    zr = jnp.zeros((k, 2 * r + 1, n), sy.dtype)
     syp = jnp.concatenate([zl, sy, zr], axis=1)   # (k, wp, N)
     for ka in range(k):
         win = syp[:, ka + 1:ka + 1 + ext_x]       # (k, ext_x, N)

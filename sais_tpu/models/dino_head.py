@@ -28,7 +28,10 @@ def dino_head_forward(params: Params, x: jnp.ndarray,
         if i < n - 1:  # GELU between hidden layers, none after bottleneck
             h = jax.nn.gelu(h.astype(jnp.float32),
                             approximate=False).astype(h.dtype)
-    h = h / jnp.linalg.norm(h.astype(jnp.float32), axis=-1, keepdims=True)
+    # F.normalize clamps the denominator (eps=1e-12): a collapsed row
+    # yields zeros, not NaNs
+    h = h / jnp.maximum(jnp.linalg.norm(h.astype(jnp.float32), axis=-1,
+                                        keepdims=True), 1e-12)
     v = params["last_v"]            # (bottleneck, out) column-per-prototype
     g = params["last_g"]            # (out,)
     w = v / jnp.linalg.norm(v, axis=0, keepdims=True)

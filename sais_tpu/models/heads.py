@@ -91,6 +91,13 @@ def mil_head(snip_reps: jnp.ndarray, p: Params, nclasses: int
 
     snip_reps: (B, S, D) -> (logits (B, nclasses), {class: attention (B, S)}).
     """
+    n_modules = len(p["final_modules"])
+    if nclasses > n_modules:
+        raise ValueError(
+            f"MIL head has {n_modules} per-class modules "
+            f"(ModelConfig.n_attention_classes) but nclasses={nclasses}; "
+            "raise n_attention_classes to at least nclasses "
+            "(the reference hardcodes 3, prepare_model.py:88-91)")
     scores: List[jnp.ndarray] = []
     attention: Dict[int, jnp.ndarray] = {}
     for c in range(nclasses):

@@ -34,13 +34,7 @@ Params = Dict[str, Any]
 _NEG_INF = -1e30
 
 
-def _layer_norm(x, scale, bias, eps):
-    dtype = x.dtype
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
-    y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(dtype)
+from sais_tpu.models.vit import _layer_norm  # shared f32 layernorm
 
 
 def multihead_attention(x: jnp.ndarray, p: Params, num_heads: int,

@@ -118,10 +118,50 @@ def block(x: jnp.ndarray, p: Params, cfg: ViTConfig,
     return x, w
 
 
+def _cubic_kernel(x: "np.ndarray", a: float = -0.75) -> "np.ndarray":
+    """Cubic convolution kernel — torch's bicubic uses a = -0.75 (vs the
+    Keys a = -0.5 of jax.image.resize)."""
+    import numpy as np
+    ax = np.abs(x)
+    w = np.where(ax <= 1, (a + 2) * ax ** 3 - (a + 3) * ax ** 2 + 1,
+                 np.where(ax < 2,
+                          a * ax ** 3 - 5 * a * ax ** 2 + 8 * a * ax - 4 * a,
+                          0.0))
+    return w
+
+
+def _torch_bicubic_matrix(in_size: int, out_size: int, scale: float
+                          ) -> "np.ndarray":
+    """(out, in) interpolation matrix replicating F.interpolate(mode=
+    'bicubic', align_corners=False) with an EXPLICIT scale_factor: the
+    source coordinate is (i + 0.5) / scale - 0.5 using the GIVEN scale
+    (this is why DINO's +0.1 fudge changes the result), 4 taps with the
+    a=-0.75 kernel, border-clamped indices."""
+    import numpy as np
+    m = np.zeros((out_size, in_size), np.float64)
+    for i in range(out_size):
+        src = (i + 0.5) / scale - 0.5
+        i0 = int(np.floor(src))
+        t = src - i0
+        taps = np.arange(i0 - 1, i0 + 3)
+        w = _cubic_kernel(taps - src)
+        taps = np.clip(taps, 0, in_size - 1)
+        for tp, wt in zip(taps, w):
+            m[i, tp] += wt
+    return m.astype(np.float32)
+
+
 def interpolate_pos_embed(pos_embed: jnp.ndarray, npatch: int, gh: int,
                           gw: int) -> jnp.ndarray:
     """Bicubic pos-embedding interpolation for non-224 inputs
-    (vision_transformer.py:174-194).  pos_embed: (1, N+1, D)."""
+    (vision_transformer.py:174-194).  pos_embed: (1, N+1, D).
+
+    Torch-exact: F.interpolate(mode='bicubic') semantics (a=-0.75 kernel,
+    coordinate transform from the EXPLICIT scale factor) including DINO's
+    (g + 0.1) / sqrt(N) fudge (issue #8) — precomputed as two static
+    (out, in) weight matrices applied as matmuls, which is also the
+    MXU-friendly formulation."""
+    import numpy as np
     n = pos_embed.shape[1] - 1
     if npatch == n and gh == gw:
         return pos_embed
@@ -129,9 +169,14 @@ def interpolate_pos_embed(pos_embed: jnp.ndarray, npatch: int, gh: int,
     patch_pe = pos_embed[:, 1:]
     dim = pos_embed.shape[-1]
     side = int(math.sqrt(n))
-    grid = patch_pe.reshape(1, side, side, dim)
-    grid = jax.image.resize(grid, (1, gh, gw, dim), method="bicubic")
-    return jnp.concatenate([cls_pe, grid.reshape(1, gh * gw, dim)], axis=1)
+    grid = patch_pe.reshape(side, side, dim)
+    mh = jnp.asarray(_torch_bicubic_matrix(side, gh, (gh + 0.1) / side))
+    mw = jnp.asarray(_torch_bicubic_matrix(side, gw, (gw + 0.1) / side))
+    out = jnp.einsum("oh,hwd->owd", mh.astype(jnp.float32),
+                     grid.astype(jnp.float32))
+    out = jnp.einsum("pw,hwd->hpd", mw.astype(jnp.float32), out)
+    out = out.astype(pos_embed.dtype)
+    return jnp.concatenate([cls_pe, out.reshape(1, gh * gw, dim)], axis=1)
 
 
 def prepare_tokens(params: Params, images: jnp.ndarray,
@@ -186,9 +231,12 @@ def _vit_forward_fused(params: Params, images: jnp.ndarray,
     if lp != l:
         x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
     block = fused_vit_block_int8 if quant == "int8" else fused_vit_block
+    zero_b = jnp.zeros((3 * d,), x.dtype)   # qkv_bias=False -> zero bias
     for p in params["blocks"]:
         x = block(
-            x, p["attn"]["qkv_w"], p["attn"]["qkv_b"], p["attn"]["proj_w"],
+            x, p["attn"]["qkv_w"],
+            p["attn"]["qkv_b"] if p["attn"].get("qkv_b") is not None
+            else zero_b, p["attn"]["proj_w"],
             p["attn"]["proj_b"], p["mlp"]["fc1_w"], p["mlp"]["fc1_b"],
             p["mlp"]["fc2_w"], p["mlp"]["fc2_b"], p["ln1_s"], p["ln1_b"],
             p["ln2_s"], p["ln2_b"], num_heads=cfg.num_heads, valid_len=l,
@@ -293,9 +341,13 @@ def vit_features(params: Params, images: jnp.ndarray, cfg: ViTConfig,
 
 def _trunc_normal(key: jax.Array, shape: Tuple[int, ...],
                   std: float = 0.02) -> jnp.ndarray:
-    """Truncated normal init matching dino-main/utils.py trunc_normal_
-    (truncation at +/-2 std)."""
-    return std * jax.random.truncated_normal(key, -2.0, 2.0, shape, jnp.float32)
+    """Truncated normal matching dino-main/utils.py trunc_normal_: the
+    reference bounds a=-2, b=2 are ABSOLUTE, i.e. +/-(2/std) sigmas — at
+    std=0.02 effectively untruncated (truncating at +/-2 sigma instead
+    shrinks the effective std by ~12%)."""
+    lim = 2.0 / std
+    return std * jax.random.truncated_normal(key, -lim, lim, shape,
+                                             jnp.float32)
 
 
 def vit_init(key: jax.Array, cfg: ViTConfig) -> Params:

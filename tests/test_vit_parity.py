@@ -93,3 +93,28 @@ def test_vit_bf16_close_to_f32():
     bf16, _ = vit_forward(params, x, cfg, compute_dtype=jnp.bfloat16)
     # bf16 compute path stays within loose tolerance of f32
     assert np.max(np.abs(np.asarray(f32) - np.asarray(bf16))) < 0.15
+
+
+def test_pos_embed_interpolation_matches_torch_bicubic():
+    """Non-224 inputs: interpolate_pos_encoding parity incl. torch's
+    a=-0.75 bicubic kernel, the explicit-scale coordinate transform, and
+    DINO's +0.1 scale fudge (vision_transformer.py:174-194, issue #8)."""
+    import torch.nn.functional as F
+
+    from sais_tpu.models.vit import interpolate_pos_embed
+
+    rng = np.random.default_rng(0)
+    side, dim = 14, 32
+    pe = rng.normal(size=(1, side * side + 1, dim)).astype(np.float32)
+    for gh, gw in ((30, 56), (7, 7), (13, 21)):
+        ours = np.asarray(interpolate_pos_embed(jnp.asarray(pe),
+                                                gh * gw, gh, gw))
+        t = torch.from_numpy(pe[:, 1:]).reshape(1, side, side, dim) \
+            .permute(0, 3, 1, 2)
+        ref = F.interpolate(t, scale_factor=((gh + 0.1) / side,
+                                             (gw + 0.1) / side),
+                            mode="bicubic", recompute_scale_factor=False)
+        assert ref.shape[-2:] == (gh, gw)
+        ref = ref.permute(0, 2, 3, 1).reshape(1, -1, dim).numpy()
+        np.testing.assert_allclose(
+            ours, np.concatenate([pe[:, :1], ref], axis=1), atol=1e-5)
