@@ -523,36 +523,39 @@ def cmd_train(args):
                                             task=args.task, mesh=mesh)
 
         def loader(phase, shuffle):
+            # factories take the epoch index: per-epoch reshuffle seed
+            # (the reference DataLoader reshuffles every epoch)
             rows = ds.frames[phase]
             tta = phase in ("val", "test")  # 3-way eval TTA
             if raw_mode:
                 from sais_tpu.data.raw import jpeg_frame_source, raw_batches
                 src = jpeg_frame_source(args.path, dataset="VUA")
-                return lambda: raw_batches(
+                return lambda epoch=0: raw_batches(
                     rows, src, ds.skill_classes, args.domain, phase,
                     args.batch_size, shuffle, width=args.raw_width,
-                    encoder_type=args.encoder, tta=tta,
+                    encoder_type=args.encoder, tta=tta, seed=epoch,
                     # dual-stream raw: the reference loader always pairs
                     # RGB with flow JPEGs (prepare_dataset.py raw branch)
                     use_flow=use_flow)
             if skill_mode:
                 from sais_tpu.data.skill import skill_batches
-                return lambda: skill_batches(
+                return lambda epoch=0: skill_batches(
                     rows, rgb_store, flow_store, ds.skill_classes,
                     args.domain, phase, args.batch_size, shuffle,
-                    importance_loss=args.importance_loss, tta=tta)
+                    importance_loss=args.importance_loss, tta=tta,
+                    seed=epoch)
             if stitch_mode:
                 from sais_tpu.data.skill import skill_batches
                 classes_ = list(ds.skill_classes)
-                return lambda: skill_batches(
+                return lambda epoch=0: skill_batches(
                     rows, rgb_store, flow_store, classes_,
                     "NH_vs_ND_vs_NW", phase, args.batch_size, shuffle,
-                    tta=tta,
+                    tta=tta, seed=epoch,
                     label_fn=lambda row: classes_.index(row["EASE"]))
-            return lambda: segment_batches(rows, rgb_store, flow_store,
-                                           ds.classes, cfg.window,
-                                           args.batch_size, shuffle,
-                                           use_flow=use_flow, tta=tta)
+            return lambda epoch=0: segment_batches(
+                rows, rgb_store, flow_store, ds.classes, cfg.window,
+                args.batch_size, shuffle, seed=epoch, use_flow=use_flow,
+                tta=tta)
 
         loaders = {ph: loader(ph, ph == "train")
                    for ph in ("train", "val", "test")
@@ -570,7 +573,7 @@ def cmd_train(args):
             from sais_tpu.train.metrics import format_metrics
             for epoch in range(args.nepochs):
                 for phase, make in loaders.items():
-                    _, m = trainer.run_epoch(make(), phase == "train")
+                    _, m = trainer.run_epoch(make(epoch), phase == "train")
                     print(format_metrics(phase, m))
             save_training_result(savepath, {"model": trainer.params,
                                             "prototypes": protos})

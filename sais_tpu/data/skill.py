@@ -242,6 +242,11 @@ def build_ease_dataset(stitch_df: pd.DataFrame, domain: str, fold: int,
         per = one_domain(dom)
         for phase in data:
             data[phase] = pd.concat((data[phase], per[phase]), axis=0)
+        # QUIRK PRESERVED: the returned classes are the LAST '+'-joined
+        # domain's label set — the reference refits self.label_encoder
+        # inside its per-domain loop (prepare_dataset.py:398 within
+        # get_train_val_data_one_domain, looped at :413-418), so getData
+        # transforms BOTH domains' rows with the last domain's encoder.
         classes = sorted(set(int(c) for c in dom.split("_")[1]))
     for phase in data:
         data[phase] = data[phase].reset_index(drop=True)

@@ -54,11 +54,13 @@ AFB_HANDLING_POLICY = SamplingPolicy(stride=120, drop_tail_frac=0.20,
                                      tta_shifts_end=True)
 
 
-def race_window(start_frame: int, end_frame: int, race: str
-                ) -> Tuple[int, int, int]:
-    """(startIdx, endIdx) in rep-index space for one RACE annotation
-    (prepare_dataset.py:2160-2171): both ends -1; Needle Handling's window
-    ends at Needle Entry Start, Needle Driving spans Entry->Withdrawal."""
+def race_window(start_frame: int, end_frame: int, race: str = ""
+                ) -> Tuple[int, int]:
+    """(startIdx, endIdx) in rep-index space: both frame numbers -1
+    (prepare_dataset.py:2160-2171).  The RACE-specific COLUMN selection
+    (Needle Handling ends at Needle Entry Start, Needle Driving spans
+    Entry->Withdrawal) happens in callers via RACE_FRAME_COLUMNS; `race`
+    is accepted for call-site readability only."""
     return start_frame - 1, end_frame - 1
 
 

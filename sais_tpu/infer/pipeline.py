@@ -435,7 +435,14 @@ class GestureDecoder:
                                      flow_mask)
             return prototype_probs(out.video_rep, protos), out.attn
 
+        def _artifact_fn(params, protos, rgb, rgb_mask, flow, flow_mask):
+            out = prototypes_forward(params, mcfg, rgb, rgb_mask, flow,
+                                     flow_mask)
+            return (out.video_rep, prototype_probs(out.video_rep, protos),
+                    out.attn)
+
         self._fn = jax.jit(_fn)
+        self._artifact_fn = jax.jit(_artifact_fn)
 
     def _run_batch(self, params, protos, tta: TTABatch) -> np.ndarray:
         """Chunked, padded execution of one TTA variant -> (W, P) probs."""
@@ -498,6 +505,8 @@ class GestureDecoder:
                      flow_reps: Optional[np.ndarray]) -> np.ndarray:
         """Ensembled per-window probabilities (pre post-processing)."""
         manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
+        if len(manifest) == 0:   # video shorter than one window
+            return np.zeros((0, self.cfg.model.nclasses), np.float64)
         flow_reps = self._check_flow(rgb_reps, flow_reps)
         tta_batches = build_tta_batches(rgb_reps, flow_reps, manifest,
                                         self.cfg.window)
@@ -513,6 +522,10 @@ class GestureDecoder:
         inference phase (train.py:113-119: reps_and_labels_<ph> with reps
         keyed by augment, attention_<ph>)."""
         manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
+        if len(manifest) == 0:   # video shorter than one window
+            return {"reps": {}, "probs": {}, "attention": None,
+                    "start_frames": manifest.start_frames,
+                    "end_frames": manifest.end_frames, "videonames": []}
         flow_reps = self._check_flow(rgb_reps, flow_reps)
         tta_batches = build_tta_batches(rgb_reps, flow_reps, manifest,
                                         self.cfg.window)
@@ -535,16 +548,15 @@ class GestureDecoder:
                     return np.concatenate(
                         [a[sl], np.repeat(a[sl][-1:], pad, axis=0)])
 
-                out = prototypes_forward(
-                    params, self.cfg.model, jnp.asarray(padded(tta.rgb)),
+                rep, p, attn = self._artifact_fn(
+                    params, protos, jnp.asarray(padded(tta.rgb)),
                     jnp.asarray(padded(tta.rgb_mask)),
                     jnp.asarray(padded(tta.flow)),
                     jnp.asarray(padded(tta.flow_mask)))
-                p = prototype_probs(out.video_rep, protos)
-                out_reps.append(np.asarray(out.video_rep)[:n])
+                out_reps.append(np.asarray(rep)[:n])
                 out_probs.append(np.asarray(p)[:n])
                 if ti == 0:  # attention from the first augment only
-                    out_attn.append(np.asarray(out.attn)[:n])
+                    out_attn.append(np.asarray(attn)[:n])
             reps[ti] = np.concatenate(out_reps) if out_reps else np.zeros((0,))
             probs[ti] = np.concatenate(out_probs) if out_probs else np.zeros((0,))
             if ti == 0 and out_attn:

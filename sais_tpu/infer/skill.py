@@ -71,6 +71,11 @@ class SkillAssessor:
         perform_training.py:177-185's CLS-drop and length trim).
         """
         mcfg = self.cfg.model
+        if flow_reps is None and "Flow" in mcfg.modalities:
+            raise ValueError(
+                f"model modalities={mcfg.modalities!r} require flow "
+                "representations but none were supplied (flow store "
+                "missing?); extract flow or assess with -mod RGB")
         out = {"reps": {0: [], 1: [], 2: []}, "probs": {0: [], 1: [], 2: []},
                "attention": [], "importance": []}
         for _, row in segments.iterrows():
@@ -129,6 +134,13 @@ class StepRecognizer:
 
     def recognize(self, video: str, rgb_reps: np.ndarray,
                   flow_reps: Optional[np.ndarray]) -> pd.DataFrame:
+        wcfg = self.decoder.cfg.window
+        if (int(wcfg.duration_s * wcfg.fps) != int(10 * self.fps)
+                or wcfg.fps != self.fps):
+            raise ValueError(
+                "StepRecognizer fps does not match the decoder's window "
+                "config — build the GestureDecoder with "
+                f"data.tasks.step_window_config({self.fps})")
         probs = self.decoder.window_probs(video, rgb_reps, flow_reps)
         manifest = step_window_manifest(video, len(rgb_reps), self.fps)
         preds = np.argmax(probs, axis=1)

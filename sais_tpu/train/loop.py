@@ -102,11 +102,15 @@ class PrototypeTrainer:
             (loss, reps), grads = jax.value_and_grad(
                 lambda t, b: loss_fn(t, b, use_imp),
                 has_aux=True)(trainable, batch)
+            # metrics probs use the PRE-update prototypes, like the
+            # reference's calcNCEMetrics scoring the forward pass's own
+            # softmax (prepare_miscellaneous.py:97-161)
+            probs = prototype_probs(reps, state.prototypes)
             updates, opt_state = self.optimizer.update(grads, state.opt_state,
                                                        trainable)
             new = optax.apply_updates(trainable, updates)
             return TrainState(new["model"], new["prototypes"],
-                              opt_state), loss, reps
+                              opt_state), loss, probs
 
         def eval_step(state: TrainState, batch):
             trainable = {"model": state.model, "prototypes": state.prototypes}
@@ -145,9 +149,8 @@ class PrototypeTrainer:
             cols = batch["label_cols"]
             if train:
                 b = self._device_batch(batch)
-                self.state, loss, reps = self._train_step(self.state, b)
-                probs = np.asarray(prototype_probs(
-                    reps, self.state.prototypes))[:len(cols)]
+                self.state, loss, probs_dev = self._train_step(self.state, b)
+                probs = np.asarray(probs_dev)[:len(cols)]
                 loss = float(loss)
             elif "tta" in batch:
                 # 3-way TTA at val/test (perform_training.py:126-128,
@@ -190,9 +193,15 @@ class PrototypeTrainer:
             log: Callable[[str], None] = print) -> Dict[str, Any]:
         """Epoch loop with early stopping (train.py:46-96).
 
-        loaders: phase -> callable yielding an iterable of batches.
+        loaders: phase -> callable yielding an iterable of batches.  A
+        loader callable that accepts an argument receives the 0-based
+        epoch index — pass it as the shuffle seed so every epoch sees a
+        fresh batch permutation (the reference's per-epoch DataLoader
+        reshuffle; a fixed seed would freeze batch composition for the
+        whole run).
         Returns {'model', 'prototypes', 'metrics', 'best_epoch'}.
         """
+        import inspect as _inspect
         nepochs = nepochs or self.train_cfg.nepochs
         tracker = metrics_lib.MetricsTracker()
         min_loss = float("inf")
@@ -203,7 +212,9 @@ class PrototypeTrainer:
         while epoch <= nepochs and patience <= self.train_cfg.max_patience:
             for phase, make in loaders.items():
                 train = phase == "train"
-                loss, m = self.run_epoch(make(), train)
+                takes_epoch = len(_inspect.signature(make).parameters) >= 1
+                batches = make(epoch - 1) if takes_epoch else make()
+                loss, m = self.run_epoch(batches, train)
                 log(metrics_lib.format_metrics(phase, m))
                 if phase == "val":
                     tracker.update(m)

@@ -185,3 +185,20 @@ def test_nonfinite_loss_aborts():
     batches = _toy_batches(nbatches=1)
     with pytest.raises(FloatingPointError):
         trainer.run_epoch(iter(batches), train=True)
+
+
+def test_fit_reshuffles_each_epoch():
+    """Loader factories that accept an epoch index receive it (per-epoch
+    reshuffle, like the reference DataLoader; a fixed seed would freeze
+    batch composition for the whole run)."""
+    mcfg = _model_cfg()
+    trainer = _trainer(mcfg)
+    seen = []
+
+    def make(epoch=0):
+        seen.append(epoch)
+        return iter(_toy_batches(nbatches=1, seed=epoch))
+
+    trainer.fit({"train": make, "val": make}, nepochs=3,
+                log=lambda s: None)
+    assert seen[:2] == [0, 0] and 1 in seen and 2 in seen
