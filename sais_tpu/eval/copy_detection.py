@@ -60,7 +60,12 @@ def whiten_and_normalize(queries: np.ndarray, database: np.ndarray,
                          whitening_feats: Optional[np.ndarray] = None
                          ) -> Tuple[np.ndarray, np.ndarray]:
     """Center on the whitening set's mean, whiten, l2-normalize
-    (eval_copy_detection.py:271-292)."""
+    (eval_copy_detection.py:271-292).
+
+    QUIRK PRESERVED: the reference computes the PCA 'covariance' on the
+    UNCENTERED whitening features (cov = W.T @ W / n at :283 — a second
+    moment) while centering queries/database on the whitening mean; we
+    replicate that exactly rather than centering W first."""
     if whitening_feats is not None:
         mean = whitening_feats.mean(axis=0)
         queries = queries - mean

@@ -26,7 +26,9 @@ def _l2n(x):
 @partial(jax.jit, static_argnames=("k", "num_classes"))
 def _knn_chunk(train_f, train_l, test_f, k: int, num_classes: int,
                temperature: float):
-    sim = jnp.dot(_l2n(test_f), _l2n(train_f).T)           # (B, N)
+    # train_f arrives pre-normalized (loop-invariant; normalizing it here
+    # would redo the N x D pass for every test chunk)
+    sim = jnp.dot(_l2n(test_f), train_f.T)                 # (B, N)
     dist, idx = jax.lax.top_k(sim, k)
     neighbors = train_l[idx]                               # (B, k)
     weights = jnp.exp(dist / temperature)                  # (B, k)
@@ -40,7 +42,7 @@ def knn_classifier(train_features: np.ndarray, train_labels: np.ndarray,
                    chunk: int = 1024) -> Tuple[float, float]:
     """Weighted k-NN accuracy (top-1, top-5) — eval_knn semantics."""
     num_classes = int(max(train_labels.max(), test_labels.max())) + 1
-    train_f = jnp.asarray(train_features)
+    train_f = _l2n(jnp.asarray(train_features))   # normalize ONCE
     train_l = jnp.asarray(train_labels)
     top1 = top5 = total = 0
     for i in range(0, len(test_features), chunk):
@@ -84,11 +86,16 @@ def train_linear_probe(train_features: np.ndarray, train_labels: np.ndarray,
         return optax.apply_updates(params, updates), opt_state, loss
 
     n = len(train_features)
+    batch_size = min(batch_size, n)   # small sets still train (a larger
+    # batch than n would otherwise run ZERO steps and return a zero probe)
     rng = np.random.default_rng(seed)
     for _ in range(epochs):
         order = rng.permutation(n)
-        for i in range(0, n - batch_size + 1, batch_size):
+        for i in range(0, n, batch_size):
             sel = order[i:i + batch_size]
+            if len(sel) < batch_size:   # tail: wrap, keep shapes static
+                sel = np.concatenate(
+                    [sel, order[:batch_size - len(sel)]])
             params, opt_state, loss = step(
                 params, opt_state, jnp.asarray(train_features[sel]),
                 jnp.asarray(train_labels[sel]))

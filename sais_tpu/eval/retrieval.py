@@ -44,7 +44,10 @@ def multi_scale_features(params, images: jnp.ndarray,
         feats = vit_features(params, inp, cfg)
         v = feats if v is None else v + feats
     v = v / 3.0
-    return v / jnp.linalg.norm(v)
+    # PER-SAMPLE norm: the reference runs batch-size 1, so its v.norm()
+    # is the per-image norm; a batch-global Frobenius norm would make
+    # each descriptor depend on the rest of the batch
+    return v / jnp.linalg.norm(v, axis=-1, keepdims=True)
 
 
 def retrieval_ranks(db_features: np.ndarray,

@@ -131,11 +131,14 @@ def track_video(params, cfg: ViTConfig, frames: np.ndarray,
             params, cfg, jnp.asarray(frames[t]), used_feats, used_segs,
             topk=topk, temperature=temperature, neighborhood=neighborhood,
             mask=mask)
-        seg = norm_mask(seg)
+        # the propagation queue stores the RAW propagated mask — the
+        # reference deepcopies BEFORE norm_mask (eval_video_segmentation
+        # .py:70-75); renormalizing first would feed inflated
+        # low-confidence channels back into the next frame's propagation
         que.append((feat_tar, seg))
         if len(que) > n_last_frames:
             que.pop(0)
-        out.append(seg)
+        out.append(norm_mask(seg))
     return out
 
 

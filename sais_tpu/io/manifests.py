@@ -15,12 +15,20 @@ import numpy as np
 import pandas as pd
 
 
+def _frame_files(casepath: str) -> List[str]:
+    """Sorted frame image files only — stray entries (.DS_Store, partial
+    .tmp writes) would otherwise corrupt the manifests or crash the
+    frame-number parse."""
+    return sorted(f for f in os.listdir(casepath)
+                  if f.lower().endswith((".jpg", ".jpeg", ".png")))
+
+
 def frame_paths_manifest(root: str, videos: List[str],
                          images_dir: str = "images") -> pd.DataFrame:
     rows = []
     for case in videos:
         casepath = os.path.join(root, images_dir, case)
-        for f in sorted(os.listdir(casepath)):
+        for f in _frame_files(casepath):
             rows.append({"path": os.path.join(images_dir, case, f),
                          "category": case, "label": case})
     return pd.DataFrame(rows)
@@ -37,7 +45,7 @@ def flow_paths_manifest(root: str, videos: List[str], jump_frames: int = 15,
     rows = []
     for case in videos:
         casepath = os.path.join(root, images_dir, case)
-        files = sorted(os.listdir(casepath))
+        files = _frame_files(casepath)
         indices = np.arange(0, len(files) - jump_frames, jump_frames)
         for i in indices:
             f1 = files[i]

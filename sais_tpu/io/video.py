@@ -92,7 +92,12 @@ def dump_frames(video_path: str, out_dir: str,
 
 def read_frame_dir(frame_dir: str) -> Iterator[np.ndarray]:
     """Iterate a reference-layout JPEG frame directory in sorted order."""
+    if cv2 is None:
+        raise RuntimeError("read_frame_dir requires OpenCV (cv2)")
     for name in sorted(os.listdir(frame_dir)):
         if name.endswith(".jpg") or name.endswith(".png"):
-            bgr = cv2.imread(os.path.join(frame_dir, name))
+            path = os.path.join(frame_dir, name)
+            bgr = cv2.imread(path)
+            if bgr is None:   # truncated/corrupt file: name the culprit
+                raise IOError(f"failed to decode frame image {path!r}")
             yield bgr[:, :, ::-1]

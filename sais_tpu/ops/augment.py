@@ -6,6 +6,7 @@ Here the whole batch is augmented on device inside the jit'd step: random
 resized crops (area scale + aspect jitter, bicubic), horizontal flip,
 color jitter (brightness 0.4 / contrast 0.4 / saturation 0.2 / hue 0.1,
 p=0.8), random grayscale (p=0.2), Gaussian blur (sigma ~ U[0.1, 2]),
+prefiltered bilinear crops (see _random_resized_crop),
 solarization (p=0.2 on the second global crop), ImageNet normalization.
 
 Augmentations are stochastic; parity with the torchvision stack is
@@ -105,9 +106,22 @@ def _gaussian_blur(key, x, size):
 
 
 def _random_resized_crop(key, img, out_size, scale):
-    """Area-scale + aspect-jitter crop, bicubic resize (torchvision
-    RandomResizedCrop semantics with log-uniform aspect in [3/4, 4/3])."""
+    """Area-scale + aspect-jitter crop, bilinear resample (torchvision
+    RandomResizedCrop geometry with log-uniform aspect in [3/4, 4/3]).
+
+    Antialiasing: large sources are first box-downsampled by a STATIC
+    integer factor chosen so the worst-case crop->output downscale stays
+    <= ~2x — the 2-tap bilinear gather alone would alias badly when a
+    1080p-scale crop shrinks to 224 (PIL's resize low-passes adaptively;
+    a box prefilter + bilinear is the static-shape equivalent)."""
     h, w, _ = img.shape
+    worst = (min(h, w) * float(scale[1]) ** 0.5) / (2.0 * out_size)
+    f = max(1, int(-(-worst // 1)))   # ceil
+    if f > 1:
+        hh, ww = (h // f) * f, (w // f) * f
+        img = img[:hh, :ww].reshape(hh // f, f, ww // f, f,
+                                    img.shape[-1]).mean((1, 3))
+        h, w = hh // f, ww // f
     ka, ks2, kx, ky = jax.random.split(key, 4)
     area = h * w * jax.random.uniform(ka, (), minval=scale[0], maxval=scale[1])
     log_ratio = jax.random.uniform(ks2, (), minval=jnp.log(3 / 4),

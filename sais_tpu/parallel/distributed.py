@@ -79,7 +79,15 @@ def multislice_mesh(num_slices: int, model_parallel: int = 1,
                 dcn_mesh_shape=(num_slices, 1),
             ).reshape(num_slices, per_slice // model_parallel, model_parallel)
             return Mesh(arr, (DCN_AXIS, DATA_AXIS, MODEL_AXIS))
-        except Exception:
+        except Exception as e:
+            # loud fallback: an ordered device split can put the 'dcn'
+            # axis across ICI neighbors, sending per-step gradient
+            # reductions over DCN links — correct but much slower
+            import warnings
+            warnings.warn(
+                f"hybrid device mesh construction failed ({e!r}); falling "
+                "back to an ordered split of jax.devices() that may not "
+                "respect the physical slice topology", RuntimeWarning)
             devices = jax.devices()
     devices = list(devices)
     n = len(devices)

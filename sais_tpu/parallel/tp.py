@@ -127,14 +127,13 @@ def tp_vit_features(tp_params: Dict[str, Any], images: jnp.ndarray,
     pspecs = jax.tree.map(shard_spec, tp_params)
 
     def fwd(params, images):
-        x = images.astype(jnp.float32)
-        patches = patchify(x, cfg.patch_size)
-        x = _linear(patches, params["patch_embed"]["w"],
-                    params["patch_embed"]["b"])
-        bsz = x.shape[0]
-        cls = jnp.broadcast_to(params["cls_token"].astype(x.dtype),
-                               (bsz, 1, cfg.embed_dim))
-        x = jnp.concatenate([cls, x], axis=1) + params["pos_embed"].astype(x.dtype)
+        # token prep shared with the single-device model (its inputs are
+        # replicated leaves): patchify + CLS + pos-embed INCLUDING the
+        # torch-exact bicubic interpolation for non-default image sizes —
+        # a hand-rolled copy here once skipped the interpolation and
+        # broke any non-cfg.image_size input
+        from sais_tpu.models.vit import prepare_tokens
+        x = prepare_tokens(params, images.astype(jnp.float32), cfg)
         for blk in params["blocks"]:
             x = _tp_block(x, blk, cfg, h_loc)
         x = _layer_norm(x, params["ln_s"], params["ln_b"], cfg.layernorm_eps)
