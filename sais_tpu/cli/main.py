@@ -26,20 +26,32 @@ from typing import List, Optional, Tuple
 import numpy as np
 
 
+_VIT_CACHE: dict = {}
+
+
 def _load_vit(args, cfg):
+    """Load (and convert) the ViT weights once per process — cmd_pipeline
+    otherwise unpickles and transposes the same ~80 MB checkpoint twice
+    (RGB extraction + flow reps)."""
     import jax
     from sais_tpu.models.vit import vit_init
     from sais_tpu.port.torch_port import (load_torch_pickle,
                                           strip_dino_student_prefix,
                                           vit_params_from_torch)
+    key = (args.dino_weights, bool(args.random_init))
+    if key in _VIT_CACHE:
+        return _VIT_CACHE[key]
     if args.dino_weights:
         sd = load_torch_pickle(args.dino_weights)
-        if any(k.startswith(("student", "teacher")) for k in sd):
+        if any(str(k).startswith(("student", "teacher")) for k in sd):
             sd = strip_dino_student_prefix(sd)
-        return vit_params_from_torch(sd)
-    if not args.random_init:
-        sys.exit("need --dino-weights or --random-init")
-    return vit_init(jax.random.key(0), cfg.vit)
+        params = vit_params_from_torch(sd)
+    else:
+        if not args.random_init:
+            sys.exit("need --dino-weights or --random-init")
+        params = vit_init(jax.random.key(0), cfg.vit)
+    _VIT_CACHE[key] = params
+    return params
 
 
 def _load_folds(args, cfg) -> List[Tuple[dict, "np.ndarray"]]:
@@ -112,6 +124,28 @@ def _pipeline_config(args):
     return cfg
 
 
+def _apply_flow_jump(cfg, args, video_path: Optional[str] = None):
+    """Resolve --flow-jump into cfg.window.flow_jump_factor for EVERY
+    consumer (flow extraction AND decode/assess/steps/serve): extraction
+    and window->flow index mapping must agree on the stride or dual-stream
+    decoding silently gathers the wrong flow rows."""
+    import dataclasses as dc
+    if not getattr(args, "flow_jump", None):
+        return cfg
+    if args.flow_jump == "auto":
+        if video_path is None:
+            sys.exit("--flow-jump auto needs a video to read fps from; "
+                     "pass an explicit stride here")
+        from sais_tpu.io.video import VideoReader
+        with VideoReader(video_path) as r:
+            jump = max(int(r.fps // 2), 1)
+        print(f"flow jump {jump} (fps {2 * jump})")
+    else:
+        jump = int(args.flow_jump)
+    return dc.replace(cfg, window=dc.replace(cfg.window,
+                                             flow_jump_factor=jump))
+
+
 def _already_extracted(store_path: str, videoname: str) -> bool:
     """Idempotent skip-existing (the reference skips videos whose flow dir
     already exists, extract_representations.py:485)."""
@@ -167,21 +201,9 @@ def cmd_flow(args):
         raft_params = raft_init(jax.random.key(3), cfg.raft)
     vit_params = _load_vit(args, cfg)
     video_path = os.path.join(args.path, "videos", args.videoname + ".mp4")
-    if args.flow_jump == "auto":
-        # per-video jump = fps // 2, the reference's per-video fps tables
-        # (extract_representations.py:437-463, 484-494) read from the
-        # container instead of a hardcoded dict
-        from sais_tpu.io.video import VideoReader
-        with VideoReader(video_path) as r:
-            jump = max(int(r.fps // 2), 1)
-        import dataclasses as dc
-        cfg = dc.replace(cfg, window=dc.replace(cfg.window,
-                                                flow_jump_factor=jump))
-        print(f"flow jump {jump} (fps {2 * jump})")
-    elif args.flow_jump:
-        import dataclasses as dc
-        cfg = dc.replace(cfg, window=dc.replace(
-            cfg.window, flow_jump_factor=int(args.flow_jump)))
+    # per-video jump = fps // 2, the reference's per-video fps tables
+    # (extract_representations.py:437-463, 484-494) read from the container
+    cfg = _apply_flow_jump(cfg, args, video_path)
     fx = FlowExtractor(raft_params, vit_params, cfg,
                        pair_batch=args.flow_batch,
                        mesh=_extract_mesh(args))
@@ -202,6 +224,8 @@ def cmd_decode(args):
     from sais_tpu.io.feature_store import (FeatureStore, flow_store_path,
                                            rgb_store_path)
     cfg = _pipeline_config(args)
+    cfg = _apply_flow_jump(cfg, args, os.path.join(
+        args.path, "videos", args.videoname + ".mp4"))
     folds = _load_folds(args, cfg)
     with FeatureStore(rgb_store_path(args.path)) as fs:
         rgb = fs.read_video(args.videoname)
@@ -240,6 +264,8 @@ def cmd_assess(args):
     from sais_tpu.train.checkpoint import save_inference_artifacts
 
     cfg = _pipeline_config(args)
+    cfg = _apply_flow_jump(cfg, args, os.path.join(
+        args.path, "videos", args.videoname + ".mp4"))
     import dataclasses as dc
     cfg = dc.replace(cfg, model=dc.replace(
         cfg.model, importance_head=True, nclasses=args.nclasses))
@@ -305,6 +331,7 @@ def cmd_steps(args):
     import dataclasses as dc
     cfg = dc.replace(cfg, window=step_window_config(args.fps),
                      model=dc.replace(cfg.model, nclasses=3))
+    cfg = _apply_flow_jump(cfg, args)  # explicit strides only here
     args.nclasses = 3          # random-init prototypes must match the 3
     folds = _load_folds(args, cfg)  # step classes (NH/ND/NW)
     with FeatureStore(rgb_store_path(args.path)) as fs:
@@ -620,13 +647,15 @@ def cmd_pretrain(args):
                       batch_size=bs, n_local_crops=args.local_crops,
                       warmup_epochs=min(10, max(args.nepochs // 10, 0)))
     def _jpeg_dir_batches(d, n):
-        import cv2
-        paths = sorted(glob.glob(os.path.join(d, "*.jpg")))
-        for i in range(0, len(paths), n):
-            imgs = [cv2.cvtColor(cv2.imread(p2), cv2.COLOR_BGR2RGB)
-                    for p2 in paths[i:i + n]]
-            if imgs:
-                yield np.stack(imgs)
+        from sais_tpu.io.video import read_frame_dir
+        buf = []
+        for frame in read_frame_dir(d):   # names corrupt files, RGB order
+            buf.append(frame)
+            if len(buf) == n:
+                yield np.stack(buf)
+                buf = []
+        if buf:
+            yield np.stack(buf)
 
     def _frame_count(v):
         if args.source == "flows":
@@ -657,7 +686,7 @@ def cmd_pretrain(args):
     if start_epoch is not None:
         trainer.load_state(state)
         print(f"resumed from epoch {start_epoch}")
-    logger = MetricLogger(jsonl_path=os.path.join(outdir, "log.txt"))
+    log_path = os.path.join(outdir, "log.txt")
 
     from sais_tpu.ops.augment import center_border_crop
     hf, wf = (0.8, 0.7) if args.crop_policy == "gronau" else (0.8, 0.8)
@@ -665,6 +694,9 @@ def cmd_pretrain(args):
         k, x, dcfg.n_global_crops, dcfg.n_local_crops))
 
     for epoch in range((start_epoch or 0), args.nepochs):
+        # fresh meters per epoch (main_dino builds a new MetricLogger each
+        # epoch; cumulative averages would flatten the loss curve)
+        logger = MetricLogger(jsonl_path=log_path)
         for vi, video in enumerate(videos):
             for bi, batch in enumerate(_batches(video, bs)):
                 if batch.shape[0] < bs:
@@ -695,6 +727,10 @@ def cmd_serve(args):
     {"video": name} requests over a Unix socket."""
     from sais_tpu.cli.serve import DecodeService, serve
     cfg = _pipeline_config(args)
+    if args.flow_jump == "auto":
+        sys.exit("sais serve decodes many videos with one compiled window "
+                 "config; pass an explicit --flow-jump stride")
+    cfg = _apply_flow_jump(cfg, args)
     vit_params = _load_vit(args, cfg)
     folds = _load_folds(args, cfg)
     raft_params = None
@@ -713,7 +749,10 @@ def cmd_serve(args):
                 sys.exit("need --raft-weights or --random-init")
             raft_params = raft_init(jax.random.key(3), cfg.raft)
     svc = DecodeService(args.path, cfg, vit_params, folds, raft_params,
-                        batch_size=args.batch_size)
+                        batch_size=args.batch_size,
+                        exact_preprocess=args.exact_preprocess,
+                        pair_batch=args.flow_batch,
+                        mesh=_extract_mesh(args))
     print("warming up (compiling)...")
     svc.warmup()
     serve(svc, args.socket)
@@ -751,6 +790,12 @@ def cmd_eval(args):
             reps = fs.read_video(row["Video"])
             s, e = int(row.get("StartFrame", 0)), int(
                 row.get("EndFrame", len(reps)))
+            # clamp to the stored rep count: frame-count drift otherwise
+            # misaligns feats with labels/is_train and crashes the probes
+            s = max(0, min(s, len(reps)))
+            e = max(s, min(e, len(reps)))
+            if e == s:
+                continue
             feats.append(reps[s:e])
             labels.append(np.full(e - s, row["Label"]))
             is_train.append(np.full(e - s, row["Video"] in train_v))
@@ -825,7 +870,7 @@ def build_parser():
                         required=(name not in ("train", "pretrain", "eval",
                                                "port", "serve", "request")))
         sp.add_argument("--socket", default="/tmp/sais.sock")
-        sp.add_argument("--rpc", choices=["ping", "shutdown"])
+        sp.add_argument("--rpc", choices=["ping", "shutdown", "stats"])
         sp.add_argument("-p", "--path", default=".")
         sp.add_argument("--dino-weights")
         sp.add_argument("--raft-weights")

@@ -23,14 +23,19 @@ from typing import Optional
 
 class DecodeService:
     def __init__(self, root: str, cfg, vit_params, folds,
-                 raft_params=None, batch_size: int = 256):
+                 raft_params=None, batch_size: int = 256,
+                 exact_preprocess: bool = False, pair_batch=None,
+                 mesh=None):
         from sais_tpu.infer.pipeline import (FeatureExtractor, FlowExtractor,
                                              GestureDecoder)
         self.root = root
         self.cfg = cfg
         self.extractor = FeatureExtractor(vit_params, cfg,
-                                          batch_size=batch_size)
-        self.flow = (FlowExtractor(raft_params, vit_params, cfg)
+                                          batch_size=batch_size,
+                                          exact_preprocess=exact_preprocess,
+                                          mesh=mesh)
+        self.flow = (FlowExtractor(raft_params, vit_params, cfg,
+                                   pair_batch=pair_batch, mesh=mesh)
                      if raft_params is not None else None)
         self.decoder = GestureDecoder(folds, cfg, device_batch=512)
 

@@ -39,7 +39,12 @@ struct CropBounds {
 
 CropBounds crop_bounds(int size, double frac) {
   double crop = frac * size;
-  int top = static_cast<int>(std::lround((size - crop) / 2.0));
+  // round-half-to-even, matching Python round() in
+  // ops/preprocess.center_crop_bounds (std::lround rounds half AWAY from
+  // zero and would shift the crop by one pixel at exact .5 midpoints)
+  double x = (size - crop) / 2.0;
+  double r = std::nearbyint(x);  // default FE_TONEAREST = half-to-even
+  int top = static_cast<int>(r);
   return {top, static_cast<int>(top + crop)};
 }
 

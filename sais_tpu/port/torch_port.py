@@ -38,7 +38,14 @@ def strip_module_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
 def strip_dino_student_prefix(state_dict: Mapping[str, Any]) -> Dict[str, Any]:
     """Surgical-pretrain DINO ckpts store 'student.module.backbone.*' and an
     MLP head; keep backbone weights under bare names
-    (extract_representations.py:190-199)."""
+    (extract_representations.py:190-199).
+
+    Full DINO training checkpoints nest the state dicts
+    ({'student': OrderedDict, 'teacher': ..., 'optimizer': ...}); the
+    reference unwraps checkpoint['student'] first (:195) — do the same
+    instead of mangling the nested dict into a single '' key."""
+    if "student" in state_dict and hasattr(state_dict["student"], "items"):
+        state_dict = state_dict["student"]
     out = {}
     for k, v in state_dict.items():
         if "head" in k:
