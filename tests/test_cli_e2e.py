@@ -1,0 +1,114 @@
+"""CLI end-to-end smokes for the training-side subcommands (CPU).
+
+The decode-side CLI is covered by test_pipeline_e2e; these drive the
+round-2 additions end-to-end through `sais` exactly as a user would:
+stitch sub-phase training, the multi-domain loop, skill assessment and
+step recognition.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from sais_tpu.io.feature_store import FeatureStore, rgb_store_path
+
+pytestmark = pytest.mark.slow
+
+
+def _main(argv):
+    from sais_tpu.cli.main import main
+    old = sys.argv
+    sys.argv = ["sais"] + argv
+    try:
+        main()
+    finally:
+        sys.argv = old
+
+
+def _write_store(root, videos, frames=1500, dim=384, seed=0):
+    rng = np.random.default_rng(seed)
+    os.makedirs(os.path.join(root, "results"), exist_ok=True)
+    with FeatureStore(rgb_store_path(root), "a") as fs:
+        for v in videos:
+            fs.write_video(v, rng.normal(size=(frames, dim))
+                           .astype(np.float32))
+
+
+def test_stitch_phase_training_cli(tmp_path):
+    from tests.test_reference_datasets import _stitch_multi_race_df
+
+    root = str(tmp_path)
+    df = _stitch_multi_race_df(n_videos=8)
+    csv = os.path.join(root, "stitch.csv")
+    df.to_csv(csv)
+    _write_store(root, [f"vid{v}" for v in range(8)], frames=2000)
+    _main(["train", "-p", root, "--segments", csv,
+           "--dataset", "vua-ease-stitch", "--random-init", "-mod", "RGB",
+           "-e", "1", "--nfolds", "1", "-bs", "4", "-tf", "0.8",
+           "--dtype", "float32"])
+    assert os.path.exists(os.path.join(root, "params", "Fold_0"))
+
+
+def test_multi_domain_training_cli(tmp_path):
+    from tests.test_skill_pipeline import _stitch_df
+
+    root = str(tmp_path)
+    nh = _stitch_df()
+    nd = nh.copy()
+    nd["RACE"] = "Needle Driving"
+    nd["EASE"] = "Driving Sequence"
+    df = pd.concat([nh, nd]).reset_index(drop=True)
+    csv = os.path.join(root, "stitch.csv")
+    df.to_csv(csv)
+    _write_store(root, [f"vid{v}" for v in range(12)])
+    _main(["train", "-p", root, "--segments", csv, "--dataset", "vua-ease",
+           "--random-init", "-mod", "RGB", "-e", "1", "--nfolds", "1",
+           "-bs", "4", "--dtype", "float32",
+           "--domains", "NH_02", "ND_02"])
+    assert os.path.exists(os.path.join(root, "params", "NH_02", "Fold_0"))
+    assert os.path.exists(os.path.join(root, "params", "ND_02", "Fold_0"))
+
+
+def test_assess_and_steps_cli(tmp_path):
+    root = str(tmp_path)
+    _write_store(root, ["vidA"], frames=3000)
+    seg = pd.DataFrame([
+        {"Video": "vidA", "RACE": "Needle Handling",
+         "StartFrame": 100, "EndFrame": 400},
+        {"Video": "vidA", "RACE": "Needle Driving",
+         "StartFrame": 500, "EndFrame": 900},
+    ])
+    csv = os.path.join(root, "seg.csv")
+    seg.to_csv(csv)
+    _main(["assess", "-f", "vidA", "-p", root, "--segments", csv,
+           "--random-init", "-mod", "RGB", "--nclasses", "3",
+           "--dtype", "float32"])
+    assert os.path.exists(os.path.join(
+        root, "params", "Fold_0", "reps_and_labels_inference.pkl"))
+    assert os.path.exists(os.path.join(root, "results",
+                                       "vidA_skill_fold0.csv"))
+
+    _main(["steps", "-f", "vidA", "-p", root, "--random-init",
+           "-mod", "RGB", "--dtype", "float32"])
+    df = pd.read_csv(os.path.join(root, "results", "vidA_steps.csv"))
+    assert len(df) == (3000 - 200) // 100 + 1
+    assert set(df["Step"]) <= {"Needle Handling", "Needle Driving",
+                               "Needle Withdrawal"}
+
+
+def test_training_fraction_gating(tmp_path):
+    """-tf on a dataset where the reference never subsamples must error
+    loudly instead of silently training on 100%."""
+    from tests.test_skill_pipeline import _stitch_df
+
+    root = str(tmp_path)
+    csv = os.path.join(root, "stitch.csv")
+    _stitch_df().to_csv(csv)
+    _write_store(root, [f"vid{v}" for v in range(12)])
+    with pytest.raises(SystemExit, match="-tf only applies"):
+        _main(["train", "-p", root, "--segments", csv,
+               "--dataset", "vua-ease", "--random-init", "-tf", "0.5",
+               "-e", "1", "--nfolds", "1", "--dtype", "float32"])
