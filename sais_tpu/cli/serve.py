@@ -101,37 +101,49 @@ def serve(service: DecodeService, socket_path: str,
     running = True
     from collections import deque
     latencies: "deque" = deque(maxlen=10000)  # bounded: long-lived daemon
-    while running:
-        conn, _ = srv.accept()
-        with conn, conn.makefile("rw") as f:
-            for line in f:
-                line = line.strip()
-                if not line:
-                    continue
-                try:
-                    req = json.loads(line)
-                    if req.get("cmd") == "shutdown":
-                        resp = {"ok": True, "bye": True}
-                        running = False
-                    elif req.get("cmd") == "ping":
-                        resp = {"ok": True, "pong": True}
-                    elif req.get("cmd") == "stats":
-                        lat = sorted(latencies)
-                        resp = {"ok": True, "requests": len(lat),
-                                "p50_s": round(_percentile(lat, 0.5), 3),
-                                "p95_s": round(_percentile(lat, 0.95), 3)}
-                    else:
-                        resp = service.decode_video(
-                            req["video"], bool(req.get("flow", False)))
-                        latencies.append(resp["seconds"])
-                except Exception as e:  # report, keep serving
-                    resp = {"ok": False, "error": f"{type(e).__name__}: {e}"}
-                f.write(json.dumps(resp) + "\n")
-                f.flush()
-                if not running:
-                    break
-    srv.close()
-    os.unlink(socket_path)
+    try:
+        while running:
+            conn, _ = srv.accept()
+            try:
+                with conn, conn.makefile("rw") as f:
+                    for line in f:
+                        line = line.strip()
+                        if not line:
+                            continue
+                        try:
+                            req = json.loads(line)
+                            if req.get("cmd") == "shutdown":
+                                resp = {"ok": True, "bye": True}
+                                running = False
+                            elif req.get("cmd") == "ping":
+                                resp = {"ok": True, "pong": True}
+                            elif req.get("cmd") == "stats":
+                                lat = sorted(latencies)
+                                resp = {
+                                    "ok": True, "requests": len(lat),
+                                    "p50_s": round(_percentile(lat, 0.5), 3),
+                                    "p95_s": round(_percentile(lat, 0.95),
+                                                   3)}
+                            else:
+                                resp = service.decode_video(
+                                    req["video"],
+                                    bool(req.get("flow", False)))
+                                latencies.append(resp["seconds"])
+                        except Exception as e:  # report, keep serving
+                            resp = {"ok": False,
+                                    "error": f"{type(e).__name__}: {e}"}
+                        f.write(json.dumps(resp) + "\n")
+                        f.flush()
+                        if not running:
+                            break
+            except OSError as e:
+                # client vanished mid-request (timeout, Ctrl-C): the
+                # long-lived daemon must survive BrokenPipe/ConnectionReset
+                log(f"client connection error ({e}); still serving")
+    finally:
+        srv.close()
+        if os.path.exists(socket_path):
+            os.unlink(socket_path)
 
 
 def request(socket_path: str, payload: dict, timeout: float = 600.0) -> dict:

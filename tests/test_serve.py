@@ -53,3 +53,43 @@ def test_serve_roundtrip(tmp_path):
     assert request(sock, {"cmd": "shutdown"})["bye"]
     t.join(timeout=10)
     assert not t.is_alive()
+
+
+def test_serve_survives_client_disconnect(tmp_path):
+    """A vanished client (BrokenPipe on the response write) must not kill
+    the long-lived daemon or leave a stale socket claim."""
+    import socket as socketlib
+    import time
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "videos"))
+    synth_video(os.path.join(root, "videos", "vid.mp4"))
+    cfg = tiny_cfg()
+    vit_params = vit_init(jax.random.key(0), cfg.vit)
+    folds = [(full_model_init(jax.random.key(1), cfg.model),
+              prototypes_init(jax.random.key(2), 2)[1])]
+    svc = DecodeService(root, cfg, vit_params, folds, batch_size=32)
+    sock = str(tmp_path / "s2.sock")
+    t = threading.Thread(target=serve, args=(svc, sock),
+                         kwargs={"log": lambda s: None}, daemon=True)
+    t.start()
+    for _ in range(100):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.05)
+
+    # client sends a request then slams the connection shut before the
+    # server writes its response (an error response here — no compile —
+    # exercises the same write-after-disconnect path)
+    c = socketlib.socket(socketlib.AF_UNIX, socketlib.SOCK_STREAM)
+    c.connect(sock)
+    c.sendall(b'{"video": "missing"}\n')
+    c.close()
+    time.sleep(0.5)
+
+    # the daemon must still answer
+    assert request(sock, {"cmd": "ping"})["pong"]
+    stats = request(sock, {"cmd": "stats"})
+    assert stats["ok"]
+    assert request(sock, {"cmd": "shutdown"})["bye"]
+    t.join(timeout=10)
