@@ -2,7 +2,6 @@
 verify the JAX implementation + converter.  Consumes a state_dict in the
 official naming (fnet.*, cnet.*, update_block.*)."""
 
-import numpy as np
 import torch
 import torch.nn.functional as F
 

@@ -20,7 +20,8 @@ def random_full_model_state_dict(gen, dim=384, proj=256, ffn=2048, layers=4,
         "frame_cls": torch.rand(1, dim, generator=gen),
         "clip_cls": torch.rand(1, dim, generator=gen),
         "linear.weight": r(proj, dim), "linear.bias": r(proj),
-        "linear2.weight": r(3, proj), "linear2.bias": r(3),
+        "linear2.weight": r(n_att_classes, proj),
+        "linear2.bias": r(n_att_classes),
         "attentionA.weight": r(proj, dim), "attentionA.bias": r(proj),
         "attentionB.weight": r(proj, dim), "attentionB.bias": r(proj),
     }
@@ -127,11 +128,12 @@ def golden_mil_forward(sd, rgb, rgb_pad, nclasses, layers=4, heads=4):
     snip_reps = F.relu(out).permute(1, 0, 2)
 
     scores, attention = [], {}
+    # attentionA/B are shared across classes: loop-invariant
+    a = torch.tanh(F.linear(snip_reps, sd["attentionA.weight"],
+                            sd["attentionA.bias"]))
+    g = torch.sigmoid(F.linear(snip_reps, sd["attentionB.weight"],
+                               sd["attentionB.bias"]))
     for c in range(nclasses):
-        a = torch.tanh(F.linear(snip_reps, sd["attentionA.weight"],
-                                sd["attentionA.bias"]))
-        g = torch.sigmoid(F.linear(snip_reps, sd["attentionB.weight"],
-                                   sd["attentionB.bias"]))
         w = F.linear(a * g, sd[f"attentionModules.{c}.weight"],
                      sd[f"attentionModules.{c}.bias"])
         w = torch.softmax(w, dim=1).squeeze(-1)
