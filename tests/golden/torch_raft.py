@@ -112,6 +112,7 @@ def _coords_grid(b, h, w):
 def golden_raft_forward(sd, image1, image2, iters=4, levels=4, radius=4):
     """images: (B, 3, H, W) in [0, 255], H/W divisible by 8.
     Returns (B, 2, H, W) flow."""
+    assert iters >= 1, "convex upsampling needs at least one update"
     i1 = 2 * (image1 / 255.0) - 1.0
     i2 = 2 * (image2 / 255.0) - 1.0
     f1 = _encoder(sd, "fnet", i1, "instance")
