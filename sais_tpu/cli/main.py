@@ -116,6 +116,11 @@ def _pipeline_config(args):
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, modalities=args.modalities),
         compute_dtype=args.dtype)
+    flash = getattr(args, "flash", "auto")
+    if flash != "auto":
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, temporal=dataclasses.replace(
+                cfg.model.temporal, use_flash=(flash == "on"))))
     if getattr(args, "norm", "imagenet") == "half":
         # timm ViT_Supervised_ImageNet normalization (0.5/0.5 per channel,
         # extract_representations.py:152-156)
@@ -331,7 +336,9 @@ def cmd_steps(args):
     import dataclasses as dc
     cfg = dc.replace(cfg, window=step_window_config(args.fps),
                      model=dc.replace(cfg.model, nclasses=3))
-    cfg = _apply_flow_jump(cfg, args)  # explicit strides only here
+    # 'auto' reads fps from the video container, same as decode/assess
+    cfg = _apply_flow_jump(cfg, args, os.path.join(
+        args.path, "videos", args.videoname + ".mp4"))
     args.nclasses = 3          # random-init prototypes must match the 3
     folds = _load_folds(args, cfg)  # step classes (NH/ND/NW)
     with FeatureStore(rgb_store_path(args.path)) as fs:
@@ -889,6 +896,12 @@ def build_parser():
         sp.add_argument("-bs", "--batch-size", type=int, default=256)
         sp.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
+        sp.add_argument("--flash", default="auto",
+                        choices=["auto", "on", "off"],
+                        help="fused Pallas flash attention in the temporal "
+                             "encoder (no (L,L) weight materialization; "
+                             "attention export becomes the CLS row). auto = "
+                             "on TPU for sequences >= 512")
         # training flags (run_experiments.py:19-46 equivalents)
         sp.add_argument("--segments",
                         help="CSV with Video/StartFrame/EndFrame/Gesture")

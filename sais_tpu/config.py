@@ -98,6 +98,15 @@ class TemporalConfig:
     ffn_dim: int = 2048
     layernorm_eps: float = 1e-5
     max_positions: int = 2000  # learned pos-emb table (prepare_model.py:67)
+    # Fused Pallas flash attention (kernels/flash_attention.py) for long
+    # sequences: no (L, L) weight materialization; the exported attention
+    # becomes the CLS query's head-averaged row — the only row SAIS consumes
+    # for attribution (prepare_model.py:213,221).  None = auto: flash on TPU
+    # whenever the padded sequence reaches `flash_min_len` (the reference's
+    # 2000-frame cap regime, prepare_dataset.py:2437); True/False force it.
+    # Inference-only: the kernel defines no VJP, so trainers force dense.
+    use_flash: Optional[bool] = None
+    flash_min_len: int = 512
 
 
 @dataclasses.dataclass(frozen=True)

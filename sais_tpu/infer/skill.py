@@ -110,8 +110,13 @@ class SkillAssessor:
                 out["probs"][ti].append(np.asarray(probs[0]))
                 if ti == 0:
                     # attention from the first TTA augment only
-                    # (prepare_model.py:313-314); CLS row over real frames
-                    out["attention"].append(np.asarray(attn[0, :f + 1, :f + 1]))
+                    # (prepare_model.py:313-314); on the flash path attn is
+                    # already the CLS-query row (B*S, F+1)
+                    if attn.ndim == 2:
+                        out["attention"].append(np.asarray(attn[0, :f + 1]))
+                    else:
+                        out["attention"].append(
+                            np.asarray(attn[0, :f + 1, :f + 1]))
                     if imps is not None:
                         # drop CLS slot, trim to xlen (perform_training:182)
                         out["importance"].append(

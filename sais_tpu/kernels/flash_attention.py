@@ -79,7 +79,7 @@ def _pad_to(x, axis, mult, value=0.0):
                                              "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                     key_padding_mask: Optional[jnp.ndarray] = None,
-                    *, block_q: int = 128, block_k: int = 128,
+                    *, block_q: int = 512, block_k: int = 512,
                     interpret: bool = False) -> jnp.ndarray:
     """Masked multi-head attention without materializing (L, L) weights.
 
@@ -98,11 +98,10 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     import math as _math
     step = _math.lcm(block_q, block_k)
     lp = l + ((-l) % step)
-    q = _pad_to(q, 2, max(block_q, block_k))
-    k = _pad_to(k, 2, max(block_q, block_k))
-    v = _pad_to(v, 2, max(block_q, block_k))
-    mask = _pad_to(key_padding_mask.astype(jnp.int32), 1,
-                   max(block_q, block_k), value=1)
+    q = _pad_to(q, 2, step)
+    k = _pad_to(k, 2, step)
+    v = _pad_to(v, 2, step)
+    mask = _pad_to(key_padding_mask.astype(jnp.int32), 1, step, value=1)
     dhp = dh + ((-dh) % 128)
     q = _pad_to(q, 3, 128)
     k = _pad_to(k, 3, 128)

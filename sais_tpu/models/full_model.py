@@ -41,7 +41,30 @@ Params = Dict[str, Any]
 class TemporalOutput(NamedTuple):
     full_seq: Optional[jnp.ndarray]  # (B, S, F+1, D) post-ReLU encoder
     cls_seq: jnp.ndarray    # (B, S, D) CLS-token track (frame mean w/o -sa)
-    attn: jnp.ndarray       # (B*S, F+1, F+1) attn, or (1, 1) placeholder
+    # Last layer's head-averaged attention: (B*S, F+1, F+1) on the dense
+    # path, (B*S, F+1) CLS-query row on the flash path (the only row SAIS
+    # exports, prepare_model.py:221), or (1, 1) placeholder without -sa.
+    attn: jnp.ndarray
+
+
+def cls_attention(attn: jnp.ndarray) -> jnp.ndarray:
+    """Normalize either attention form to the CLS-query row (B*S, F+1):
+    dense (B*S, F+1, F+1) -> row 0; flash already is the row."""
+    return attn[:, 0, :] if attn.ndim == 3 else attn
+
+
+def resolve_flash(cfg: ModelConfig, seq_len: int) -> bool:
+    """Trace-time flash-attention decision for a padded sequence length.
+
+    cfg.temporal.use_flash: True/False force; None = auto — fused Pallas
+    attention on TPU once the padded length reaches flash_min_len (the
+    regime where the dense path's (B*S, L, L) weight tensor dominates HBM;
+    SURVEY §5.7).  The kernel has no VJP, so training configs pin False.
+    """
+    t = cfg.temporal
+    if t.use_flash is not None:
+        return bool(t.use_flash)
+    return seq_len >= t.flash_min_len and jax.default_backend() == "tpu"
 
 
 def _linear(x, p):
@@ -74,7 +97,11 @@ def temporal_features(params: Params, reps: jnp.ndarray,
     x = jnp.concatenate([cls, x], axis=2)                # (B, S, F+1, D)
     x = x.reshape(b * s, f + 1, d)
     mask = pad_mask.reshape(b * s, f + 1) if pad_mask is not None else None
-    out, attn = encoder_forward(params["frame_encoder"], x, cfg.temporal, mask)
+    use_flash = resolve_flash(cfg, f + 1)
+    out, attn = encoder_forward(params["frame_encoder"], x, cfg.temporal,
+                                mask, use_flash=use_flash,
+                                interpret=use_flash
+                                and jax.default_backend() != "tpu")
     out = jax.nn.relu(out)
     full_seq = out.reshape(b, s, f + 1, d)
     return TemporalOutput(full_seq, full_seq[:, :, 0, :], attn)

@@ -82,6 +82,10 @@ class ClassificationTrainer:
                  model_params: Any, task: str = "MIL",
                  mesh: Optional["jax.sharding.Mesh"] = None):
         assert task in ("MIL", "ClassificationHead")
+        import dataclasses as _dc
+        # flash attention is inference-only (no VJP); train dense
+        model_cfg = _dc.replace(model_cfg, temporal=_dc.replace(
+            model_cfg.temporal, use_flash=False))
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.task = task
@@ -236,7 +240,8 @@ class RawClassificationTrainer(ClassificationTrainer):
                              task="ClassificationHead", mesh=mesh)
 
         if not freeze_encoder:
-            self._build_unfrozen(model_cfg, encoder_type, encode)
+            # self.model_cfg: the flash-sanitized copy from __init__
+            self._build_unfrozen(self.model_cfg, encoder_type, encode)
 
     def _build_unfrozen(self, mcfg, encoder_type, encode):
         """Joint (encoder, head) training: encode inside the jitted loss so
