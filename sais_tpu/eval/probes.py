@@ -58,6 +58,48 @@ def knn_classifier(train_features: np.ndarray, train_labels: np.ndarray,
     return 100.0 * top1 / total, 100.0 * top5 / total
 
 
+def eval_linear_features(intermediate_tokens, avgpool: bool = False
+                         ) -> jnp.ndarray:
+    """The reference linear-probe feature construction
+    (eval_linear.py:166-170): concatenate the CLS token of the n last
+    blocks; with `avgpool` additionally interleave the mean of the LAST
+    block's patch tokens.
+
+    intermediate_tokens: list of n (B, 1+N, D) arrays (earliest first),
+    i.e. `vit_intermediate_layers(..., n)` output.
+
+    The avgpool branch replicates torch's exact (quirky) layout:
+    `cat((cls.unsqueeze(-1), avg.unsqueeze(-1)), -1).reshape(B, -1)` —
+    which only type-checks for n == 1 (DINO evaluates ViT-B that way) and
+    produces the INTERLEAVED [cls_0, avg_0, cls_1, avg_1, ...] ordering,
+    not [cls..., avg...].
+    """
+    cls = jnp.concatenate([t[:, 0] for t in intermediate_tokens], axis=-1)
+    if not avgpool:
+        return cls
+    if len(intermediate_tokens) != 1:
+        # torch.cat fails for n > 1 (n*D vs D on the cat dim); mirror it
+        raise ValueError("avgpool_patchtokens requires n_last_blocks == 1 "
+                         "(eval_linear.py:169 torch.cat shape constraint)")
+    avg = jnp.mean(intermediate_tokens[-1][:, 1:], axis=1)
+    stacked = jnp.stack([cls, avg], axis=-1)          # (B, D, 2)
+    return stacked.reshape(stacked.shape[0], -1)      # interleaved
+
+
+def probe_features_from_images(vit_params, images, vit_cfg,
+                               n_last_blocks: int = 4,
+                               avgpool: bool = False,
+                               compute_dtype=jnp.float32) -> np.ndarray:
+    """images (B, H, W, 3) float -> eval_linear probe features.  ViT-S
+    defaults (n=4, no avgpool — eval_linear.py:256-259); ViT-B uses n=1,
+    avgpool=True."""
+    from sais_tpu.models.vit import vit_intermediate_layers
+    toks = vit_intermediate_layers(vit_params, images, vit_cfg,
+                                   n=n_last_blocks,
+                                   compute_dtype=compute_dtype)
+    return np.asarray(eval_linear_features(toks, avgpool=avgpool))
+
+
 def train_linear_probe(train_features: np.ndarray, train_labels: np.ndarray,
                        test_features: np.ndarray, test_labels: np.ndarray,
                        num_classes: int, epochs: int = 20,

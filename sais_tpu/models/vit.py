@@ -302,6 +302,14 @@ def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
             and not return_last_attention
             and jax.default_backend() == "tpu"):
         return _vit_forward_fused(params, images, cfg, quant=quant), None
+    if quant is not None:
+        # W8A8 only exists in the fused Pallas blocks; a caller asking for
+        # it off that path would silently get plain XLA otherwise
+        import warnings
+        warnings.warn(
+            f"quant={quant!r} ignored: the fused TPU path is not taken "
+            "(requires allow_fused=True, bf16 compute, no attention output, "
+            "TPU backend)", stacklevel=2)
     x = prepare_tokens(params, images.astype(compute_dtype), cfg)
     last_attn = None
     depth = len(params["blocks"])
@@ -320,11 +328,29 @@ def vit_tokens(params: Params, images: jnp.ndarray, cfg: ViTConfig,
     `get_intermediate_layers(x, n=1)[0]` exposes
     (vision_transformer.py:225-233), consumed by the copy-detection /
     retrieval / video-segmentation evals."""
+    return vit_intermediate_layers(params, images, cfg, n=1,
+                                   compute_dtype=compute_dtype)[-1]
+
+
+def vit_intermediate_layers(params: Params, images: jnp.ndarray,
+                            cfg: ViTConfig, n: int = 1,
+                            compute_dtype: jnp.dtype = jnp.float32
+                            ) -> list:
+    """Token sequences of the n LAST blocks, each passed through the FINAL
+    LayerNorm — exactly `get_intermediate_layers(x, n)`
+    (vision_transformer.py:224-232: `self.norm(x)` applied to every
+    collected block output).  Returns a list of n (B, 1+N, D) f32 arrays,
+    earliest block first.  This is the feature source for the reference
+    linear-probe protocol (eval_linear.py:166-170)."""
     x = prepare_tokens(params, images.astype(compute_dtype), cfg)
-    for p in params["blocks"]:
+    depth = len(params["blocks"])
+    out = []
+    for i, p in enumerate(params["blocks"]):
         x, _ = block(x, p, cfg)
-    return _layer_norm(x, params["ln_s"], params["ln_b"],
-                       cfg.layernorm_eps).astype(jnp.float32)
+        if depth - i <= n:
+            out.append(_layer_norm(x, params["ln_s"], params["ln_b"],
+                                   cfg.layernorm_eps).astype(jnp.float32))
+    return out
 
 
 def vit_features(params: Params, images: jnp.ndarray, cfg: ViTConfig,

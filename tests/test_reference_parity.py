@@ -100,6 +100,51 @@ def test_vit_attention_matches_real_reference_module(ref_vits):
                                rtol=1e-3, atol=1e-5)
 
 
+def test_intermediate_layers_match_real_reference_module(ref_vits):
+    """get_intermediate_layers(x, n) (vision_transformer.py:224-232) and
+    the eval_linear probe-feature construction (eval_linear.py:166-170):
+    n-last-blocks CLS concat, plus the n=1 avgpool interleave."""
+    import torch as _t
+    m = _small_ref_vit(ref_vits, seed=6)
+    gen = _t.Generator().manual_seed(7)
+    imgs = _t.randn(2, 3, 224, 224, generator=gen)
+    with _t.no_grad():
+        ref_layers = m.get_intermediate_layers(imgs, n=3)
+
+    from sais_tpu.eval.probes import eval_linear_features
+    from sais_tpu.models.vit import vit_intermediate_layers
+    cfg = ViTConfig(image_size=224, patch_size=16, embed_dim=192, depth=4,
+                    num_heads=3)
+    params = vit_params_from_torch(m.state_dict())
+    x = jnp.asarray(imgs.numpy().transpose(0, 2, 3, 1))
+    ours = vit_intermediate_layers(params, x, cfg, n=3)
+    assert len(ours) == len(ref_layers) == 3
+    for o, r in zip(ours, ref_layers):
+        np.testing.assert_allclose(np.asarray(o), r.numpy(),
+                                   rtol=1e-3, atol=1e-4)
+
+    # eval_linear ViT-S protocol: CLS of n last blocks concatenated
+    ref_feat = _t.cat([t[:, 0] for t in ref_layers], dim=-1)
+    np.testing.assert_allclose(np.asarray(eval_linear_features(ours)),
+                               ref_feat.numpy(), rtol=1e-3, atol=1e-4)
+
+    # ViT-B protocol (n=1 + avgpool): interleaved cls/avg reshape quirk
+    with _t.no_grad():
+        last = m.get_intermediate_layers(imgs, n=1)
+    ref1 = _t.cat([t[:, 0] for t in last], dim=-1)
+    ref1 = _t.cat((ref1.unsqueeze(-1),
+                   _t.mean(last[-1][:, 1:], dim=1).unsqueeze(-1)), dim=-1)
+    ref1 = ref1.reshape(ref1.shape[0], -1)
+    ours1 = vit_intermediate_layers(params, x, cfg, n=1)
+    np.testing.assert_allclose(
+        np.asarray(eval_linear_features(ours1, avgpool=True)),
+        ref1.numpy(), rtol=1e-3, atol=1e-4)
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        eval_linear_features(ours, avgpool=True)   # n>1 + avgpool = invalid
+
+
 def test_vit_s16_full_size_against_reference_module(ref_vits):
     """Full production geometry (vit_small: 384/12/6,
     vision_transformer.py:243-247) against the real module."""
@@ -306,6 +351,12 @@ def test_full_pipeline_golden_csv():
     ours_reps = fx.extract_array(frames)
     # stage gate: feature parity (identical PIL preprocessing both sides)
     np.testing.assert_allclose(ours_reps, reps_np, rtol=1e-3, atol=1e-4)
+    # the DEFAULT device path now resamples bit-exactly like PIL
+    # (ops/preprocess.resize_pil_exact) — same features WITHOUT host PIL
+    fx_fast = FeatureExtractor(vit_params_from_torch(vit.state_dict()), cfg,
+                               batch_size=16, use_native_decode=False)
+    fast_reps = fx_fast.extract_array(frames)
+    np.testing.assert_allclose(fast_reps, ours_reps, atol=2e-5)
     # sanity: direct forward over host-preprocessed frames agrees
     host = preprocess_reference_host(frames, cfg.preprocess)
     direct, _ = vit_forward(vit_params_from_torch(vit.state_dict()),
