@@ -48,6 +48,105 @@ CropBounds crop_bounds(int size, double frac) {
   return {top, static_cast<int>(top + crop)};
 }
 
+// ---------------------------------------------------------------------------
+// PIL-exact BILINEAR resample (Pillow Resample.c fixed-point arithmetic):
+// triangle filter with adaptive support, coefficients quantized to
+// 1 << PRECISION_BITS, horizontal pass rounded/clipped to uint8 BEFORE the
+// vertical pass.  Bit-identical with Image.resize((n, n), BILINEAR) and
+// with sais_tpu.ops.preprocess.resize_pil_exact (the device twin).
+// ---------------------------------------------------------------------------
+
+constexpr int kPrecisionBits = 32 - 8 - 2;
+constexpr int kRoundBias = 1 << (kPrecisionBits - 1);
+
+inline uint8_t clip8(int v) {
+  v >>= kPrecisionBits;
+  if (v < 0) return 0;
+  if (v > 255) return 255;
+  return static_cast<uint8_t>(v);
+}
+
+struct AxisCoeffs {
+  int ksize = 0;
+  std::vector<int> xmin;  // (out,)
+  std::vector<int> kk;    // (out, ksize) row-major, zero-padded past xmax
+};
+
+AxisCoeffs pil_coeffs(int in_size, int out_size) {
+  const double scale = static_cast<double>(in_size) / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // bilinear support = 1.0
+  AxisCoeffs c;
+  c.ksize = static_cast<int>(std::ceil(support)) * 2 + 1;
+  c.xmin.resize(out_size);
+  c.kk.assign(static_cast<size_t>(out_size) * c.ksize, 0);
+  std::vector<double> w(c.ksize);
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    int xmin = static_cast<int>(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = static_cast<int>(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    const double ss = 1.0 / filterscale;
+    double total = 0.0;
+    for (int x = 0; x < xmax; ++x) {
+      const double a = (x + xmin - center + 0.5) * ss;
+      const double v = a < 0 ? 1.0 + a : 1.0 - a;  // triangle filter
+      w[x] = v < 0 ? 0.0 : v;
+      total += w[x];
+    }
+    for (int x = 0; x < xmax; ++x) {
+      const double k = total != 0.0 ? w[x] / total : w[x];
+      c.kk[static_cast<size_t>(xx) * c.ksize + x] = static_cast<int>(
+          k < 0 ? k * (1 << kPrecisionBits) - 0.5
+                : k * (1 << kPrecisionBits) + 0.5);
+    }
+    c.xmin[xx] = xmin;
+  }
+  return c;
+}
+
+// horizontal fixed-point pass: (rows, in) 8UC3 -> (rows, out) 8UC3
+void resample_rows(const cv::Mat& in, cv::Mat& out, const AxisCoeffs& c) {
+  const int out_w = static_cast<int>(c.xmin.size());
+  out.create(in.rows, out_w, CV_8UC3);
+  for (int y = 0; y < in.rows; ++y) {
+    const uint8_t* row = in.ptr<uint8_t>(y);
+    uint8_t* orow = out.ptr<uint8_t>(y);
+    for (int xx = 0; xx < out_w; ++xx) {
+      const int* k = &c.kk[static_cast<size_t>(xx) * c.ksize];
+      const int xmin = c.xmin[xx];
+      int s0 = kRoundBias, s1 = kRoundBias, s2 = kRoundBias;
+      for (int t = 0; t < c.ksize; ++t) {
+        int xi = xmin + t;
+        if (xi >= in.cols) xi = in.cols - 1;  // coeff is 0 past xmax
+        const uint8_t* px = row + 3 * xi;
+        s0 += px[0] * k[t];
+        s1 += px[1] * k[t];
+        s2 += px[2] * k[t];
+      }
+      orow[3 * xx + 0] = clip8(s0);
+      orow[3 * xx + 1] = clip8(s1);
+      orow[3 * xx + 2] = clip8(s2);
+    }
+  }
+}
+
+// full resize: horizontal first, uint8 intermediate, then vertical —
+// ImagingResample's pass order
+void pil_resize_exact(const cv::Mat& in, cv::Mat& out, int out_size) {
+  AxisCoeffs ch = pil_coeffs(in.cols, out_size);
+  cv::Mat horiz;
+  resample_rows(in, horiz, ch);
+  AxisCoeffs cv_ = pil_coeffs(in.rows, out_size);
+  cv::Mat t = horiz.t();  // operate on columns as rows
+  // t is (out_size, rows) 8UC3; resample its rows (= original columns)
+  cv::Mat tout;
+  resample_rows(t, tout, cv_);
+  out = tout.t();
+}
+
 struct FramePump {
   cv::VideoCapture cap;
   int out_size;
@@ -73,10 +172,9 @@ struct FramePump {
       CropBounds cb = crop_bounds(bgr.cols, crop_w);
       cv::Mat cropped = bgr(cv::Range(rb.lo, rb.hi), cv::Range(cb.lo, cb.hi));
       cv::Mat resized;
-      // INTER_AREA: antialiased downscale (closest OpenCV match to the
-      // reference's antialiased PIL bilinear)
-      cv::resize(cropped, resized, cv::Size(out_size, out_size), 0, 0,
-                 cv::INTER_AREA);
+      // PIL-exact fixed-point BILINEAR (bit-identical with the reference's
+      // Image.resize and with the device resize_pil_exact twin)
+      pil_resize_exact(cropped, resized, out_size);
       cv::Mat rgb;
       cv::cvtColor(resized, rgb, cv::COLOR_BGR2RGB);
       {

@@ -8,12 +8,19 @@ travel over PCIe and everything else stays on chip.
 
 Crop arithmetic matches torchvision's center_crop rounding
 (top = round((H - 0.8H)/2), box edges truncated like PIL Image.crop).
-jax.image.resize(..., 'bilinear', antialias=True) matches PIL's antialiased
-BILINEAR filter to ~1e-2/255 per pixel; tests pin the tolerance.
+
+The resize is BIT-EXACT with PIL's `Image.resize((r, r), BILINEAR)` on
+uint8 images: Pillow resamples in fixed point (triangle filter with
+adaptive support, coefficients quantized to 1 << 22, horizontal pass
+rounded/clipped to uint8 BEFORE the vertical pass — Resample.c
+precompute_coeffs/normalize_coeffs_8bpc/ImagingResampleHorizontal_8bpc),
+and `_resize_pil_exact` replays that integer arithmetic on device with
+ksize banded gathers per axis instead of a dense matmul.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
 from typing import Tuple
 
 import jax
@@ -21,6 +28,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from sais_tpu.config import PreprocessConfig
+
+_PRECISION_BITS = 32 - 8 - 2          # Pillow Resample.c PRECISION_BITS
+_HALF = 1 << (_PRECISION_BITS - 1)    # rounding bias of the 8bpc passes
 
 
 def center_crop_bounds(size: int, frac: float) -> Tuple[int, int]:
@@ -31,19 +41,87 @@ def center_crop_bounds(size: int, frac: float) -> Tuple[int, int]:
     return top, int(top + crop)
 
 
+@lru_cache(maxsize=64)
+def pil_bilinear_coeffs(in_size: int, out_size: int
+                        ) -> Tuple[np.ndarray, np.ndarray]:
+    """Pillow's precompute_coeffs + normalize_coeffs_8bpc for the BILINEAR
+    (triangle, support=1) filter, one output axis.
+
+    Returns (xmin (out,) int32, coeffs (out, ksize) int32) where
+    out[o] = clip8(sum_k in[xmin[o]+k] * coeffs[o, k] + 1<<21 >> 22) —
+    the exact integer arithmetic Pillow applies to uint8 images.
+    """
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale       # bilinear filter support = 1.0
+    ksize = int(np.ceil(support)) * 2 + 1
+    xmins = np.zeros(out_size, np.int32)
+    kk = np.zeros((out_size, ksize), np.int32)
+    for xx in range(out_size):
+        center = (xx + 0.5) * scale
+        xmin = int(center - support + 0.5)
+        xmin = max(xmin, 0)
+        xmax = int(center + support + 0.5)
+        xmax = min(xmax, in_size) - xmin
+        ss = 1.0 / filterscale
+        w = np.zeros(ksize, np.float64)
+        for x in range(xmax):
+            arg = (x + xmin - center + 0.5) * ss
+            w[x] = max(0.0, 1.0 - abs(arg))   # triangle filter
+        total = w[:xmax].sum()
+        if total != 0.0:
+            w[:xmax] /= total
+        # fixed-point quantization (normalize_coeffs_8bpc)
+        q = np.where(w < 0, (w * (1 << _PRECISION_BITS) - 0.5),
+                     (w * (1 << _PRECISION_BITS) + 0.5)).astype(np.int64)
+        kk[xx] = q.astype(np.int32)
+        xmins[xx] = xmin
+    return xmins, kk
+
+
+def _resample_axis_8bpc(x: jnp.ndarray, axis: int, out_size: int
+                        ) -> jnp.ndarray:
+    """One fixed-point resample pass over `axis` of a uint8 array —
+    bit-exact with ImagingResampleHorizontal_8bpc.  Output is uint8."""
+    in_size = x.shape[axis]
+    xmins, kk = pil_bilinear_coeffs(in_size, out_size)
+    ksize = kk.shape[1]
+    acc = jnp.full(x.shape[:axis] + (out_size,) + x.shape[axis + 1:],
+                   _HALF, jnp.int32)
+    idx_base = jnp.asarray(xmins)
+    for k in range(ksize):
+        idx = jnp.clip(idx_base + k, 0, in_size - 1)
+        taps = jnp.take(x, idx, axis=axis).astype(jnp.int32)
+        wshape = [1] * x.ndim
+        wshape[axis] = out_size
+        acc = acc + taps * jnp.asarray(kk[:, k]).reshape(wshape)
+    # clip8: >> PRECISION_BITS, clamp to [0, 255] (negative sums impossible
+    # for the non-negative bilinear coefficients)
+    return jnp.clip(acc >> _PRECISION_BITS, 0, 255).astype(jnp.uint8)
+
+
+def resize_pil_exact(frames_u8: jnp.ndarray, out_size: int) -> jnp.ndarray:
+    """(..., H, W, C) uint8 -> (..., out, out, C) uint8, bit-exact with
+    `PIL.Image.resize((out, out), Image.BILINEAR)` (horizontal pass first,
+    uint8 intermediate, like ImagingResample)."""
+    x = _resample_axis_8bpc(frames_u8, frames_u8.ndim - 2, out_size)
+    return _resample_axis_8bpc(x, frames_u8.ndim - 3, out_size)
+
+
 def preprocess_batch(frames: jnp.ndarray, cfg: PreprocessConfig,
                      dtype: jnp.dtype = jnp.float32) -> jnp.ndarray:
     """(B, H, W, 3) uint8 RGB -> (B, resize, resize, 3) normalized.
 
-    Jit-traceable; crop bounds are static per input shape.
+    Jit-traceable; crop bounds and resample coefficients are static per
+    input shape.  The crop/resize stage reproduces the reference's PIL
+    transform stack bit-for-bit (extract_representations.py:158-162), so
+    the throughput path needs no host-PIL detour for parity.
     """
     b, h, w, c = frames.shape
     r0, r1 = center_crop_bounds(h, cfg.crop_height_frac)
     c0, c1 = center_crop_bounds(w, cfg.crop_width_frac)
-    x = frames[:, r0:r1, c0:c1, :].astype(jnp.float32)
-    x = jax.image.resize(x, (b, cfg.resize, cfg.resize, c), method="bilinear",
-                         antialias=True)
-    x = x / 255.0
+    x = resize_pil_exact(frames[:, r0:r1, c0:c1, :], cfg.resize)
+    x = x.astype(jnp.float32) / 255.0
     mean = jnp.asarray(cfg.mean, jnp.float32)
     std = jnp.asarray(cfg.std, jnp.float32)
     return ((x - mean) / std).astype(dtype)

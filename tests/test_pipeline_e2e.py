@@ -98,16 +98,64 @@ def test_decode_pipeline_end_to_end(tmp_path):
 
 
 def test_preprocess_device_matches_pil_reference():
+    """The device path replays Pillow's fixed-point resample bit-exactly
+    (ops/preprocess.resize_pil_exact); the only residual difference vs the
+    host-PIL oracle is float rounding in the normalize (f32 vs numpy f64
+    promotion) — ulp-level."""
     rng = np.random.default_rng(1)
-    frames = rng.integers(0, 255, (3, 100, 140, 3), dtype=np.uint8)
     cfg = PreprocessConfig()
-    dev = np.asarray(preprocess_batch(jnp.asarray(frames), cfg))
-    host = preprocess_reference_host(frames, cfg)
-    assert dev.shape == host.shape == (3, 224, 224, 3)
-    # PIL and jax antialiased bilinear agree closely; normalized units
-    err = np.abs(dev - host).mean()
-    assert err < 0.03, err
-    assert np.abs(dev - host).max() < 0.35
+    for shape in ((3, 100, 140, 3), (2, 480, 640, 3), (1, 224, 224, 3)):
+        frames = rng.integers(0, 255, shape, dtype=np.uint8)
+        dev = np.asarray(preprocess_batch(jnp.asarray(frames), cfg))
+        host = preprocess_reference_host(frames, cfg)
+        assert dev.shape == host.shape == (shape[0], 224, 224, 3)
+        assert np.abs(dev - host).max() < 1e-5
+
+
+def test_native_pump_matches_pil_exactly(tmp_path):
+    """The C++ frame_pump's crop+resize is bit-identical with PIL on the
+    decoded frames (same fixed-point resample as the device twin), so the
+    native-decode path feeds the ViT the same pixels as the exact path."""
+    from PIL import Image
+
+    from sais_tpu.io.native_loader import NativeFramePump, ensure_built
+    from sais_tpu.io.video import VideoReader
+    if not ensure_built():
+        pytest.skip("native toolchain/opencv unavailable")
+
+    path = str(tmp_path / "vid.mp4")
+    synth_video(path, nframes=12, h=100, w=140)
+    with VideoReader(path) as r:
+        frames = list(r.frames())
+    expected = []
+    from sais_tpu.ops.preprocess import center_crop_bounds
+    for f in frames:
+        r0, r1 = center_crop_bounds(f.shape[0], 0.8)
+        c0, c1 = center_crop_bounds(f.shape[1], 0.8)
+        img = Image.fromarray(f[r0:r1, c0:c1])
+        expected.append(np.asarray(img.resize((64, 64), Image.BILINEAR)))
+    expected = np.stack(expected)
+
+    with NativeFramePump(path, out_size=64) as pump:
+        got = np.concatenate(list(pump.batches(5)))
+    np.testing.assert_array_equal(got, expected)
+
+
+def test_resize_pil_exact_bitwise():
+    """resize_pil_exact == PIL Image.resize(BILINEAR) on uint8, bit for
+    bit, across down/up-scales and odd geometries (VERDICT r2 item 2:
+    extract_representations.py:158-162 exactness without host PIL)."""
+    from PIL import Image
+
+    from sais_tpu.ops.preprocess import resize_pil_exact
+    rng = np.random.default_rng(2)
+    for (h, w, out) in [(864, 1536, 224), (100, 150, 224), (224, 224, 224),
+                        (137, 251, 224), (300, 300, 96), (33, 47, 224)]:
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ref = np.asarray(Image.fromarray(img).resize((out, out),
+                                                     Image.BILINEAR))
+        ours = np.asarray(resize_pil_exact(jnp.asarray(img[None]), out))[0]
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{h}x{w}->{out}")
 
 
 def test_feature_store_roundtrip(tmp_path):
