@@ -92,56 +92,83 @@ def _percentile(values, q: float) -> float:
 
 def serve(service: DecodeService, socket_path: str,
           log=print) -> None:
+    """Accept loop with one worker thread per connection.
+
+    Decode requests serialize behind a lock (one video pipeline on the
+    chip at a time — concurrent decodes would interleave device batches
+    without making anything faster), but `ping`/`stats`/`shutdown` answer
+    immediately from any connection even while a decode is in flight.
+    """
+    import threading
     if os.path.exists(socket_path):
         os.unlink(socket_path)
     srv = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
     srv.bind(socket_path)
-    srv.listen(4)
+    srv.listen(16)
     log(f"sais serve: listening on {socket_path}")
-    running = True
+    stop = threading.Event()
+    decode_lock = threading.Lock()
     from collections import deque
     latencies: "deque" = deque(maxlen=10000)  # bounded: long-lived daemon
-    try:
-        while running:
-            conn, _ = srv.accept()
-            try:
-                with conn, conn.makefile("rw") as f:
-                    for line in f:
-                        line = line.strip()
-                        if not line:
-                            continue
-                        try:
-                            req = json.loads(line)
-                            if req.get("cmd") == "shutdown":
-                                resp = {"ok": True, "bye": True}
-                                running = False
-                            elif req.get("cmd") == "ping":
-                                resp = {"ok": True, "pong": True}
-                            elif req.get("cmd") == "stats":
+    lat_lock = threading.Lock()
+
+    def handle(conn):
+        try:
+            with conn, conn.makefile("rw") as f:
+                for line in f:
+                    line = line.strip()
+                    if not line:
+                        continue
+                    try:
+                        req = json.loads(line)
+                        if req.get("cmd") == "shutdown":
+                            resp = {"ok": True, "bye": True}
+                            stop.set()
+                        elif req.get("cmd") == "ping":
+                            resp = {"ok": True, "pong": True}
+                        elif req.get("cmd") == "stats":
+                            with lat_lock:
                                 lat = sorted(latencies)
-                                resp = {
-                                    "ok": True, "requests": len(lat),
-                                    "p50_s": round(_percentile(lat, 0.5), 3),
-                                    "p95_s": round(_percentile(lat, 0.95),
-                                                   3)}
-                            else:
+                            resp = {
+                                "ok": True, "requests": len(lat),
+                                "p50_s": round(_percentile(lat, 0.5), 3),
+                                "p95_s": round(_percentile(lat, 0.95), 3),
+                                "busy": decode_lock.locked()}
+                        else:
+                            with decode_lock:
                                 resp = service.decode_video(
                                     req["video"],
                                     bool(req.get("flow", False)))
+                            with lat_lock:
                                 latencies.append(resp["seconds"])
-                        except Exception as e:  # report, keep serving
-                            resp = {"ok": False,
-                                    "error": f"{type(e).__name__}: {e}"}
-                        f.write(json.dumps(resp) + "\n")
-                        f.flush()
-                        if not running:
-                            break
-            except OSError as e:
-                # client vanished mid-request (timeout, Ctrl-C): the
-                # long-lived daemon must survive BrokenPipe/ConnectionReset
-                log(f"client connection error ({e}); still serving")
+                    except Exception as e:  # report, keep serving
+                        resp = {"ok": False,
+                                "error": f"{type(e).__name__}: {e}"}
+                    f.write(json.dumps(resp) + "\n")
+                    f.flush()
+                    if stop.is_set():
+                        break
+        except OSError as e:
+            # client vanished mid-request (timeout, Ctrl-C): the
+            # long-lived daemon must survive BrokenPipe/ConnectionReset
+            log(f"client connection error ({e}); still serving")
+
+    srv.settimeout(0.25)   # poll the stop flag between accepts
+    workers = []
+    try:
+        while not stop.is_set():
+            try:
+                conn, _ = srv.accept()
+            except socket.timeout:
+                continue
+            t = threading.Thread(target=handle, args=(conn,), daemon=True)
+            t.start()
+            workers.append(t)
+            workers = [w for w in workers if w.is_alive()]
     finally:
         srv.close()
+        for w in workers:
+            w.join(timeout=5)
         if os.path.exists(socket_path):
             os.unlink(socket_path)
 

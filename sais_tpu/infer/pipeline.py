@@ -266,7 +266,10 @@ class FlowExtractor:
         for i in range(0, len(starts), pair_batch):
             chunk = starts[i:i + pair_batch]
             n = len(chunk)
-            if self.mesh is not None and n < pair_batch:
+            if n < pair_batch:
+                # pad the tail chunk to the full batch on single chip too:
+                # a fresh tail shape costs one extra XLA compile (20-180 s
+                # through a remote-compile tunnel) for a few pairs of work
                 chunk = np.concatenate(
                     [chunk, np.repeat(chunk[-1:], pair_batch - n)])
             i1 = frames[chunk]
@@ -379,7 +382,9 @@ class FlowExtractor:
                     a_np = i1[s:s + pair_batch]
                     b_np = i2[s:s + pair_batch]
                     n = a_np.shape[0]
-                    if self.mesh is not None and n < pair_batch:
+                    if n < pair_batch:
+                        # tail padded on single chip too — one compiled
+                        # RAFT shape per resolution regardless of length
                         reps = pair_batch - n
                         a_np = np.concatenate(
                             [a_np, np.repeat(a_np[-1:], reps, axis=0)])

@@ -115,7 +115,10 @@ def _random_resized_crop(key, img, out_size, scale):
     1080p-scale crop shrinks to 224 (PIL's resize low-passes adaptively;
     a box prefilter + bilinear is the static-shape equivalent)."""
     h, w, _ = img.shape
-    worst = (min(h, w) * float(scale[1]) ** 0.5) / (2.0 * out_size)
+    # worst-case crop dimension: cw <= sqrt(h*w*scale_max*ratio_max) with
+    # ratio_max = 4/3 (aspect jitter on non-square sources can exceed the
+    # old min(h,w)*sqrt(scale_max) bound)
+    worst = (h * w * float(scale[1]) * (4.0 / 3.0)) ** 0.5 / (2.0 * out_size)
     f = max(1, int(-(-worst // 1)))   # ceil
     if f > 1:
         hh, ww = (h // f) * f, (w // f) * f

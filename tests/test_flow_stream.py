@@ -76,6 +76,43 @@ def test_flow_extractor_end_to_end():
         np.testing.assert_allclose(b, a, atol=1e-5)
 
 
+def test_tail_chunk_reuses_one_compiled_shape():
+    """The last partial pair-chunk is padded to the full batch on a single
+    chip too — one compiled RAFT shape per resolution regardless of video
+    length (a fresh tail shape costs an extra XLA compile, 20-180 s
+    through a remote-compile tunnel)."""
+    from sais_tpu.infer.pipeline import FlowExtractor
+    from sais_tpu.models.raft import raft_init
+    from sais_tpu.models.vit import vit_init
+
+    cfg = PipelineConfig(
+        vit=ViTConfig(image_size=32, patch_size=8, embed_dim=48, depth=1,
+                      num_heads=4),
+        preprocess=PreprocessConfig(resize=32),
+        raft=RAFTConfig(iters=1),
+        compute_dtype="float32",
+    )
+    fx = FlowExtractor(raft_init(jax.random.key(0), cfg.raft),
+                       vit_init(jax.random.key(1), cfg.vit), cfg,
+                       pair_batch=2)
+    shapes = set()
+    orig = fx._flow_fn
+
+    def spy(params, a, b):
+        shapes.add(tuple(a.shape))
+        return orig(params, a, b)
+
+    fx._flow_fn = spy
+    rng = np.random.default_rng(1)
+    # 50 frames @ jump 15 -> pair starts 0/15/30 -> 3 pairs = 2 + 1 (tail)
+    frames = rng.integers(0, 255, (50, 64, 72, 3), dtype=np.uint8)
+    out = fx.flow_fields(frames)
+    assert out.shape[0] == 3
+    stream = fx.extract_video(None, frame_source=iter(frames))
+    assert stream.shape[0] == 3
+    assert shapes == {(2, 64, 72, 3)}   # tail padded, single dispatch shape
+
+
 def test_extract_video_missing_file_raises():
     """Producer-thread decode failures must surface, not masquerade as an
     empty video (code-review finding: try/finally swallowed them)."""
