@@ -114,27 +114,3 @@ def test_lanes_layout_matches_query_major():
     ref = np.asarray(corr_lookup(pyr_q, coords, 4, mode="gather"))
     got = np.asarray(corr_lookup_lanes(pyr_l, coords, 4))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
-
-
-def test_pallas_lookup_kernel_matches_shift_lanes():
-    """kernels/raft_lookup.py (experimental single-pass VMEM kernel,
-    interpret mode here) == the production XLA shift path.  Measured
-    perf-neutral on v5e — XLA already reuses the sliding windows — so the
-    kernel is not wired into raft_forward; this pins its correctness."""
-    from sais_tpu.kernels.raft_lookup import (fits_vmem,
-                                              lookup_level_lanes_pallas)
-    from sais_tpu.models.raft import _lookup_level_shift_lanes, _weight_vec
-
-    key = jax.random.PRNGKey(0)
-    b, hl, wl, n = 2, 13, 17, 221
-    corr_t = jax.random.normal(key, (b, hl, wl, n))
-    coords = jax.random.uniform(jax.random.fold_in(key, 1), (b, n, 2),
-                                minval=-9.0, maxval=25.0)
-    ref = np.asarray(_lookup_level_shift_lanes(corr_t, coords, 4))
-    gy = _weight_vec(coords[..., 1], hl, 4).transpose(0, 2, 1)
-    gx = _weight_vec(coords[..., 0], wl, 4).transpose(0, 2, 1)
-    got = np.asarray(lookup_level_lanes_pallas(corr_t, gy, gx, 4,
-                                               interpret=True))
-    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
-    assert fits_vmem(30, 40, 1216, 4)        # 240x320 level 0
-    assert not fits_vmem(135, 240, 32400, 4)  # 1080p level 0
