@@ -465,9 +465,10 @@ def upsample_flow(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
     fpad = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
     patches = jnp.stack([fpad[:, dy:dy + h, dx:dx + w, :]
                          for dy in range(3) for dx in range(3)], axis=3)
-    # (B, H, W, 9, 2) x (B, H, W, 9, 8, 8) -> (B, H, W, 8, 8, 2)
-    up = jnp.einsum("bhwkc,bhwkuv->bhwuvc", patches, m)
-    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
+    # contract straight into the interleaved (b, h, u, w, v, c) layout so
+    # the full-res reshape needs no 6-D transpose pass over HBM
+    up = jnp.einsum("bhwkc,bhwkuv->bhuwvc", patches, m)
+    return up.reshape(b, 8 * h, 8 * w, 2)
 
 
 # ---------------------------------------------------------------------------
@@ -502,7 +503,7 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     by 8 (use pad_to_multiple_of_8 otherwise).  Returns (B, H, W, 2) flow
     in pixels (x, y).
     """
-    iters = iters or cfg.iters
+    iters = cfg.iters if iters is None else iters
     x1 = (2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0).astype(compute_dtype)
     x2 = (2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0).astype(compute_dtype)
 
