@@ -120,7 +120,7 @@ def bench_dino_train(batch: int = 64, n_steps: int = 20):
     from sais_tpu.config import ViTConfig
     from sais_tpu.train.dino import DINOConfig, DINOTrainer
 
-    cfg = DINOConfig(batch_size=batch, epochs=1)
+    cfg = DINOConfig(batch_size=batch)
     tr = DINOTrainer(ViTConfig(), cfg, niter_per_ep=n_steps + 5,
                      key=jax.random.key(0))
     key = jax.random.key(1)

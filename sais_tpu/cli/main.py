@@ -704,16 +704,21 @@ def cmd_pretrain(args):
         # fresh meters per epoch (main_dino builds a new MetricLogger each
         # epoch; cumulative averages would flatten the loss curve)
         logger = MetricLogger(jsonl_path=log_path)
-        for vi, video in enumerate(videos):
-            for bi, batch in enumerate(_batches(video, bs)):
+        pending = None   # one step in flight: fetch step k-1's loss while
+        for vi, video in enumerate(videos):  # step k computes and the host
+            for bi, batch in enumerate(_batches(video, bs)):  # decodes k+1
                 if batch.shape[0] < bs:
                     continue
                 key = jax.random.key(hash((epoch, vi, bi)) % (2 ** 31))
                 batch = center_border_crop(batch, hf, wf,
                                            args.trim_right)
                 g, l = aug(key, jnp.asarray(batch, jnp.float32) / 255.0)
-                loss = trainer.step(g, l)
-                logger.update(loss=loss)
+                loss_dev = trainer.step_async(g, l)
+                if pending is not None:
+                    logger.update(loss=trainer.check_loss(pending))
+                pending = loss_dev
+        if pending is not None:
+            logger.update(loss=trainer.check_loss(pending))
         mgr.save(epoch + 1, trainer.state())
         logger.write_epoch(epoch)
         print(f"epoch {epoch}: loss {logger.meters['loss'].global_avg:.4f}")

@@ -217,8 +217,13 @@ class DINOTrainer:
         vcfg = vit_cfg
 
         def backbone(params, crops):
-            if fused_blocks:
-                # Pallas forward + exact XLA backward (custom VJP)
+            # Mixed strategy (measured on v5e at batch 64): the fused
+            # Pallas fwd+bwd wins big at global-crop length (L=197:
+            # 38.5 vs 56.1 ms for 128 images fwd+bwd, teacher fwd 11.5
+            # vs 23.2) but LOSES to XLA at local-crop length (L=37:
+            # 60.7 vs 42.4 ms for 512 images) where the short sequences
+            # starve the per-program operands.  Route by crop size.
+            if fused_blocks and crops.shape[1] >= 160:
                 from sais_tpu.models.vit import vit_features_trainable_fused
                 return vit_features_trainable_fused(params, crops, vcfg)
             return vit_features(params, crops, vcfg,
@@ -295,9 +300,13 @@ class DINOTrainer:
         self.opt_state = state["opt_state"]
         self.step_idx = int(state["step_idx"])
 
-    def step(self, globals_: jnp.ndarray,
-             locals_: Optional[jnp.ndarray]) -> float:
-        """One optimization step.
+    def step_async(self, globals_: jnp.ndarray,
+                   locals_: Optional[jnp.ndarray]) -> jnp.ndarray:
+        """Dispatch one optimization step WITHOUT fetching the loss.
+
+        Returns the on-device loss scalar; the caller fetches it later
+        (e.g. one step delayed) so host-side decode/augmentation staging
+        overlaps device compute instead of serializing on a per-step sync.
 
         globals_: (n_global*B, H, W, 3) normalized crops interleaved
         crop-major; locals_: (n_local*B, h, w, 3) or None.
@@ -314,8 +323,18 @@ class DINOTrainer:
             jnp.bool_(epoch < self.cfg.freeze_last_layer_epochs))
         self.student, self.teacher, self.center, self.opt_state, loss = out
         self.step_idx += 1
+        return loss
+
+    @staticmethod
+    def check_loss(loss) -> float:
+        """Fetch + validate a loss from step_async (reference aborts on a
+        non-finite loss, main_dino.py:539-541)."""
         loss = float(loss)
         if not np.isfinite(loss):
-            # reference aborts on non-finite loss (main_dino.py:539-541)
             raise FloatingPointError(f"DINO loss is {loss}, stopping training")
         return loss
+
+    def step(self, globals_: jnp.ndarray,
+             locals_: Optional[jnp.ndarray]) -> float:
+        """One synchronous optimization step (dispatch + loss fetch)."""
+        return self.check_loss(self.step_async(globals_, locals_))
