@@ -101,15 +101,17 @@ def dino_loss(student_out: Sequence[jnp.ndarray],
         (t.astype(jnp.float32) - center) / teacher_temp, -1)
         for t in teacher_out]
     q = [jax.lax.stop_gradient(x) for x in q]
+    # one log_softmax per student crop, reused across teacher views (the
+    # reference recomputes it per (iq, v) pair — same value, 1.8x the work)
+    logp = [jax.nn.log_softmax(s.astype(jnp.float32) / student_temp, -1)
+            for s in student_out]
     total = 0.0
     n_terms = 0
     for iq in range(len(q)):
         for v in range(len(student_out)):
             if v == iq:
                 continue
-            logp = jax.nn.log_softmax(
-                student_out[v].astype(jnp.float32) / student_temp, -1)
-            total = total + jnp.mean(jnp.sum(-q[iq] * logp, axis=-1))
+            total = total + jnp.mean(jnp.sum(-q[iq] * logp[v], axis=-1))
             n_terms += 1
     batch_center = jnp.mean(
         jnp.concatenate([t.astype(jnp.float32) for t in teacher_out], 0),
@@ -143,12 +145,17 @@ def clip_gradients_per_param(grads: Any, clip: float) -> Any:
     return jax.tree.map(_clip, grads)
 
 
-def cancel_last_layer_grads(grads: Dict[str, Any]) -> Dict[str, Any]:
-    """utils.cancel_gradients_last_layer: zero the head's final layer."""
+def cancel_last_layer_grads(grads: Dict[str, Any],
+                            cancel: jnp.ndarray) -> Dict[str, Any]:
+    """utils.cancel_gradients_last_layer: zero the head's final layer when
+    `cancel` is True.  Arithmetic masking of JUST the two affected tensors —
+    a lax.cond over the whole tree would copy every gradient through the
+    identity branch."""
+    keep = 1.0 - cancel.astype(jnp.float32)
     out = dict(grads)
     head = dict(out["head"])
-    head["last_v"] = jnp.zeros_like(head["last_v"])
-    head["last_g"] = jnp.zeros_like(head["last_g"])
+    head["last_v"] = head["last_v"] * keep
+    head["last_g"] = head["last_g"] * keep
     out["head"] = head
     return out
 
@@ -230,20 +237,25 @@ class DINOTrainer:
                                 compute_dtype=jnp.bfloat16)
 
         def forward(params, globals_, locals_):
-            """Backbone over the two resolution groups, head over all —
-            MultiCropWrapper semantics (utils.py:595-631)."""
-            outs = []
+            """Backbone over the two resolution groups, head over ALL rows
+            in one call — MultiCropWrapper semantics (utils.py:595-631).
+            A per-crop head would re-read the 256 x out_dim weight-normed
+            last layer (67 MB at out_dim 65536) once per crop list entry."""
             gfeat = backbone(params["backbone"], globals_)
-            ng = cfg.n_global_crops
-            for i in range(ng):
-                outs.append(gfeat[i::ng])
+            feats = gfeat
             if locals_ is not None and cfg.n_local_crops:
                 lfeat = backbone(params["backbone"], locals_)
+                feats = jnp.concatenate([gfeat, lfeat], 0)
+            head_out = dino_head_forward(params["head"], feats,
+                                         cfg.norm_last_layer)
+            ng = cfg.n_global_crops
+            gout = head_out[:gfeat.shape[0]]
+            outs = [gout[i::ng] for i in range(ng)]
+            if locals_ is not None and cfg.n_local_crops:
                 nl = cfg.n_local_crops
-                for i in range(nl):
-                    outs.append(lfeat[i::nl])
-            return [dino_head_forward(params["head"], o,
-                                      cfg.norm_last_layer) for o in outs]
+                lout = head_out[gfeat.shape[0]:]
+                outs += [lout[i::nl] for i in range(nl)]
+            return outs
 
         def train_step(student, teacher, center, opt_state, globals_,
                        locals_, lr, teacher_temp, momentum, wd, cancel_last):
@@ -257,8 +269,7 @@ class DINOTrainer:
             (loss, batch_center), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(student)
             grads = clip_gradients_per_param(grads, cfg.clip_grad)
-            grads = jax.lax.cond(cancel_last, cancel_last_layer_grads,
-                                 lambda g: g, grads)
+            grads = cancel_last_layer_grads(grads, cancel_last)
             updates, opt_state = self.optimizer.update(grads, opt_state,
                                                        student)
             # scheduled lr scales unit-lr updates; decoupled weight decay
