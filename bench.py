@@ -130,9 +130,17 @@ def bench_dino_train(batch: int = 64, n_steps: int = 20):
                           (cfg.n_local_crops * batch, 96, 96, 3),
                           jnp.bfloat16)
     tr.step(g, l)                        # compile + warm
+    # pipelined like `sais pretrain`: fetch step k-1's loss while step k
+    # computes (a per-step synchronous fetch would add the tunnel's
+    # ~33 ms RTT to every step and understate device throughput)
     t0 = time.time()
+    pending = None
     for _ in range(n_steps):
-        tr.step(g, l)                    # step() fetches loss -> synced
+        loss = tr.step_async(g, l)
+        if pending is not None:
+            tr.check_loss(pending)
+        pending = loss
+    tr.check_loss(pending)
     dt = (time.time() - t0) / n_steps
     img_s = batch / dt
     peak = float(os.environ.get("SAIS_TPU_PEAK_TFLOPS", "197"))

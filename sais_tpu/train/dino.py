@@ -274,7 +274,10 @@ class DINOTrainer:
                                                        student)
             # scheduled lr scales unit-lr updates; decoupled weight decay
             # applies to weight matrices only (reference skips biases/norms
-            # via get_params_groups, utils.py:202-212)
+            # via get_params_groups, utils.py:202-212).  NOTE a flat
+            # (raveled-vector) tail was tried and measured EQUAL on v5e —
+            # the apparent per-tensor overhead was a remote-tunnel loss-
+            # fetch artifact — so the simple tree form stays.
             student = jax.tree.map(
                 lambda p, u: p + lr * u - lr * wd * p * (p.ndim > 1),
                 student, updates)
