@@ -173,14 +173,14 @@ class DINOTrainer:
         DINOLoss dist.all_reduce (main_dino.py:630).
 
         fused_blocks: fully-fused Pallas forward AND backward kernels
-        (custom VJP, kernels/fused_mha.make_pallas_trainable_fused_block).
-        Only (x, x1) per block are saved — a remat-like memory profile with
-        the recompute running inside the VMEM-resident backward kernels.
-        Measured on v5e: ~7% slower than the pure XLA step at ViT-S
-        batch 16 (451 vs 487 img/s) but 10% FASTER at batch 64 (513 vs
-        466 img/s) where the taller per-program operands amortize the
-        recompute.  Default (None): auto — fused on TPU when
-        cfg.batch_size >= 32, XLA otherwise."""
+        (custom VJP, kernels/fused_mha.make_pallas_trainable_fused_block)
+        for crops large enough to feed them (the backbone() router below
+        sends local crops through XLA regardless).  Only (x, x1) per block
+        are saved — a remat-like memory profile with the recompute running
+        inside the VMEM-resident backward kernels.  Measured on v5e at
+        batch 64 (8 locals): mixed routing 592 img/s vs 471 pure-XLA.
+        Default (None): auto — fused on TPU when cfg.batch_size >= 32,
+        XLA otherwise."""
         if fused_blocks is None:
             fused_blocks = (cfg.batch_size >= 32
                             and jax.default_backend() == "tpu")
