@@ -104,7 +104,8 @@ class TemporalConfig:
     # for attribution (prepare_model.py:213,221).  None = auto: flash on TPU
     # whenever the padded sequence reaches `flash_min_len` (the reference's
     # 2000-frame cap regime, prepare_dataset.py:2437); True/False force it.
-    # Inference-only: the kernel defines no VJP, so trainers force dense.
+    # Differentiable: the kernel carries a two-pass Pallas flash backward
+    # (custom VJP), so long-sequence TRAINING runs flash too.
     use_flash: Optional[bool] = None
     flash_min_len: int = 512
 

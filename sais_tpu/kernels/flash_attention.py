@@ -1,4 +1,5 @@
-"""Fused flash attention with key-padding masking — Pallas TPU kernel.
+"""Fused flash attention with key-padding masking — Pallas TPU kernels,
+forward AND backward (custom VJP).
 
 Motivation (SURVEY.md section 5.7): the reference caps sequences at 2000
 frames and runs O(L^2) vanilla attention in the 4-layer temporal encoder,
@@ -9,15 +10,25 @@ materialization).  The only attention row SAIS actually *exports* is the
 CLS query's (frame-importance attribution), which `cls_attention_row`
 computes separately for O(L) cost.
 
-Kernel layout: grid over (batch*heads, query blocks); K/V live in VMEM per
-(batch, head) program; inner fori_loop walks key blocks with the standard
-online-softmax recurrence (running max/denominator + rescaled accumulator).
-Head dim is zero-padded to the 128-lane boundary outside the kernel.
+Forward kernel layout: grid over (batch*heads, query blocks); K/V live in
+VMEM per (batch, head) program; inner fori_loop walks key blocks with the
+standard online-softmax recurrence (running max/denominator + rescaled
+accumulator), also emitting the row logsumexp for the backward.
+
+Backward: the standard two-kernel flash backward — dq over query blocks,
+(dk, dv) over key blocks — recomputing p = exp(s - lse) from the saved
+logsumexp instead of storing (L, L) weights.  The key-padding mask enters
+as an ADDITIVE f32 bias (0 / -1e30) so the custom_vjp signature stays
+fully differentiable (the bias cotangent is zero).
+
+Head dim is zero-padded to the 128-lane boundary outside the kernels;
+sequence length to lcm(block_q, block_k).
 """
 
 from __future__ import annotations
 
 import functools
+import math
 from typing import Optional, Tuple
 
 import jax
@@ -28,12 +39,13 @@ from jax.experimental.pallas import tpu as pltpu
 _NEG_INF = -1e30
 
 
-def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
-                  scale: float):
+def _flash_fwd_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, lse_ref, *,
+                      block_k: int, scale: float):
     """One (batch*head, q-block) program.
 
-    q_ref: (block_q, dh); k_ref/v_ref: (L, dh); mask_ref: (1, L) int32
-    (1 = masked key); o_ref: (block_q, dh).
+    q_ref: (block_q, dh); k_ref/v_ref: (L, dh); bias_ref: (1, L) f32
+    additive key bias (-1e30 = masked); o_ref: (block_q, dh);
+    lse_ref: (1, block_q) row logsumexp of the scaled+biased scores.
     """
     q = q_ref[:].astype(jnp.float32) * scale
     seq_len = k_ref.shape[0]
@@ -47,8 +59,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
         v = v_ref[pl.ds(start, block_k), :].astype(jnp.float32)
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32)
-        mask = mask_ref[0, pl.ds(start, block_k)]
-        s = jnp.where(mask[None, :] != 0, _NEG_INF, s)
+        s = s + bias_ref[0, pl.ds(start, block_k)][None, :]
         m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
         p = jnp.exp(s - m_new)
         alpha = jnp.exp(m - m_new)
@@ -62,7 +73,81 @@ def _flash_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, block_k: int,
     m0 = jnp.full((bq, 1), _NEG_INF, jnp.float32)
     l0 = jnp.zeros((bq, 1), jnp.float32)
     acc, m, l = jax.lax.fori_loop(0, num_kb, body, (acc0, m0, l0))
-    o_ref[:] = (acc / jnp.maximum(l, 1e-30)).astype(o_ref.dtype)
+    l_safe = jnp.maximum(l, 1e-30)
+    o_ref[:] = (acc / l_safe).astype(o_ref.dtype)
+    lse_ref[0, :] = (m + jnp.log(l_safe))[:, 0]
+
+
+def _flash_bwd_dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                         bias_ref, dq_ref, *, block_k: int, scale: float):
+    """dq for one (batch*head, q-block): dq = sum_k ds @ k * scale with
+    ds = p * (do v^T - delta)."""
+    q = q_ref[:].astype(jnp.float32) * scale
+    do = do_ref[:].astype(jnp.float32)
+    lse = lse_ref[0, :][:, None]                       # (block_q, 1)
+    delta = delta_ref[0, :][:, None]
+    seq_len = k_ref.shape[0]
+    num_kb = seq_len // block_k
+    bq, dh = q_ref.shape
+
+    def body(kb, acc):
+        start = kb * block_k
+        k = k_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+        v = v_ref[pl.ds(start, block_k), :].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + bias_ref[0, pl.ds(start, block_k)][None, :]
+        p = jnp.exp(s - lse)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        return acc + jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
+                                         preferred_element_type=jnp.float32)
+
+    acc = jax.lax.fori_loop(0, num_kb,
+                            body, jnp.zeros((bq, dh), jnp.float32))
+    dq_ref[:] = (acc * scale).astype(dq_ref.dtype)
+
+
+def _flash_bwd_dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref,
+                          bias_ref, dk_ref, dv_ref, *, block_q: int,
+                          scale: float):
+    """(dk, dv) for one (batch*head, k-block): dv = sum_q p^T do;
+    dk = sum_q ds^T q * scale."""
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    bias = bias_ref[0, :][None, :]                     # (1, block_k)
+    seq_len = q_ref.shape[0]
+    num_qb = seq_len // block_q
+    bk, dh = k_ref.shape
+
+    def body(qb, carry):
+        dk, dv = carry
+        start = qb * block_q
+        q = q_ref[pl.ds(start, block_q), :].astype(jnp.float32) * scale
+        do = do_ref[pl.ds(start, block_q), :].astype(jnp.float32)
+        lse = lse_ref[0, pl.ds(start, block_q)][:, None]
+        delta = delta_ref[0, pl.ds(start, block_q)][:, None]
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jnp.exp(s + bias - lse)                    # (block_q, block_k)
+        dv_new = dv + jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta)
+        dk_new = dk + jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        return dk_new, dv_new
+
+    dk0 = jnp.zeros((bk, dh), jnp.float32)
+    dv0 = jnp.zeros((bk, dh), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, num_qb, body, (dk0, dv0))
+    # q was pre-scaled, so dk already carries one factor of `scale`
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
 def _pad_to(x, axis, mult, value=0.0):
@@ -75,6 +160,143 @@ def _pad_to(x, axis, mult, value=0.0):
     return jnp.pad(x, pads, constant_values=value)
 
 
+def _run_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
+    b, h, lp, dhp = q.shape
+    bh = b * h
+    qf = q.reshape(bh, lp, dhp)
+    kf = k.reshape(bh, lp, dhp)
+    vf = v.reshape(bh, lp, dhp)
+    bias3 = bias.reshape(b, 1, lp)
+    hpb = bh // b                                   # heads per batch row
+    grid = (bh, lp // block_q)
+    o, lse = pl.pallas_call(
+        functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((None, block_q, dhp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lp, dhp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lp, dhp), lambda i, j: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, lp), lambda i, j: (i // hpb, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_q, dhp), lambda i, j: (i, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_q), lambda i, j: (i, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lp, dhp), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lp), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, bias3)
+    return o.reshape(b, h, lp, dhp), lse.reshape(b, h, lp)
+
+
+def _run_bwd(q, k, v, bias, o, lse, do, scale, block_q, block_k, interpret):
+    b, h, lp, dhp = q.shape
+    bh = b * h
+    delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
+                    axis=-1)                                    # (B, H, Lp)
+    qf = q.reshape(bh, lp, dhp)
+    kf = k.reshape(bh, lp, dhp)
+    vf = v.reshape(bh, lp, dhp)
+    dof = do.reshape(bh, lp, dhp)
+    lsef = lse.reshape(bh, 1, lp)
+    deltaf = delta.reshape(bh, 1, lp)
+    bias3 = bias.reshape(b, 1, lp)
+    hpb = bh // b                                    # heads per batch row
+
+    full = lambda i, j: (i, 0, 0)
+    blocked_q = lambda i, j: (i, j, 0)
+    row_q = lambda i, j: (i, 0, j)
+    bias_full = lambda i, j: (i // hpb, 0, 0)
+
+    dq = pl.pallas_call(
+        functools.partial(_flash_bwd_dq_kernel, block_k=block_k,
+                          scale=scale),
+        grid=(bh, lp // block_q),
+        in_specs=[
+            pl.BlockSpec((None, block_q, dhp), blocked_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lp, dhp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lp, dhp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_q, dhp), blocked_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_q), row_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_q), row_q,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, lp), bias_full,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, block_q, dhp), blocked_q,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh, lp, dhp), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, deltaf, bias3)
+
+    blocked_k = lambda i, j: (i, j, 0)
+    bias_k = lambda i, j: (i // hpb, 0, j)
+    dk, dv = pl.pallas_call(
+        functools.partial(_flash_bwd_dkv_kernel, block_q=block_q,
+                          scale=scale),
+        grid=(bh, lp // block_k),
+        in_specs=[
+            pl.BlockSpec((None, lp, dhp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, dhp), blocked_k,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, dhp), blocked_k,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lp, dhp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, lp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, lp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, block_k), bias_k,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((None, block_k, dhp), blocked_k,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, block_k, dhp), blocked_k,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh, lp, dhp), q.dtype),
+            jax.ShapeDtypeStruct((bh, lp, dhp), v.dtype),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, dof, lsef, deltaf, bias3)
+    return (dq.reshape(b, h, lp, dhp), dk.reshape(b, h, lp, dhp),
+            dv.reshape(b, h, lp, dhp))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash_core(q, k, v, bias, scale, block_q, block_k, interpret):
+    """Padded-shape flash attention with a differentiable signature.
+    q/k/v: (B, H, Lp, Dhp); bias: (B, Lp) f32 additive key bias."""
+    o, _ = _run_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
+    return o
+
+
+def _flash_core_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
+    o, lse = _run_fwd(q, k, v, bias, scale, block_q, block_k, interpret)
+    return o, (q, k, v, bias, o, lse)
+
+
+def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
+    q, k, v, bias, o, lse = res
+    dq, dk, dv = _run_bwd(q, k, v, bias, o, lse, do, scale, block_q,
+                          block_k, interpret)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -85,54 +307,32 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
 
     q, k, v: (B, H, L, Dh); key_padding_mask: (B, L) bool, True = pad.
     Query is pre-scaled by Dh**-0.5 inside (torch MultiheadAttention
-    convention).  Returns (B, H, L, Dh) in q's dtype.
+    convention).  Returns (B, H, L, Dh) in q's dtype.  Differentiable:
+    the backward runs the two-kernel Pallas flash backward (dq over query
+    blocks; dk/dv over key blocks) from the saved row logsumexp.
     """
     b, h, l, dh = q.shape
     scale = dh ** -0.5
     if key_padding_mask is None:
         key_padding_mask = jnp.zeros((b, l), bool)
+    bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
 
     # pad L to a multiple of BOTH blocks (floor-dividing the key loop by
     # block_k would silently drop trailing keys otherwise) and Dh to the
     # 128-lane boundary
-    import math as _math
-    step = _math.lcm(block_q, block_k)
+    step = math.lcm(block_q, block_k)
     lp = l + ((-l) % step)
     q = _pad_to(q, 2, step)
     k = _pad_to(k, 2, step)
     v = _pad_to(v, 2, step)
-    mask = _pad_to(key_padding_mask.astype(jnp.int32), 1, step, value=1)
+    bias = _pad_to(bias, 1, step, value=_NEG_INF)
     dhp = dh + ((-dh) % 128)
     q = _pad_to(q, 3, 128)
     k = _pad_to(k, 3, 128)
     v = _pad_to(v, 3, 128)
 
-    bh = b * h
-    qf = q.reshape(bh, lp, dhp)
-    kf = k.reshape(bh, lp, dhp)
-    vf = v.reshape(bh, lp, dhp)
-    mask3 = mask.reshape(b, 1, lp)
-
-    grid = (bh, lp // block_q)
-    out = pl.pallas_call(
-        functools.partial(_flash_kernel, block_k=block_k, scale=scale),
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((None, block_q, dhp), lambda i, j: (i, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lp, dhp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lp, dhp), lambda i, j: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, lp), lambda i, j: (i // h, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec((None, block_q, dhp), lambda i, j: (i, j, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lp, dhp), q.dtype),
-        interpret=interpret,
-    )(qf, kf, vf, mask3)
-    return out.reshape(b, h, lp, dhp)[:, :, :l, :dh]
+    out = _flash_core(q, k, v, bias, scale, block_q, block_k, interpret)
+    return out[:, :, :l, :dh]
 
 
 def cls_attention_row(q: jnp.ndarray, k: jnp.ndarray,

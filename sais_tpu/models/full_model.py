@@ -59,7 +59,8 @@ def resolve_flash(cfg: ModelConfig, seq_len: int) -> bool:
     cfg.temporal.use_flash: True/False force; None = auto — fused Pallas
     attention on TPU once the padded length reaches flash_min_len (the
     regime where the dense path's (B*S, L, L) weight tensor dominates HBM;
-    SURVEY §5.7).  The kernel has no VJP, so training configs pin False.
+    SURVEY §5.7).  Differentiable (Pallas flash backward), so the same
+    rule applies in training.
     """
     t = cfg.temporal
     if t.use_flash is not None:

@@ -82,10 +82,6 @@ class ClassificationTrainer:
                  model_params: Any, task: str = "MIL",
                  mesh: Optional["jax.sharding.Mesh"] = None):
         assert task in ("MIL", "ClassificationHead")
-        import dataclasses as _dc
-        # flash attention is inference-only (no VJP); train dense
-        model_cfg = _dc.replace(model_cfg, temporal=_dc.replace(
-            model_cfg.temporal, use_flash=False))
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.task = task

@@ -51,11 +51,6 @@ class PrototypeTrainer:
                  prototypes: jnp.ndarray,
                  mesh: Optional["jax.sharding.Mesh"] = None,
                  use_importance: Optional[bool] = None):
-        import dataclasses as _dc
-        # flash attention is inference-only (no VJP for the Pallas kernel);
-        # training always runs the dense encoder
-        model_cfg = _dc.replace(model_cfg, temporal=_dc.replace(
-            model_cfg.temporal, use_flash=False))
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.prototype_keys = list(prototype_keys)

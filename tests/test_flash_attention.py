@@ -48,6 +48,52 @@ def test_cls_row_matches_reference():
                                rtol=1e-5, atol=1e-6)
 
 
+@pytest.mark.parametrize("l,dh", [(300, 64), (256, 96)])
+def test_flash_backward_matches_reference(l, dh):
+    """custom_vjp (two-kernel Pallas flash backward) == jax.grad of the
+    dense softmax-attention reference, for q, k and v, under masking."""
+    key = jax.random.key(4)
+    b, h = 2, 3
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (b, h, l, dh))
+               for i in range(3))
+    mask = jax.random.bernoulli(jax.random.fold_in(key, 9), 0.25, (b, l))
+    mask = mask.at[:, 0].set(False)
+    cot = jax.random.normal(jax.random.fold_in(key, 5), (b, h, l, dh))
+
+    def loss_ref(q, k, v):
+        out, _ = _ref_attention(q, k, v, mask)
+        return jnp.sum(out * cot)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, mask, interpret=True) * cot)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    g_fl = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    for name, a, b_ in zip("qkv", g_fl, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=name)
+
+
+def test_encoder_flash_training_end_to_end():
+    """A gradient step through the full flash encoder (the long-sequence
+    TRAINING capability the VJP enables) matches the dense encoder's."""
+    cfg = TemporalConfig(rep_dim=64, num_layers=1, num_heads=4, ffn_dim=96)
+    params = encoder_init(jax.random.key(8), cfg)
+    x = jax.random.normal(jax.random.key(9), (2, 140, 64))
+    mask = jnp.zeros((2, 140), bool).at[0, 120:].set(True)
+
+    def loss(params, use_flash):
+        out, _ = encoder_forward(params, x, cfg, mask, use_flash=use_flash,
+                                 interpret=True)
+        return jnp.sum(jnp.where(mask[..., None], 0.0, out) ** 2)
+
+    g_dense = jax.grad(lambda p: loss(p, False))(params)
+    g_flash = jax.grad(lambda p: loss(p, True))(params)
+    for a, b in zip(jax.tree.leaves(g_flash), jax.tree.leaves(g_dense)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=5e-4, atol=5e-5)
+
+
 def test_encoder_flash_path_matches_vanilla():
     cfg = TemporalConfig(rep_dim=64, num_layers=2, num_heads=4, ffn_dim=128)
     params = encoder_init(jax.random.key(2), cfg)
