@@ -77,7 +77,10 @@ def bench_raft(batch: int = 8, iters: int = 32, n: int = 12):
     cfg = RAFTConfig()
     params = raft_init(jax.random.key(0), cfg)
     key = jax.random.key(42)
-    fn = jax.jit(functools.partial(raft_forward, cfg=cfg, iters=iters))
+    # bf16 encoders = the production FlowExtractor configuration (the
+    # pipeline's compute_dtype default); parity runs use f32
+    fn = jax.jit(functools.partial(raft_forward, cfg=cfg, iters=iters,
+                                   compute_dtype=jnp.bfloat16))
     argsets = []
     for i in range(3):
         kk = jax.random.fold_in(key, i)
