@@ -247,6 +247,41 @@ class FlowExtractor:
         self._features = FeatureExtractor(vit_params, cfg, batch_size=64,
                                           mesh=mesh)
 
+        # Fully fused dual-stream step: RAFT -> device flow->RGB rendering
+        # -> PIL-exact preprocess -> ViT in ONE program.  The staged path
+        # fetches every flow field to host, renders with numpy, and
+        # re-uploads the RGB (a ~7 MB round trip per 8-pair chunk that
+        # costs ~0.5 s through a remote tunnel); this keeps the whole
+        # chunk on device.  Used by extract_video unless the caller needs
+        # the rendered JPEGs (save_flow_dir).
+        from sais_tpu.ops.flow_viz import flow_to_rgb_device
+        from sais_tpu.models.vit import vit_features
+        from sais_tpu.ops.preprocess import preprocess_batch
+        compute = (jnp.bfloat16 if cfg.compute_dtype == "bfloat16"
+                   else jnp.float32)
+        vit_cfg = cfg.vit
+        pre_cfg = cfg.preprocess
+
+        def _fused(rparams, vparams, i1, i2):
+            p1, pads = pad_to_multiple_of_8(i1.astype(jnp.float32))
+            p2, _ = pad_to_multiple_of_8(i2.astype(jnp.float32))
+            flow = raft_forward(rparams, p1, p2, raft_cfg, iters=iters,
+                                compute_dtype=raft_dtype)
+            rgb = flow_to_rgb_device(unpad(flow, pads))
+            x = preprocess_batch(rgb, pre_cfg, dtype=compute)
+            return vit_features(vparams, x, vit_cfg, compute_dtype=compute,
+                                allow_fused=True)
+
+        if mesh is None:
+            self._fused_fn = jax.jit(_fused)
+        else:
+            from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+            spec = P(tuple(mesh.axis_names))
+            self._fused_fn = jax.jit(shard_map(
+                _fused, mesh=mesh, in_specs=(P(), P(), spec, spec),
+                out_specs=spec, check_rep=False))
+
     def flow_fields(self, frames: np.ndarray) -> np.ndarray:
         """frames: (N, H, W, 3) uint8 -> (P, H, W, 2) flow for pairs
         (i, i+jump) at stride jump (generate_paths.py:43-54 pairing)."""
@@ -398,6 +433,13 @@ class FlowExtractor:
                             [b_np, np.repeat(b_np[-1:], reps, axis=0)])
                     a = jnp.asarray(a_np, jnp.float32)
                     b = jnp.asarray(b_np, jnp.float32)
+                    if save_flow_dir is None:
+                        # fused on-device RAFT -> render -> preprocess ->
+                        # ViT (no flow-field round trip to host)
+                        reps_out.append(np.asarray(self._fused_fn(
+                            self._raft_params, self._features._params,
+                            a, b))[:n])
+                        continue
                     p1, pads = self._pad(a)
                     p2, _ = self._pad(b)
                     flow = np.asarray(self._unpad(

@@ -35,6 +35,24 @@ def test_max_radius_normalization_and_hue():
     assert u8.dtype == np.uint8 and u8[0, 0, 0] == 255
 
 
+def test_flow_to_rgb_device_matches_numpy():
+    """The on-device renderer (one-hot matmul wheel lookup) matches the
+    flowpy-parity numpy implementation to <= 1 uint8 level (f32 vs f64
+    rounding at the truncation boundary), per-sample normalization."""
+    import jax.numpy as jnp
+
+    from sais_tpu.ops.flow_viz import flow_to_rgb_device
+    rng = np.random.default_rng(3)
+    flow = (rng.standard_normal((5, 33, 47, 2)) * 7).astype(np.float32)
+    flow[0] *= 0.01                       # per-sample max radius differs
+    flow[1, :4, :4] = 0                   # zero-motion patch
+    ref = np.stack([flow_to_rgb_uint8(f) for f in flow])
+    dev = np.asarray(flow_to_rgb_device(jnp.asarray(flow)))
+    diff = np.abs(ref.astype(int) - dev.astype(int))
+    assert diff.max() <= 1
+    assert (diff == 0).mean() > 0.999
+
+
 def test_flow_extractor_end_to_end():
     from sais_tpu.infer.pipeline import FlowExtractor
     from sais_tpu.models.raft import raft_init
@@ -96,13 +114,18 @@ def test_tail_chunk_reuses_one_compiled_shape():
                        vit_init(jax.random.key(1), cfg.vit), cfg,
                        pair_batch=2)
     shapes = set()
-    orig = fx._flow_fn
+    orig_flow, orig_fused = fx._flow_fn, fx._fused_fn
 
-    def spy(params, a, b):
+    def spy_flow(params, a, b):
         shapes.add(tuple(a.shape))
-        return orig(params, a, b)
+        return orig_flow(params, a, b)
 
-    fx._flow_fn = spy
+    def spy_fused(rp, vp, a, b):
+        shapes.add(tuple(a.shape))
+        return orig_fused(rp, vp, a, b)
+
+    fx._flow_fn = spy_flow
+    fx._fused_fn = spy_fused
     rng = np.random.default_rng(1)
     # 50 frames @ jump 15 -> pair starts 0/15/30 -> 3 pairs = 2 + 1 (tail)
     frames = rng.integers(0, 255, (50, 64, 72, 3), dtype=np.uint8)
