@@ -151,6 +151,72 @@ def bench_dino_train(batch: int = 64, n_steps: int = 20):
     return img_s, mfu
 
 
+def bench_e2e_compute_dual(seconds_of_video: int = 60, fps: int = 30):
+    """Compute-only DUAL-STREAM e2e (BASELINE config 2): device-staged
+    frames -> RGB reps (preprocess+ViT) AND flow reps (fused RAFT ->
+    device flow viz -> preprocess -> ViT) -> windows -> temporal ->
+    intervals.  Excludes host decode and frame upload like
+    bench_e2e_compute."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sais_tpu.config import PipelineConfig
+    from sais_tpu.infer.pipeline import (FeatureExtractor, FlowExtractor,
+                                         GestureDecoder)
+    from sais_tpu.models.full_model import full_model_init, prototypes_init
+    from sais_tpu.models.raft import raft_init
+    from sais_tpu.models.vit import vit_init
+
+    cfg = PipelineConfig()   # modalities default RGB-Flow
+    nframes = seconds_of_video * fps
+    bs = 256
+    vit_params = vit_init(jax.random.key(0), cfg.vit)
+    fx = FeatureExtractor(vit_params, cfg, batch_size=bs)
+    flow_x = FlowExtractor(raft_init(jax.random.key(3), cfg.raft),
+                           vit_params, cfg, pair_batch=8)
+    dec = GestureDecoder(
+        [(full_model_init(jax.random.key(1), cfg.model),
+          prototypes_init(jax.random.key(2), 2)[1])], cfg)
+    frames = jax.random.randint(jax.random.key(4), (nframes, 240, 320, 3),
+                                0, 256, jnp.uint8)
+    jax.block_until_ready(frames)
+    jump = cfg.window.flow_jump_factor
+    starts = np.arange(0, nframes - jump, jump)
+    pb = 8
+
+    def run():
+        outs = [fx._fn_device(fx._params, frames[i:i + bs])
+                for i in range(0, nframes - bs + 1, bs)]
+        tail = nframes % bs
+        if tail:
+            pad = jnp.concatenate([frames[nframes - tail:],
+                                   frames[:bs - tail]])
+            outs.append(fx._fn_device(fx._params, pad)[:tail])
+        fouts = []
+        for i in range(0, len(starts), pb):
+            chunk = starts[i:i + pb]
+            n = len(chunk)
+            if n < pb:
+                chunk = np.concatenate([chunk,
+                                        np.repeat(chunk[-1:], pb - n)])
+            fouts.append((flow_x._fused_fn(
+                flow_x._raft_params, vit_params,
+                frames[jnp.asarray(chunk)].astype(jnp.float32),
+                frames[jnp.asarray(chunk + jump)].astype(jnp.float32)), n))
+        rgb = np.concatenate([np.asarray(o) for o in outs])[:nframes]
+        flow = np.concatenate([np.asarray(f)[:n] for f, n in fouts])
+        return dec.decode("clip", rgb, flow)
+
+    run()                                 # warm all programs
+    t0 = time.time()
+    run()
+    dt = time.time() - t0
+    return (seconds_of_video / 60.0) / dt
+
+
 def bench_e2e_compute(seconds_of_video: int = 60, fps: int = 30):
     """Compute-only end-to-end: synthetic frames PRE-STAGED ON DEVICE ->
     preprocess+ViT -> windows -> temporal+prototypes -> intervals.  Unlike
@@ -267,6 +333,11 @@ def main():
             out["e2e_compute_video_min_per_s"] = round(bench_e2e_compute(), 3)
         except Exception as e:
             out["e2e_compute_error"] = f"{type(e).__name__}: {e}"
+        try:
+            out["e2e_compute_dual_video_min_per_s"] = round(
+                bench_e2e_compute_dual(), 3)
+        except Exception as e:
+            out["e2e_compute_dual_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("SAIS_BENCH_RAFT", "1") != "0":
         try:
             out["raft_ms_per_pair"] = round(bench_raft(), 2)

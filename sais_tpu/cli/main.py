@@ -767,6 +767,10 @@ def cmd_serve(args):
                         mesh=_extract_mesh(args))
     print("warming up (compiling)...")
     svc.warmup()
+    if getattr(args, "flow_warmup", None):
+        h, w = (int(x) for x in args.flow_warmup.split("x"))
+        print(f"pre-compiling flow path for {h}x{w}...")
+        svc.warmup_flow(h, w)
     serve(svc, args.socket)
 
 
@@ -892,6 +896,11 @@ def build_parser():
                         help="flow pair stride: frames, or 'auto' = "
                              "fps // 2 (per-video fps tables, "
                              "extract_representations.py:437-463)")
+        sp.add_argument("--flow-warmup", default=None, metavar="HxW",
+                        help="serve: pre-compile the fused dual-stream "
+                             "program for this video resolution (e.g. "
+                             "240x320) so the first flow request pays no "
+                             "compile")
         sp.add_argument("--params-dir")
         sp.add_argument("--random-init", action="store_true")
         sp.add_argument("--nfolds", type=int, default=1)

@@ -49,6 +49,19 @@ class DecodeService:
                            self.cfg.preprocess.resize, 3), np.uint8)
         self.extractor._fn_pre(self.extractor._params, frames)
         self.extractor._fn(self.extractor._params, frames)
+
+    def warmup_flow(self, height: int, width: int) -> None:
+        """Optionally pre-compile the fused dual-stream program (RAFT ->
+        device viz -> ViT) for a known video resolution, so the first flow
+        request pays no compile.  Not part of warmup(): flow shapes follow
+        the incoming video and a speculative compile costs minutes."""
+        if self.flow is None:
+            return
+        import jax.numpy as jnp
+        pb = self.flow.pair_batch or 8
+        z = jnp.zeros((pb, height, width, 3), jnp.float32)
+        self.flow._fused_fn(self.flow._raft_params, self.extractor._params,
+                            z, z)
         # decode path: one window batch per TTA offset (F = 15/12/9 under
         # the default geometry) at the decoder's device_batch shape
         d = self.cfg.model.rep_dim
