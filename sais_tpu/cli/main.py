@@ -138,9 +138,12 @@ def _apply_flow_jump(cfg, args, video_path: Optional[str] = None):
     if not getattr(args, "flow_jump", None):
         return cfg
     if args.flow_jump == "auto":
-        if video_path is None:
-            sys.exit("--flow-jump auto needs a video to read fps from; "
-                     "pass an explicit stride here")
+        if video_path is None or not os.path.exists(video_path):
+            # stores-only runs (decode/steps from extracted features with
+            # the .mp4 gone) get a clean exit, not a decoder traceback
+            sys.exit("--flow-jump auto needs the source video to read fps "
+                     f"from ({video_path or 'no path available'} not "
+                     "found); pass an explicit stride")
         from sais_tpu.io.video import VideoReader
         with VideoReader(video_path) as r:
             jump = max(int(r.fps // 2), 1)
@@ -913,9 +916,13 @@ def build_parser():
         sp.add_argument("--flash", default="auto",
                         choices=["auto", "on", "off"],
                         help="fused Pallas flash attention in the temporal "
-                             "encoder (no (L,L) weight materialization; "
-                             "attention export becomes the CLS row). auto = "
-                             "on TPU for sequences >= 512")
+                             "encoder (no (L,L) weight materialization). "
+                             "auto = on TPU for sequences >= 512. NOTE: "
+                             "when flash runs, saved attention artifacts "
+                             "contain the CLS-query row (the only row SAIS "
+                             "consumes) instead of the reference's full "
+                             "(L,L) matrix; pass 'off' if a downstream "
+                             "tool needs the full-matrix layout")
         # training flags (run_experiments.py:19-46 equivalents)
         sp.add_argument("--segments",
                         help="CSV with Video/StartFrame/EndFrame/Gesture")

@@ -49,6 +49,17 @@ class DecodeService:
                            self.cfg.preprocess.resize, 3), np.uint8)
         self.extractor._fn_pre(self.extractor._params, frames)
         self.extractor._fn(self.extractor._params, frames)
+        # decode path: one window batch per TTA offset (F = 15/12/9 under
+        # the default geometry) at the decoder's device_batch shape
+        d = self.cfg.model.rep_dim
+        reps = np.zeros((self.cfg.window.duration_frames
+                         + self.decoder.device_batch
+                         * self.cfg.window.hop_frames, d), np.float32)
+        use_flow = "Flow" in self.cfg.model.modalities
+        flow = (np.zeros((max(len(reps)
+                              // self.cfg.window.flow_jump_factor, 1), d),
+                         np.float32) if use_flow else None)
+        self.decoder.window_probs("warmup", reps, flow)
 
     def warmup_flow(self, height: int, width: int) -> None:
         """Optionally pre-compile the fused dual-stream program (RAFT ->
@@ -62,17 +73,6 @@ class DecodeService:
         z = jnp.zeros((pb, height, width, 3), jnp.float32)
         self.flow._fused_fn(self.flow._raft_params, self.extractor._params,
                             z, z)
-        # decode path: one window batch per TTA offset (F = 15/12/9 under
-        # the default geometry) at the decoder's device_batch shape
-        d = self.cfg.model.rep_dim
-        reps = np.zeros((self.cfg.window.duration_frames
-                         + self.decoder.device_batch
-                         * self.cfg.window.hop_frames, d), np.float32)
-        use_flow = "Flow" in self.cfg.model.modalities
-        flow = (np.zeros((max(len(reps)
-                              // self.cfg.window.flow_jump_factor, 1), d),
-                         np.float32) if use_flow else None)
-        self.decoder.window_probs("warmup", reps, flow)
 
     def decode_video(self, video: str, use_flow: bool = False) -> dict:
         t0 = time.time()

@@ -42,11 +42,12 @@ class FeatureExtractor:
                  use_native_decode: bool = True,
                  exact_preprocess: bool = False,
                  mesh: Optional["jax.sharding.Mesh"] = None):
-        """exact_preprocess: preprocess on the host through PIL, bit-exact
-        with the reference's torchvision transform stack, then run the ViT
-        on device over the normalized floats.  The device path (antialiased
-        jax.image resize) matches PIL only to ~1e-2/255 per pixel; parity
-        runs against reference-computed features need this mode.
+        """exact_preprocess: preprocess on the host through PIL, then run
+        the ViT on device over the normalized floats.  Since round 3 the
+        DEFAULT device path resamples bit-identically to PIL
+        (ops/preprocess.resize_pil_exact), so this mode only differs in
+        the float normalize rounding (f64 numpy vs f32 on device,
+        ulp-level); it remains for oracle-style validation.
 
         mesh: optional device mesh — frame batches are sharded over every
         mesh device (data parallelism for the pipeline's dominant FLOPs,
@@ -222,7 +223,7 @@ class FlowExtractor:
         self.flow_resize = flow_resize
         self._unpad = unpad
         self._pad = pad_to_multiple_of_8
-        iters = iters or cfg.raft.iters
+        iters = cfg.raft.iters if iters is None else iters
         raft_cfg = cfg.raft
         # bf16 feature/context encoders when the pipeline computes in bf16
         # (halves encoder HBM traffic: 4.04 -> 3.71 ms/pair measured on
@@ -573,7 +574,13 @@ class GestureDecoder:
         """Per-window reps/probs for all TTA augments plus the first
         augment's attention maps — the artifacts the reference persists per
         inference phase (train.py:113-119: reps_and_labels_<ph> with reps
-        keyed by augment, attention_<ph>)."""
+        keyed by augment, attention_<ph>).
+
+        Attention layout follows the encoder path: the dense encoder
+        yields the reference's full (W, L, L) matrices; the flash path
+        (TemporalConfig.use_flash, auto-on for long TPU sequences) yields
+        the (W, L) CLS-query rows — the only rows SAIS consumes
+        (prepare_model.py:221).  Force --flash off for full matrices."""
         manifest = build_window_manifest(video, len(rgb_reps), self.cfg.window)
         if len(manifest) == 0:   # video shorter than one window
             return {"reps": {}, "probs": {}, "attention": None,

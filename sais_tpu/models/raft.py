@@ -352,11 +352,11 @@ def corr_lookup_motion(pyramid, coords: jnp.ndarray, radius: int,
     # convc1["w"]: (1, 1, levels*K, 256) conv kernel -> per-level GEMM blocks
     wmat = convc1["w"].reshape(len(pyramid), k2, convc1["w"].shape[-1])
 
-    # NOTE: a single-pass Pallas VMEM kernel for this lookup exists
-    # (kernels/raft_lookup.py) and measures EXACTLY the same as this XLA
-    # form on v5e (13.6 ms per 32-iteration scan either way) — XLA already
-    # schedules the 9 static shifts with sliding-window reuse, so the
-    # simpler path stays in production.
+    # NOTE: a single-pass Pallas VMEM kernel for this lookup was built
+    # and measured EXACTLY the same as this XLA form on v5e (13.6 ms per
+    # 32-iteration scan either way) — XLA already schedules the 9 static
+    # shifts with sliding-window reuse — so the kernel was removed and
+    # the simpler path stays in production (see ROADMAP round 3).
     acc = None
     for i, c in enumerate(pyramid):
         cl = flat / (2 ** i)

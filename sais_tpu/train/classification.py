@@ -236,7 +236,6 @@ class RawClassificationTrainer(ClassificationTrainer):
                              task="ClassificationHead", mesh=mesh)
 
         if not freeze_encoder:
-            # self.model_cfg: the flash-sanitized copy from __init__
             self._build_unfrozen(self.model_cfg, encoder_type, encode)
 
     def _build_unfrozen(self, mcfg, encoder_type, encode):

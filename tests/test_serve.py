@@ -55,6 +55,26 @@ def test_serve_roundtrip(tmp_path):
     assert not t.is_alive()
 
 
+def test_warmup_compiles_decode_path(tmp_path):
+    """warmup() must drive BOTH the extractor and the temporal/prototypes
+    decode path (a refactor once orphaned the decode block into another
+    method, so first requests paid tens of seconds of XLA compiles)."""
+    cfg = tiny_cfg()
+    svc = DecodeService(str(tmp_path), cfg,
+                        vit_init(jax.random.key(0), cfg.vit),
+                        [(full_model_init(jax.random.key(1), cfg.model),
+                          prototypes_init(jax.random.key(2), 2)[1])],
+                        batch_size=8)
+    called = {}
+    orig = svc.decoder.window_probs
+    svc.decoder.window_probs = lambda *a, **k: called.setdefault(
+        "probs", True) or orig(*a, **k)
+    svc.warmup()
+    assert called.get("probs"), "warmup() skipped the decode path"
+    # warmup_flow is a no-op without raft params (and must not crash)
+    svc.warmup_flow(32, 40)
+
+
 def test_ping_answers_while_decode_in_flight(tmp_path):
     """Connections are handled on worker threads: a slow decode must not
     block ping/stats from other clients (VERDICT r2 weakness 6)."""
