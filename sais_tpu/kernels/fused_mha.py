@@ -626,7 +626,10 @@ def _fused_block_fwd_train(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
                            interpret: bool):
     b, lp, d = x.shape
     head_dim = d // num_heads
-    imgs = _pick_imgs(b, lp, 2, 1024)  # measured fastest at 2 (x1 doubles IO)
+    # measured fastest at 2 for L~208 (x1 doubles IO); SHORT sequences
+    # (e.g. 96px local crops, lp=48) starve the qkv/proj/MLP row dimension
+    # at 2, so the target grows to keep ~416 rows per program
+    imgs = _pick_imgs(b, lp, max(2, 416 // lp), 1024)
     groups = b // imgs
     xg = x.reshape(groups, imgs * lp, d)
     weights = (qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w, fc2_b,
@@ -651,9 +654,10 @@ def _fused_block_bwd_mlp(x1, dout, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b,
                          eps: float, interpret: bool):
     b, lp, d = x1.shape
     dff = fc1_w.shape[1]
-    # the MLP backward is fully row-independent; one image per program
-    # (the f32 dW accumulators leave no VMEM headroom for grouping)
-    imgs = _pick_imgs(b, lp, 1, 512)
+    # the MLP backward is fully row-independent; one image per program at
+    # L~208 (the f32 dW accumulators leave little VMEM headroom), but
+    # short sequences group up to ~208 rows for taller dW operands
+    imgs = _pick_imgs(b, lp, max(1, 208 // lp), 512)
     groups = b // imgs
     weights = (fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b)
     outs = pl.pallas_call(
@@ -685,7 +689,9 @@ def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
                           interpret: bool):
     b, lp, d = x.shape
     head_dim = d // num_heads
-    imgs = _pick_imgs(b, lp, 1, 512)  # measured fastest at 1 img/program
+    # fastest at 1 img/program for L~208; short sequences group like the
+    # MLP half
+    imgs = _pick_imgs(b, lp, max(1, 208 // lp), 512)
     groups = b // imgs
     weights = (qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b)
     outs = pl.pallas_call(

@@ -86,3 +86,33 @@ def test_pallas_backward_bf16_close():
         b = np.asarray(b, np.float32)
         denom = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() / denom < 0.1, np.abs(a - b).max()
+
+
+def test_pallas_backward_short_sequence_grouped():
+    """Local-crop regime (L=37 -> lp=48): the length-adaptive imgs-per-
+    program grouping (fwd want ~416/lp, bwd ~208/lp) must leave gradients
+    identical to the XLA twin."""
+    heads, d, lp, valid, b = 2, 64, 48, 37, 8
+    ks = jax.random.split(jax.random.key(11), 12)
+    shapes = [(d, 3 * d), (3 * d,), (d, d), (d,), (d, 4 * d), (4 * d,),
+              (4 * d, d), (d,), (d,), (d,), (d,), (d,)]
+    ws = tuple(0.05 * jax.random.normal(k, s) for k, s in zip(ks, shapes))
+    x = jax.random.normal(jax.random.key(12), (b, lp, d))
+    x = x * (jnp.arange(lp)[None, :, None] < valid)
+
+    block_op = make_pallas_trainable_fused_block(heads, valid,
+                                                 interpret=True)
+
+    def loss_p(x, *w):
+        return jnp.sum(block_op(x, *w)[:, :valid] ** 2)
+
+    def loss_r(x, *w):
+        return jnp.sum(_xla_block_tanh(x, *w, num_heads=heads,
+                                       valid_len=valid,
+                                       eps=1e-6)[:, :valid] ** 2)
+
+    gp = jax.grad(loss_p, argnums=tuple(range(13)))(x, *ws)
+    gr = jax.grad(loss_r, argnums=tuple(range(13)))(x, *ws)
+    for i, (a, b_) in enumerate(zip(gp, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(i))
