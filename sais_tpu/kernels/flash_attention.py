@@ -317,6 +317,12 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         key_padding_mask = jnp.zeros((b, l), bool)
     bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
 
+    # clamp blocks to the (128-aligned) sequence so a forced-flash SHORT
+    # sequence doesn't pad all the way to the default 512-block
+    lmax = max(l + ((-l) % 128), 128)
+    block_q = min(block_q, lmax)
+    block_k = min(block_k, lmax)
+
     # pad L to a multiple of BOTH blocks (floor-dividing the key loop by
     # block_k would silently drop trailing keys otherwise) and Dh to the
     # 128-lane boundary
