@@ -214,6 +214,7 @@ def cmd_flow(args):
     cfg = _apply_flow_jump(cfg, args, video_path)
     fx = FlowExtractor(raft_params, vit_params, cfg,
                        pair_batch=args.flow_batch,
+                       iters=args.flow_iters,
                        mesh=_extract_mesh(args))
     t0 = time.time()
     # streaming: decode/RAFT/ViT pipelined, O(batch) host residency
@@ -767,6 +768,7 @@ def cmd_serve(args):
                         batch_size=args.batch_size,
                         exact_preprocess=args.exact_preprocess,
                         pair_batch=args.flow_batch,
+                        flow_iters=args.flow_iters,
                         mesh=_extract_mesh(args))
     print("warming up (compiling)...")
     svc.warmup()
@@ -895,6 +897,10 @@ def build_parser():
         sp.add_argument("--raft-weights")
         sp.add_argument("--flow-batch", type=int, default=None,
                         help="RAFT pair batch (default: auto by resolution)")
+        sp.add_argument("--flow-iters", type=int, default=None,
+                        help="RAFT GRU iterations (default 32 = 'things' "
+                             "eval parity; 12-16 trades ~0.5 px EPE for "
+                             "~2x flow speed)")
         sp.add_argument("--flow-jump", default=None,
                         help="flow pair stride: frames, or 'auto' = "
                              "fps // 2 (per-video fps tables, "

@@ -25,7 +25,7 @@ class DecodeService:
     def __init__(self, root: str, cfg, vit_params, folds,
                  raft_params=None, batch_size: int = 256,
                  exact_preprocess: bool = False, pair_batch=None,
-                 mesh=None):
+                 flow_iters=None, mesh=None):
         from sais_tpu.infer.pipeline import (FeatureExtractor, FlowExtractor,
                                              GestureDecoder)
         self.root = root
@@ -35,7 +35,8 @@ class DecodeService:
                                           exact_preprocess=exact_preprocess,
                                           mesh=mesh)
         self.flow = (FlowExtractor(raft_params, vit_params, cfg,
-                                   pair_batch=pair_batch, mesh=mesh)
+                                   pair_batch=pair_batch, iters=flow_iters,
+                                   mesh=mesh)
                      if raft_params is not None else None)
         self.decoder = GestureDecoder(folds, cfg, device_batch=512)
 
