@@ -70,7 +70,10 @@ class DecodeService:
         if self.flow is None:
             return
         import jax.numpy as jnp
-        pb = self.flow.pair_batch or 8
+        # the exact batch the streaming path will dispatch at this
+        # resolution (HBM-capped, mesh-aware) — a guessed batch would
+        # compile a program extract_video never runs (or OOM at 1080p)
+        pb = self.flow.auto_pair_batch(height, width)
         z = jnp.zeros((pb, height, width, 3), jnp.float32)
         self.flow._fused_fn(self.flow._raft_params, self.extractor._params,
                             z, z)
@@ -122,6 +125,11 @@ def serve(service: DecodeService, socket_path: str,
     log(f"sais serve: listening on {socket_path}")
     stop = threading.Event()
     decode_lock = threading.Lock()
+    # in-flight request accounting: shutdown must let a running decode
+    # finish AND flush its response before the process exits (daemon
+    # worker threads die with the process otherwise)
+    active = [0]
+    active_cv = threading.Condition()
     from collections import deque
     latencies: "deque" = deque(maxlen=10000)  # bounded: long-lived daemon
     lat_lock = threading.Lock()
@@ -133,6 +141,8 @@ def serve(service: DecodeService, socket_path: str,
                     line = line.strip()
                     if not line:
                         continue
+                    with active_cv:
+                        active[0] += 1
                     try:
                         req = json.loads(line)
                         if req.get("cmd") == "shutdown":
@@ -158,8 +168,13 @@ def serve(service: DecodeService, socket_path: str,
                     except Exception as e:  # report, keep serving
                         resp = {"ok": False,
                                 "error": f"{type(e).__name__}: {e}"}
-                    f.write(json.dumps(resp) + "\n")
-                    f.flush()
+                    try:
+                        f.write(json.dumps(resp) + "\n")
+                        f.flush()
+                    finally:
+                        with active_cv:
+                            active[0] -= 1
+                            active_cv.notify_all()
                     if stop.is_set():
                         break
         except OSError as e:
@@ -168,21 +183,23 @@ def serve(service: DecodeService, socket_path: str,
             log(f"client connection error ({e}); still serving")
 
     srv.settimeout(0.25)   # poll the stop flag between accepts
-    workers = []
     try:
         while not stop.is_set():
             try:
                 conn, _ = srv.accept()
             except socket.timeout:
                 continue
-            t = threading.Thread(target=handle, args=(conn,), daemon=True)
-            t.start()
-            workers.append(t)
-            workers = [w for w in workers if w.is_alive()]
+            threading.Thread(target=handle, args=(conn,),
+                             daemon=True).start()
     finally:
         srv.close()
-        for w in workers:
-            w.join(timeout=5)
+        # drain in-flight requests (a decode can run minutes) before the
+        # process exit kills the daemon workers; idle connections blocked
+        # on readline are NOT waited for — they hold no request
+        with active_cv:
+            active_cv.wait_for(lambda: active[0] == 0, timeout=900)
+            if active[0]:
+                log(f"shutdown with {active[0]} request(s) still in flight")
         if os.path.exists(socket_path):
             os.unlink(socket_path)
 

@@ -283,6 +283,19 @@ class FlowExtractor:
                 _fused, mesh=mesh, in_specs=(P(), P(), spec, spec),
                 out_specs=spec, check_rep=False))
 
+    def auto_pair_batch(self, height: int, width: int) -> int:
+        """Resolution/mesh-aware RAFT pair batch (the caller's explicit
+        pair_batch wins).  All-pairs correlation is O((HW/64)^2) per pair;
+        the batch is sized so the f32 level-0 volume stays under ~2 GB of
+        HBM, capped at 8 PER CHIP: measured ms/pair on v5e at 240x320 is
+        8.6/6.7/4.96/8.1/7.4 for b=2/4/8/12/16 — per-pair cost cliffs
+        above 8 (XLA tiling of the lookup spills) and never amortizes
+        further."""
+        if self.pair_batch is not None:
+            return self.pair_batch
+        hw8 = (height // 8) * (width // 8)
+        return max(1, min(8, int(2e9 / max(hw8 * hw8 * 4, 1)))) * self._ndev
+
     def flow_fields(self, frames: np.ndarray) -> np.ndarray:
         """frames: (N, H, W, 3) uint8 -> (P, H, W, 2) flow for pairs
         (i, i+jump) at stride jump (generate_paths.py:43-54 pairing)."""
@@ -293,17 +306,7 @@ class FlowExtractor:
             h, w = self.flow_resize
             frames = np.stack([cv2.resize(f, (w, h)) for f in frames])
         starts = np.arange(0, n - jump, jump)
-        pair_batch = self.pair_batch
-        if pair_batch is None:
-            # all-pairs correlation is O((HW/64)^2) per pair; size the batch
-            # so the f32 level-0 volume stays under ~2 GB of HBM.  Cap at 8
-            # PER CHIP: measured ms/pair on v5e at 240x320 is
-            # 8.6/6.7/4.96/8.1/7.4 for b=2/4/8/12/16 — per-pair cost cliffs
-            # above 8 (XLA tiling of the lookup spills) and never amortizes
-            # further.
-            hw8 = (frames.shape[1] // 8) * (frames.shape[2] // 8)
-            pair_batch = max(1, min(8, int(2e9 / max(hw8 * hw8 * 4, 1))))
-            pair_batch *= self._ndev
+        pair_batch = self.auto_pair_batch(frames.shape[1], frames.shape[2])
         flows = []
         for i in range(0, len(starts), pair_batch):
             chunk = starts[i:i + pair_batch]
@@ -414,12 +417,8 @@ class FlowExtractor:
                                                len(buf1))
                 buf1, buf2 = [], []
                 if pair_batch is None:
-                    # cap 8 per chip: see flow_fields — per-pair cost cliffs
-                    # above 8
-                    hw8 = (i1.shape[1] // 8) * (i1.shape[2] // 8)
-                    pair_batch = max(1, min(8,
-                                            int(2e9 / max(hw8 * hw8 * 4, 1))))
-                    pair_batch *= self._ndev
+                    pair_batch = self.auto_pair_batch(i1.shape[1],
+                                                      i1.shape[2])
                 for s in range(0, len(i1), pair_batch):
                     a_np = i1[s:s + pair_batch]
                     b_np = i2[s:s + pair_batch]

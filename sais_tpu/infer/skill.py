@@ -110,8 +110,11 @@ class SkillAssessor:
                 out["probs"][ti].append(np.asarray(probs[0]))
                 if ti == 0:
                     # attention from the first TTA augment only
-                    # (prepare_model.py:313-314); on the flash path attn is
-                    # already the CLS-query row (B*S, F+1)
+                    # (prepare_model.py:313-314).  NOT full_model.
+                    # cls_attention: the dense export must keep the
+                    # reference's FULL (F+1, F+1) matrix (train.py:117
+                    # attention_<ph> layout); only the flash path reduces
+                    # to the CLS-query row (B*S, F+1).
                     if attn.ndim == 2:
                         out["attention"].append(np.asarray(attn[0, :f + 1]))
                     else:

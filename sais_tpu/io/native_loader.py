@@ -20,11 +20,17 @@ _lib = None
 
 
 def ensure_built(quiet: bool = True) -> bool:
-    """Build libframe_pump.so if missing; returns availability."""
+    """Build libframe_pump.so if missing OR older than its source (a stale
+    prebuilt library would silently keep superseded preprocessing — e.g.
+    the pre-round-3 INTER_AREA resize instead of the PIL-exact resample);
+    returns availability."""
     global _lib
     if _lib is not None:
         return True
-    if not os.path.exists(_LIB_PATH):
+    src = os.path.join(_NATIVE_DIR, "frame_pump.cpp")
+    stale = (os.path.exists(_LIB_PATH) and os.path.exists(src)
+             and os.path.getmtime(src) > os.path.getmtime(_LIB_PATH))
+    if not os.path.exists(_LIB_PATH) or stale:
         try:
             subprocess.run(["bash", os.path.join(_NATIVE_DIR, "build.sh")],
                            check=True,

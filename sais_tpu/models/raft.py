@@ -504,6 +504,11 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     in pixels (x, y).
     """
     iters = cfg.iters if iters is None else iters
+    if iters < 1:
+        # 0 iterations would return the convex upsampling of a zero flow
+        # field — garbage with no error (the golden oracle asserts this
+        # too, tests/golden/torch_raft.py)
+        raise ValueError(f"raft_forward needs iters >= 1, got {iters}")
     x1 = (2.0 * (image1.astype(jnp.float32) / 255.0) - 1.0).astype(compute_dtype)
     x2 = (2.0 * (image2.astype(jnp.float32) / 255.0) - 1.0).astype(compute_dtype)
 

@@ -117,8 +117,10 @@ def _random_resized_crop(key, img, out_size, scale):
     h, w, _ = img.shape
     # worst-case crop dimension: cw <= sqrt(h*w*scale_max*ratio_max) with
     # ratio_max = 4/3 (aspect jitter on non-square sources can exceed the
-    # old min(h,w)*sqrt(scale_max) bound)
-    worst = (h * w * float(scale[1]) * (4.0 / 3.0)) ** 0.5 / (2.0 * out_size)
+    # old min(h,w)*sqrt(scale_max) bound) — but the sampler also clamps
+    # each crop dim to the image bounds, so cap at max(h, w)
+    worst = min((h * w * float(scale[1]) * (4.0 / 3.0)) ** 0.5,
+                float(max(h, w))) / (2.0 * out_size)
     f = max(1, int(-(-worst // 1)))   # ceil
     if f > 1:
         hh, ww = (h // f) * f, (w // f) * f

@@ -121,6 +121,47 @@ def test_ping_answers_while_decode_in_flight(tmp_path):
     assert not t.is_alive()
 
 
+def test_shutdown_drains_inflight_decode(tmp_path):
+    """shutdown must let a running decode finish and flush its response
+    before serve() returns (process exit would kill the daemon worker)."""
+    import time
+
+    cfg = tiny_cfg()
+    svc = DecodeService(str(tmp_path), cfg,
+                        vit_init(jax.random.key(0), cfg.vit),
+                        [(full_model_init(jax.random.key(1), cfg.model),
+                          prototypes_init(jax.random.key(2), 2)[1])],
+                        batch_size=32)
+    started = threading.Event()
+
+    def slow_decode(video, use_flow=False):
+        started.set()
+        time.sleep(2.0)
+        return {"ok": True, "csv": "", "intervals": 0, "frames": 0,
+                "seconds": 2.0}
+
+    svc.decode_video = slow_decode
+    sock = str(tmp_path / "s4.sock")
+    t = threading.Thread(target=serve, args=(svc, sock),
+                         kwargs={"log": lambda s: None}, daemon=True)
+    t.start()
+    for _ in range(100):
+        if os.path.exists(sock):
+            break
+        time.sleep(0.05)
+
+    result = {}
+    dt = threading.Thread(
+        target=lambda: result.update(request(sock, {"video": "vid"})))
+    dt.start()
+    assert started.wait(10)
+    assert request(sock, {"cmd": "shutdown"})["bye"]
+    t.join(timeout=20)          # serve() waits for the decode to drain
+    assert not t.is_alive()
+    dt.join(timeout=5)
+    assert result.get("ok"), result   # the in-flight client got its answer
+
+
 def test_serve_survives_client_disconnect(tmp_path):
     """A vanished client (BrokenPipe on the response write) must not kill
     the long-lived daemon or leave a stale socket claim."""
