@@ -340,6 +340,9 @@ def cmd_steps(args):
     import dataclasses as dc
     cfg = dc.replace(cfg, window=step_window_config(args.fps),
                      model=dc.replace(cfg.model, nclasses=3))
+    if args.stride_divisor:
+        cfg = dc.replace(cfg, window=dc.replace(
+            cfg.window, stride_divisor=args.stride_divisor))
     # 'auto' reads fps from the video container, same as decode/assess
     cfg = _apply_flow_jump(cfg, args, os.path.join(
         args.path, "videos", args.videoname + ".mp4"))
@@ -1022,6 +1025,13 @@ def build_parser():
                         help="assess: artifact phase suffix "
                              "(reps_and_labels_<phase> etc., "
                              "train.py:113-121)")
+        sp.add_argument("--stride-divisor", type=int, default=None,
+                        help="per-window frame subsampling divisor "
+                             "(reference: span//10, prepare_dataset.py"
+                             ":2647).  Large values approach stride 1 = "
+                             "FULL-length windows into the temporal "
+                             "encoder; the flash path handles those "
+                             "without (L,L) attention materialization")
         sp.add_argument("--fps", type=float, default=20.0,
                         help="steps: video fps for the 10 s / 5 s windows "
                              "(prepare_dataset.py:471-473)")
