@@ -141,6 +141,26 @@ def test_native_pump_matches_pil_exactly(tmp_path):
     np.testing.assert_array_equal(got, expected)
 
 
+@pytest.mark.slow
+def test_resize_pil_exact_fuzz():
+    """Bit-exactness vs PIL across 40 random geometries (down/up-scale,
+    extreme aspect ratios, tiny and large sources, non-square outputs via
+    square calls at varied sizes)."""
+    from PIL import Image
+
+    from sais_tpu.ops.preprocess import resize_pil_exact
+    rng = np.random.default_rng(7)
+    for _ in range(40):
+        h = int(rng.integers(8, 600))
+        w = int(rng.integers(8, 900))
+        out = int(rng.choice([32, 64, 96, 128, 224, 336]))
+        img = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        ref = np.asarray(Image.fromarray(img).resize((out, out),
+                                                     Image.BILINEAR))
+        ours = np.asarray(resize_pil_exact(jnp.asarray(img[None]), out))[0]
+        np.testing.assert_array_equal(ours, ref, err_msg=f"{h}x{w}->{out}")
+
+
 def test_resize_pil_exact_bitwise():
     """resize_pil_exact == PIL Image.resize(BILINEAR) on uint8, bit for
     bit, across down/up-scales and odd geometries (VERDICT r2 item 2:
