@@ -430,6 +430,42 @@ def rapn_gesture_inference_table(df: pd.DataFrame,
     return gronau_gesture_inference_table(df, gestures, random_state=0)
 
 
+def cinvivo_inference_table(paths_df: pd.DataFrame, fps: int = 30,
+                            duration_s: float = 0.5,
+                            hop_s: float = 0.5) -> pd.DataFrame:
+    """CinVivo_inference window phase (prepare_dataset.py:1199-1226).
+
+    The reference counts frames per (category, label) group of
+    CinVivo_Paths.csv and lays duration = hop = 0.5 s windows at 30 fps
+    over each group: nsamples = (total - 15) // 15 + 1, StartFrame =
+    n * 15, EndFrame = StartFrame + 15, with Video = label and
+    Domain = 'Gesture'.  Groups shorter than one window contribute no
+    rows (the reference's range() over a non-positive count).  The
+    separate dataset-name choice 'CinVivo_OutView'
+    (run_experiments.py:20) has no VideoDataset branch upstream and is
+    dead code — this phase, inside NS_Gestures_Classification, is the
+    live CinVivo path.
+    """
+    dur = int(duration_s * fps)
+    hop = int(hop_s * fps)
+    counts = (paths_df.groupby(["category", "label"]).size()
+              .reset_index(name="count"))
+    parts = []
+    for _, row in counts.iterrows():
+        nsamples = (int(row["count"]) - dur) // hop + 1
+        starts = np.arange(max(nsamples, 0)) * hop
+        part = pd.DataFrame({"StartFrame": starts, "EndFrame": starts + dur})
+        part["category"] = row["category"]
+        part["label"] = row["label"]
+        part["Video"] = row["label"]
+        part["Domain"] = "Gesture"
+        parts.append(part)
+    if not parts:
+        return pd.DataFrame(columns=["StartFrame", "EndFrame", "category",
+                                     "label", "Video", "Domain"])
+    return pd.concat(parts, axis=0)
+
+
 # ---------------------------------------------------------------------------
 # Group balancing (-bg) over surgeon/patient meta (prepare_dataset.py:190-257)
 # ---------------------------------------------------------------------------

@@ -393,3 +393,46 @@ def test_ns_vs_vua_training_fraction_applies_to_vua_part():
     # the unconditional domain balancing (prepare_dataset.py:879-881) then
     # downsamples NS to the (now smaller) VUA minority count
     assert (frac["train"]["Domain"] == "NS").sum() == n_vua_frac
+
+
+def test_cinvivo_inference_windows_match_reference():
+    """Literal transcription of prepare_dataset.py:1199-1226 as oracle."""
+    from sais_tpu.data.reference_datasets import cinvivo_inference_table
+    rng = np.random.default_rng(11)
+    rows = []
+    for cat, lab, n in [("surgery", "caseA", 107), ("surgery", "caseB", 15),
+                        ("lab", "caseC", 44), ("lab", "caseD", 7)]:
+        for i in range(n):
+            rows.append({"path": f"frames/{lab}/f_{i:08d}.jpg",
+                         "category": cat, "label": lab})
+    paths_df = pd.DataFrame(rows)
+
+    # --- reference math, transcribed verbatim ---
+    df = paths_df.copy()
+    countdf = df.groupby(by=["category", "label"]).count().reset_index()
+    countdf.columns = ["category", "label", "count"]
+    duration, hop, fps = 0.5, 0.5, 30
+    duration_frames = int(duration * fps)
+    hop_frames = int(hop * fps)
+    inference_df = pd.DataFrame()
+    for idx, (category, label, total_frames) in countdf.iterrows():
+        nsamples = (total_frames - duration_frames) // hop_frames + 1
+        startframes = [n * hop_frames for n in range(nsamples)]
+        endframes = [s + duration_frames for s in startframes]
+        frames_df = pd.DataFrame([startframes, endframes]).T
+        frames_df.columns = ["StartFrame", "EndFrame"]
+        frames_df[["category", "label"]] = [category, label]
+        frames_df[["Video", "Domain"]] = [label, "Gesture"]
+        inference_df = pd.concat((inference_df, frames_df), axis=0)
+    # --- end transcription ---
+
+    out = cinvivo_inference_table(paths_df)
+    ref = inference_df.reset_index(drop=True)
+    got = out.reset_index(drop=True)
+    assert list(got.columns) == list(ref.columns)
+    for col in ref.columns:
+        assert got[col].astype(ref[col].dtype).tolist() == ref[col].tolist()
+    # caseD (7 frames < one window) contributes nothing
+    assert "caseD" not in set(got["Video"])
+    # caseA: (107-15)//15+1 = 7 windows
+    assert (got["Video"] == "caseA").sum() == 7
