@@ -206,8 +206,11 @@ def bench_e2e_compute_dual(seconds_of_video: int = 60, fps: int = 30):
                 flow_x._raft_params, vit_params,
                 frames[jnp.asarray(chunk)].astype(jnp.float32),
                 frames[jnp.asarray(chunk + jump)].astype(jnp.float32)), n))
-        rgb = np.concatenate([np.asarray(o) for o in outs])[:nframes]
-        flow = np.concatenate([np.asarray(f)[:n] for f, n in fouts])
+        from sais_tpu.infer.pipeline import fetch_all
+        hosts = fetch_all(list(outs) + [f for f, _ in fouts])
+        rgb = np.concatenate(hosts[:len(outs)])[:nframes]
+        flow = np.concatenate([h[:n] for h, (_, n)
+                               in zip(hosts[len(outs):], fouts)])
         return dec.decode("clip", rgb, flow)
 
     run()                                 # warm all programs
@@ -256,7 +259,8 @@ def bench_e2e_compute(seconds_of_video: int = 60, fps: int = 30):
             pad = jnp.concatenate([frames[nframes - tail:],
                                    frames[:bs - tail]])
             outs.append(fx._fn_device(fx._params, pad)[:tail])
-        reps = np.concatenate([np.asarray(o) for o in outs])[:nframes]
+        from sais_tpu.infer.pipeline import fetch_all
+        reps = np.concatenate(fetch_all(outs))[:nframes]
         return dec.decode("clip", reps, None)
 
     run()                                 # warm both programs

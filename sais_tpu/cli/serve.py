@@ -51,16 +51,19 @@ class DecodeService:
         self.extractor._fn_pre(self.extractor._params, frames)
         self.extractor._fn(self.extractor._params, frames)
         # decode path: one window batch per TTA offset (F = 15/12/9 under
-        # the default geometry) at the decoder's device_batch shape
+        # the default geometry) at the decoder's device_batch shape AND at
+        # every tail bucket (short videos / final partial chunks pad to
+        # these smaller shapes; each must be compiled before first use)
         d = self.cfg.model.rep_dim
-        reps = np.zeros((self.cfg.window.duration_frames
-                         + self.decoder.device_batch
-                         * self.cfg.window.hop_frames, d), np.float32)
         use_flow = "Flow" in self.cfg.model.modalities
-        flow = (np.zeros((max(len(reps)
-                              // self.cfg.window.flow_jump_factor, 1), d),
-                         np.float32) if use_flow else None)
-        self.decoder.window_probs("warmup", reps, flow)
+        for wb in (self.decoder.device_batch, *self.decoder.TAIL_BUCKETS):
+            reps = np.zeros((self.cfg.window.duration_frames
+                             + (wb - 1) * self.cfg.window.hop_frames, d),
+                            np.float32)
+            flow = (np.zeros((max(len(reps)
+                                  // self.cfg.window.flow_jump_factor, 1),
+                              d), np.float32) if use_flow else None)
+            self.decoder.window_probs("warmup", reps, flow)
 
     def warmup_flow(self, height: int, width: int) -> None:
         """Optionally pre-compile the fused dual-stream program (RAFT ->

@@ -34,6 +34,23 @@ from sais_tpu.models.vit import vit_features
 from sais_tpu.ops.preprocess import preprocess_batch
 
 
+def fetch_all(arrs: Sequence[jax.Array]) -> List[np.ndarray]:
+    """Fetch a list of device arrays with the host copies started
+    concurrently before any blocking read.
+
+    A sequential `np.asarray` per array pays one full device->host
+    transfer round trip each (~33 ms through a remote tunnel, and even
+    locally one PCIe queue drain per array); `copy_to_host_async` first
+    overlaps all transfers so the total cost is ~one round trip plus
+    bandwidth."""
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:     # plain numpy (CPU jax) — already host
+            pass
+    return [np.asarray(a) for a in arrs]
+
+
 class FeatureExtractor:
     """Batched DINO feature extraction on device — the reference's hot loop
     (extract_representations.py:351-378) redesigned for TPU throughput."""
@@ -110,17 +127,21 @@ class FeatureExtractor:
     def extract_array(self, frames_u8: np.ndarray) -> np.ndarray:
         """(N, H, W, 3) uint8 -> (N, D) float32 CLS features."""
         n = frames_u8.shape[0]
-        out = []
+        out: List[Tuple[jax.Array, int]] = []
         for i in range(0, n, self.batch_size):
             chunk = frames_u8[i:i + self.batch_size]
             pad = self.batch_size - chunk.shape[0]
             if pad:
                 chunk = np.concatenate(
                     [chunk, np.zeros((pad,) + chunk.shape[1:], chunk.dtype)])
-            feats = self._fn(self._params, chunk)
-            out.append(np.asarray(feats[:self.batch_size - pad]))
-        return np.concatenate(out) if out else np.zeros((0, self.cfg.vit.embed_dim),
-                                                        np.float32)
+            # dispatch only — a blocking fetch here would stall both the
+            # dispatch pipeline and the device between batches
+            out.append((self._fn(self._params, chunk),
+                        self.batch_size - pad))
+        if not out:
+            return np.zeros((0, self.cfg.vit.embed_dim), np.float32)
+        hosts = fetch_all([f for f, _ in out])
+        return np.concatenate([h[:k] for h, (_, k) in zip(hosts, out)])
 
     def extract_video(self, video_path: str,
                       prefetch: int = 4) -> np.ndarray:
@@ -190,7 +211,8 @@ class FeatureExtractor:
             outs.append((fn(self._params, batch), n))
         if not outs:
             return np.zeros((0, self.cfg.vit.embed_dim), np.float32)
-        return np.concatenate([np.asarray(f)[:n] for f, n in outs])
+        hosts = fetch_all([f for f, _ in outs])
+        return np.concatenate([h[:n] for h, (_, n) in zip(hosts, outs)])
 
 
 class FlowExtractor:
@@ -307,7 +329,17 @@ class FlowExtractor:
             frames = np.stack([cv2.resize(f, (w, h)) for f in frames])
         starts = np.arange(0, n - jump, jump)
         pair_batch = self.auto_pair_batch(frames.shape[1], frames.shape[2])
-        flows = []
+        flows: List[np.ndarray] = []
+        # keep a few chunks in flight: per-chunk blocking fetches would
+        # idle the device one transfer round trip per batch, but deferring
+        # every fetch would hold all (P, H, W, 2) fields in HBM
+        inflight: List[Tuple[jax.Array, int]] = []
+
+        def drain(target: int) -> None:
+            while len(inflight) > target:
+                f, k = inflight.pop(0)
+                flows.append(np.asarray(f)[:k])
+
         for i in range(0, len(starts), pair_batch):
             chunk = starts[i:i + pair_batch]
             n = len(chunk)
@@ -321,8 +353,15 @@ class FlowExtractor:
             i2 = frames[chunk + jump]
             p1, pads = self._pad(jnp.asarray(i1, jnp.float32))
             p2, _ = self._pad(jnp.asarray(i2, jnp.float32))
-            flow = self._flow_fn(self._raft_params, p1, p2)
-            flows.append(np.asarray(self._unpad(flow, pads))[:n])
+            flow = self._unpad(self._flow_fn(self._raft_params, p1, p2),
+                               pads)
+            try:
+                flow.copy_to_host_async()
+            except AttributeError:
+                pass
+            inflight.append((flow, n))
+            drain(4)
+        drain(0)
         return (np.concatenate(flows) if flows
                 else np.zeros((0,) + frames.shape[1:3] + (2,), np.float32))
 
@@ -396,6 +435,7 @@ class FlowExtractor:
         t.start()
 
         reps_out: List[np.ndarray] = []
+        fused_out: List[Tuple[jax.Array, int]] = []
         n_saved = 0
         self.peak_buffered_pairs = 0
         pair_batch = self.pair_batch
@@ -435,10 +475,16 @@ class FlowExtractor:
                     b = jnp.asarray(b_np, jnp.float32)
                     if save_flow_dir is None:
                         # fused on-device RAFT -> render -> preprocess ->
-                        # ViT (no flow-field round trip to host)
-                        reps_out.append(np.asarray(self._fused_fn(
-                            self._raft_params, self._features._params,
-                            a, b))[:n])
+                        # ViT (no flow-field round trip to host); fetch is
+                        # deferred so the dispatch pipeline never stalls on
+                        # a per-chunk transfer round trip (reps are tiny)
+                        reps = self._fused_fn(self._raft_params,
+                                              self._features._params, a, b)
+                        try:
+                            reps.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                        fused_out.append((reps, n))
                         continue
                     p1, pads = self._pad(a)
                     p2, _ = self._pad(b)
@@ -463,6 +509,9 @@ class FlowExtractor:
         t.join()
         if producer_error:
             raise producer_error[0]
+        if fused_out:
+            hosts = fetch_all([r for r, _ in fused_out])
+            reps_out.extend(h[:n] for h, (_, n) in zip(hosts, fused_out))
         if not reps_out:
             return np.zeros((0, self.cfg.vit.embed_dim), np.float32)
         return np.concatenate(reps_out)
@@ -472,6 +521,12 @@ class GestureDecoder:
     """Sliding-window gesture inference with TTA + fold ensembling +
     post-processing (reference stages 5-6: run_experiments.py --inference
     then process_inference_results.py)."""
+
+    # partial final chunks pad up to the next of these window counts
+    # instead of the full device_batch: a 120-window minute-long video
+    # uploads and computes 128 padded windows, not 512.  Each bucket is
+    # one extra compiled temporal shape, reused across videos.
+    TAIL_BUCKETS = (32, 64, 128, 256)
 
     def __init__(self, fold_params: Sequence[Tuple[dict, jnp.ndarray]],
                  cfg: PipelineConfig, device_batch: int = 512):
@@ -497,15 +552,23 @@ class GestureDecoder:
         self._fn = jax.jit(_fn)
         self._artifact_fn = jax.jit(_artifact_fn)
 
+    def _chunk_batch(self, n: int) -> int:
+        """Padded size for a chunk of n windows: the smallest tail bucket
+        that fits, else the full device_batch."""
+        for b in self.TAIL_BUCKETS:
+            if n <= b < self.device_batch:
+                return b
+        return self.device_batch
+
     def _run_batch(self, params, protos, tta: TTABatch) -> np.ndarray:
         """Chunked, padded execution of one TTA variant -> (W, P) probs."""
         w = tta.rgb.shape[0]
         bs = self.device_batch
-        probs_out = []
+        pending: List[Tuple[jax.Array, int]] = []
         for i in range(0, w, bs):
             sl = slice(i, min(i + bs, w))
             n = sl.stop - sl.start
-            pad = bs - n
+            pad = self._chunk_batch(n) - n
 
             def padded(a):
                 if pad == 0:
@@ -519,8 +582,10 @@ class GestureDecoder:
                                 jnp.asarray(padded(tta.rgb_mask)),
                                 jnp.asarray(padded(tta.flow)),
                                 jnp.asarray(padded(tta.flow_mask)))
-            probs_out.append(np.asarray(probs[:n], np.float64))
-        return np.concatenate(probs_out)
+            pending.append((probs, n))
+        hosts = fetch_all([p for p, _ in pending])
+        return np.concatenate([h[:n].astype(np.float64)
+                               for h, (_, n) in zip(hosts, pending)])
 
     def _check_flow(self, rgb_reps: np.ndarray,
                     flow_reps: Optional[np.ndarray]) -> np.ndarray:
@@ -594,12 +659,12 @@ class GestureDecoder:
         attention = None
         for ti, tta in enumerate(tta_batches):
             w = tta.rgb.shape[0]
-            bs = min(self.device_batch, max(w, 1))
+            bs = self.device_batch
             out_reps, out_probs, out_attn = [], [], []
             for i in range(0, w, bs):
                 sl = slice(i, min(i + bs, w))
                 n = sl.stop - sl.start
-                pad = bs - n
+                pad = self._chunk_batch(n) - n
 
                 def padded(a):
                     if pad == 0:
@@ -612,14 +677,24 @@ class GestureDecoder:
                     jnp.asarray(padded(tta.rgb_mask)),
                     jnp.asarray(padded(tta.flow)),
                     jnp.asarray(padded(tta.flow_mask)))
-                out_reps.append(np.asarray(rep)[:n])
-                out_probs.append(np.asarray(p)[:n])
+                out_reps.append((rep, n))
+                out_probs.append((p, n))
                 if ti == 0:  # attention from the first augment only
-                    out_attn.append(np.asarray(attn)[:n])
-            reps[ti] = np.concatenate(out_reps) if out_reps else np.zeros((0,))
-            probs[ti] = np.concatenate(out_probs) if out_probs else np.zeros((0,))
+                    out_attn.append((attn, n))
+            fetched = fetch_all([a for a, _ in out_reps + out_probs
+                                 + out_attn])
+            hr = fetched[:len(out_reps)]
+            hp = fetched[len(out_reps):len(out_reps) + len(out_probs)]
+            ha = fetched[len(out_reps) + len(out_probs):]
+            reps[ti] = (np.concatenate(
+                [h[:n] for h, (_, n) in zip(hr, out_reps)])
+                if out_reps else np.zeros((0,)))
+            probs[ti] = (np.concatenate(
+                [h[:n] for h, (_, n) in zip(hp, out_probs)])
+                if out_probs else np.zeros((0,)))
             if ti == 0 and out_attn:
-                attention = np.concatenate(out_attn)
+                attention = np.concatenate(
+                    [h[:n] for h, (_, n) in zip(ha, out_attn)])
         return {"reps": reps, "probs": probs, "attention": attention,
                 "start_frames": manifest.start_frames,
                 "end_frames": manifest.end_frames, "videonames":

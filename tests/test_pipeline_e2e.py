@@ -226,3 +226,27 @@ def test_multi_fold_ensemble_decode():
     singles = [GestureDecoder([f], cfg, device_batch=8).window_probs(
         "v", reps, None) for f in folds]
     np.testing.assert_allclose(p2, np.mean(singles, axis=0), atol=1e-6)
+
+
+def test_tail_bucket_padding_matches_unbucketed():
+    """Partial final chunks pad to the next TAIL_BUCKET (32..256) rather
+    than the full device_batch; results must be identical to small-chunk
+    execution, and the chosen pad sizes must follow _chunk_batch."""
+    cfg = tiny_cfg()
+    rng = np.random.default_rng(9)
+    reps = rng.normal(size=(1400, DIM)).astype(np.float32)  # 93 windows
+    params = full_model_init(jax.random.key(31), cfg.model)
+    _, protos = prototypes_init(jax.random.key(32), 2)
+
+    bucketed = GestureDecoder([(params, protos)], cfg)  # device_batch=512
+    assert bucketed._chunk_batch(93) == 128
+    assert bucketed._chunk_batch(1) == 32
+    assert bucketed._chunk_batch(256) == 256
+    assert bucketed._chunk_batch(300) == 512
+    assert bucketed._chunk_batch(512) == 512
+    small = GestureDecoder([(params, protos)], cfg, device_batch=8)
+    assert small._chunk_batch(5) == 8   # no bucket below device_batch
+
+    np.testing.assert_allclose(
+        bucketed.window_probs("v", reps, None),
+        small.window_probs("v", reps, None), atol=1e-5)
