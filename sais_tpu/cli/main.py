@@ -284,6 +284,16 @@ def cmd_assess(args):
         segments["Video"] = segments["Path"].apply(
             lambda pth: pth.split("\\")[-1] if "\\" in pth
             else pth.split("/")[-1])
+    from sais_tpu.data.skill import (EASE_INFERENCE_PHASES,
+                                     ease_inference_table)
+    if (args.phase in EASE_INFERENCE_PHASES
+            and {"RACE", "EASE", "maj"} <= set(segments.columns)):
+        # reference phase-table selection for cross-hospital inference
+        # (prepare_dataset.py:304-380): RACE/EASE filter, maj remap, and
+        # the phase's sampling/balancing — applied over the WHOLE stitch
+        # CSV (the per-video sampling depends on every video's rows)
+        # before restricting to this video
+        segments = ease_inference_table(segments, args.phase, args.domain)
     rows = segments[segments["Video"].astype(str) == args.videoname]
     if not len(rows):
         sys.exit(f"no segments for video {args.videoname} in "

@@ -396,3 +396,71 @@ def skill_batches(phase_rows: pd.DataFrame, rgb_store, flow_store,
         if tta:
             out["tta"] = variants
         yield out
+
+
+# ---------------------------------------------------------------------------
+# Hospital-generalization inference phase tables (prepare_dataset.py:304-380)
+# ---------------------------------------------------------------------------
+
+EASE_INFERENCE_PHASES = (
+    "Gronau_inference", "Gronau_full_inference", "COH_inference",
+    "HMH_inference", "Lab_inference", "AFB_inference", "USC_inference")
+
+
+def ease_inference_table(stitch_df: pd.DataFrame, phase: str,
+                         domain: str,
+                         videos_available: Optional[Sequence[str]] = None
+                         ) -> pd.DataFrame:
+    """Build the single-phase row table the reference's VUA_EASE branch
+    uses for cross-hospital inference ('inference' in phase,
+    prepare_dataset.py:304-380).
+
+    Common preamble for every phase: derive Video from Path, restrict to
+    videos present in the feature store, RACE/EASE pairing filter for the
+    domain's race, then remap maj {0: 0, 1: 0, 2: 2} ("to increase number
+    of negative cases", :332).  Phase-specific selection:
+
+    - Gronau_full_inference: every row, no further filters — and the one
+      phase that leaves the Domain column unset (:334-336);
+    - Lab_inference: every row (:337-339);
+    - AFB_inference: class-balanced to the minority maj count over
+      [0, 2] (balance_scores, :340-345);
+    - USC_inference: drop Files 102/372 and 'P-' videonames, duration
+      filter (:346-353);
+    - Gronau/COH/HMH_inference (default): sample exactly 5 high-skill
+      rows per video (random_state=0; a video with fewer than 5 raises,
+      as upstream), keep all low-skill rows, then balance classes in
+      maj-appearance order [2, 0] (:354-377).
+    """
+    from sais_tpu.data.datasets import balance_classes
+
+    race = domain.split("_")[0]
+    df = stitch_df.copy()
+    if "Video" not in df.columns and "Path" in df.columns:
+        df["Video"] = df["Path"].apply(
+            lambda p: p.split("\\")[-1] if "\\" in p else p.split("/")[-1])
+    if videos_available is not None:
+        df = df[df["Video"].isin(list(videos_available))]
+    df = race_and_ease_filter(df, race).copy()
+    df["maj"] = df["maj"].map({0: 0, 1: 0, 2: 2})
+    if phase == "Gronau_full_inference":
+        return df
+    if phase == "Lab_inference":
+        out = df
+    elif phase == "AFB_inference":
+        out = balance_classes(df, "maj", [0, 2])
+    elif phase == "USC_inference":
+        df = df[~df["File"].isin([102, 372])]
+        df = df[~df["videoname"].str.contains("P-")]
+        out = duration_filter(df).copy()
+    else:   # Gronau_inference / COH_inference / HMH_inference
+        high = df[df["maj"] == 2]
+        low = df[df["maj"] == 0]
+        parts = [high[high["Video"] == pid].sample(5, replace=False,
+                                                   random_state=0)
+                 for pid in high["Video"].unique()]
+        both = pd.concat([*parts, low], axis=0) if parts else low
+        out = balance_classes(both, "maj", both["maj"].unique())
+    out = out.copy()
+    out["Domain"] = domain
+    return out

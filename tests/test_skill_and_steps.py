@@ -119,3 +119,112 @@ def test_flow_jump_phase_resolution():
     assert _flow_jump("HMV8", phase="HMH_inference") == 29   # 59.94 // 2
     assert _flow_jump("1", phase="train") == 10              # VUA 20 fps
     assert _flow_jump("unknown", phase="train") == 15        # default 30
+
+
+def test_ease_inference_tables_match_reference():
+    """Literal transcription of the VUA_EASE 'inference' phase branch
+    (prepare_dataset.py:304-380) as oracle for every phase variant."""
+    import pandas as pd
+    from sais_tpu.data.skill import (RACE_EASE_PAIRS,
+                                     ease_inference_table)
+
+    rng = np.random.default_rng(3)
+    rows = []
+    fid = 0
+    for vid in ["g1", "g2", "g3"]:
+        for maj in [0, 1, 2]:
+            for i in range(7):
+                s = int(rng.integers(100, 4000))
+                rows.append({
+                    "Path": f"cases\\{vid}", "File": fid,
+                    "videoname": vid, "RACE": "Needle Handling",
+                    "EASE": "# Repositions", "maj": maj,
+                    "Needle Handling Start Frame": s,
+                    "Needle Entry Start Frame": s + 25 + i,
+                    "Needle Withdrawal Start Frame": s + 200,
+                    "Needle Withdrawal End Frame": s + 300,
+                })
+                fid += 1
+    # rows from a different RACE/EASE pairing must be filtered out
+    rows.append({"Path": "cases\\g1", "File": fid, "videoname": "g1",
+                 "RACE": "Needle Withdrawal", "EASE": "Wrist Rotation",
+                 "maj": 2, "Needle Handling Start Frame": 0,
+                 "Needle Entry Start Frame": 50,
+                 "Needle Withdrawal Start Frame": 100,
+                 "Needle Withdrawal End Frame": 400})
+    stitch = pd.DataFrame(rows)
+    domain = "NH_02"
+
+    # --- reference math, transcribed verbatim ---
+    def RaceAndEaseFilter(row, race):
+        val = False
+        if race == "NH":
+            if row["RACE"] == "Needle Handling":
+                if row["EASE"] == "# Repositions":
+                    val = True
+        return val
+
+    def balance_scores(df, maj_labels):
+        min_class_amount = df["maj"].value_counts().min()
+        balanced_df = pd.DataFrame()
+        for maj_label in maj_labels:
+            curr_df = df[df["maj"] == maj_label].sample(
+                n=min_class_amount, replace=False, random_state=0)
+            balanced_df = pd.concat((balanced_df, curr_df), axis=0)
+        return balanced_df.copy()
+
+    def reference_table(phase):
+        df = stitch.copy()
+        df["Video"] = df["Path"].apply(
+            lambda path: path.split("\\")[-1] if "\\" in path
+            else path.split("/")[-1])
+        race = domain.split("_")[0]
+        bool1 = df[["RACE", "EASE"]].apply(
+            lambda row: RaceAndEaseFilter(row, race), axis=1)
+        df = df[bool1]
+        df["maj"] = df["maj"].map({0: 0, 1: 0, 2: 2})
+        if phase == "Gronau_full_inference":
+            final_df = df.copy()
+        elif phase == "Lab_inference":
+            final_df = df.copy()
+            final_df["Domain"] = domain
+        elif phase == "AFB_inference":
+            maj_labels = [0, 2]
+            final_df = balance_scores(df, maj_labels)
+            final_df["Domain"] = domain
+        else:
+            nsamples = 5
+            high_df = df[df["maj"] == 2]
+            low_df = df[df["maj"] == 0]
+            high_sampled_df = pd.DataFrame()
+            for pid in high_df["Video"].unique():
+                pid_df = high_df[high_df["Video"] == pid].sample(
+                    nsamples, random_state=0)
+                high_sampled_df = pd.concat((high_sampled_df, pid_df),
+                                            axis=0)
+            df = pd.concat((high_sampled_df, low_df), axis=0)
+            min_count = df["maj"].value_counts().min()
+            scores = df["maj"].unique()
+            final_df = pd.DataFrame()
+            for score in scores:
+                curr_df = df[df["maj"] == score].sample(min_count,
+                                                        random_state=0)
+                final_df = pd.concat((final_df, curr_df), axis=0)
+            final_df["Domain"] = domain
+        return final_df
+    # --- end transcription ---
+
+    for phase in ("Gronau_inference", "HMH_inference", "Lab_inference",
+                  "AFB_inference", "Gronau_full_inference"):
+        ref = reference_table(phase)
+        got = ease_inference_table(stitch, phase, domain)
+        assert list(got.index) == list(ref.index), phase
+        assert got["maj"].tolist() == ref["maj"].tolist(), phase
+        if phase == "Gronau_full_inference":
+            assert "Domain" not in got.columns   # the reference quirk
+        else:
+            assert (got["Domain"] == domain).all()
+    # the default branch balances the per-video-sampled high class
+    # against the (remapped 0+1) low class
+    got = ease_inference_table(stitch, "Gronau_inference", domain)
+    assert (got["maj"] == 2).sum() == (got["maj"] == 0).sum()
