@@ -152,6 +152,13 @@ def test_ease_inference_tables_match_reference():
                  "Needle Entry Start Frame": 50,
                  "Needle Withdrawal Start Frame": 100,
                  "Needle Withdrawal End Frame": 400})
+    # rows the USC filters must drop: excluded File, 'P-' videoname,
+    # and a too-short Needle Handling segment
+    rows.append(dict(rows[0], File=102))
+    rows.append(dict(rows[0], File=fid + 1, videoname="P-07"))
+    rows.append(dict(rows[0], File=fid + 2,
+                     **{"Needle Entry Start Frame":
+                        rows[0]["Needle Handling Start Frame"] + 10}))
     stitch = pd.DataFrame(rows)
     domain = "NH_02"
 
@@ -192,6 +199,24 @@ def test_ease_inference_tables_match_reference():
             maj_labels = [0, 2]
             final_df = balance_scores(df, maj_labels)
             final_df["Domain"] = domain
+        elif phase == "USC_inference":
+            df = df[~df["File"].isin([102, 372])]
+            df = df[~df["videoname"].str.contains("P-")]
+
+            def durFilterFunc(row):
+                if row["RACE"] == "Needle Handling":
+                    return (row["Needle Entry Start Frame"]
+                            - row["Needle Handling Start Frame"]) > 20
+                elif row["RACE"] == "Needle Withdrawal":
+                    return (row["Needle Withdrawal End Frame"]
+                            - row["Needle Withdrawal Start Frame"]) > 80
+                diff = (row["Needle Withdrawal Start Frame"]
+                        - row["Needle Entry Start Frame"])
+                return diff > int(diff * 0.20)
+
+            df = df[df.apply(durFilterFunc, axis=1)]
+            final_df = df.copy()
+            final_df["Domain"] = domain
         else:
             nsamples = 5
             high_df = df[df["maj"] == 2]
@@ -215,7 +240,8 @@ def test_ease_inference_tables_match_reference():
     # --- end transcription ---
 
     for phase in ("Gronau_inference", "HMH_inference", "Lab_inference",
-                  "AFB_inference", "Gronau_full_inference"):
+                  "AFB_inference", "Gronau_full_inference",
+                  "USC_inference"):
         ref = reference_table(phase)
         got = ease_inference_table(stitch, phase, domain)
         assert list(got.index) == list(ref.index), phase
