@@ -669,7 +669,8 @@ def cmd_pretrain(args):
     bs = args.batch_size
     dcfg = DINOConfig(out_dim=args.out_dim, epochs=args.nepochs,
                       batch_size=bs, n_local_crops=args.local_crops,
-                      warmup_epochs=min(10, max(args.nepochs // 10, 0)))
+                      warmup_epochs=min(10, max(args.nepochs // 10, 0)),
+                      drop_path_rate=args.drop_path)
     def _jpeg_dir_batches(d, n):
         from sais_tpu.io.video import read_frame_dir
         buf = []
@@ -1081,6 +1082,11 @@ def build_parser():
                              "main_dino.py:306-308)")
         sp.add_argument("--optimizer", default="adamw",
                         choices=["adamw", "sgd", "lars"])
+        sp.add_argument("--drop-path", type=float, default=0.1,
+                        help="pretrain: student stochastic-depth rate "
+                             "(main_dino.py --drop_path_rate default 0.1; "
+                             "0 restores the fully fused student path, "
+                             "~15%% faster)")
     return p
 
 

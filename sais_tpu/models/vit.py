@@ -106,12 +106,35 @@ def _mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return _linear(y, p["fc2_w"], p["fc2_b"])
 
 
+def _drop_path(x: jnp.ndarray, prob: float, rng: jax.Array) -> jnp.ndarray:
+    """Stochastic depth on one residual branch (vision_transformer.py:27-35):
+    per-SAMPLE Bernoulli(1 - prob) mask, surviving branches scaled by
+    1/keep_prob.  The reference binarizes floor(keep_prob + U[0,1)) —
+    identical in distribution to a Bernoulli draw."""
+    keep = 1.0 - prob
+    mask = jnp.floor(keep + jax.random.uniform(
+        rng, (x.shape[0],) + (1,) * (x.ndim - 1), x.dtype))
+    return x / keep * mask
+
+
 def block(x: jnp.ndarray, p: Params, cfg: ViTConfig,
-          return_weights: bool = False
+          return_weights: bool = False, drop_path_prob: float = 0.0,
+          rng: Optional[jax.Array] = None
           ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """Pre-norm transformer block (vision_transformer.py:95-113)."""
+    """Pre-norm transformer block (vision_transformer.py:95-113).
+
+    drop_path_prob + rng enable training-time stochastic depth on both
+    residual branches (independent draws, like the reference's two
+    self.drop_path calls at :111-112)."""
     y, w = attention(_layer_norm(x, p["ln1_s"], p["ln1_b"], cfg.layernorm_eps),
                      p["attn"], cfg.num_heads, return_weights)
+    if drop_path_prob > 0.0 and rng is not None:
+        r1, r2 = jax.random.split(rng)
+        x = x + _drop_path(y, drop_path_prob, r1)
+        x = x + _drop_path(
+            _mlp(_layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.layernorm_eps),
+                 p["mlp"]), drop_path_prob, r2)
+        return x, w
     x = x + y
     x = x + _mlp(_layer_norm(x, p["ln2_s"], p["ln2_b"], cfg.layernorm_eps),
                  p["mlp"])
@@ -284,7 +307,9 @@ def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                 *, return_last_attention: bool = False,
                 compute_dtype: jnp.dtype = jnp.float32,
                 allow_fused: bool = False,
-                quant: Optional[str] = None
+                quant: Optional[str] = None,
+                drop_path_rate: float = 0.0,
+                rng: Optional[jax.Array] = None
                 ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
     """Full ViT forward: returns (cls_features (B, D), last_attn or None).
 
@@ -297,9 +322,15 @@ def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
     output requested) the whole network runs through fused per-image Pallas
     blocks.  Opt-in because the Pallas path defines no VJP — training
     (DINO) differentiates through the XLA path.
+
+    drop_path_rate + rng enable training-time stochastic depth: per-block
+    probabilities follow the linspace(0, rate, depth) decay rule of the
+    reference (vision_transformer.py:150), XLA path only (the fused
+    kernels compute whole residual blocks internally).
     """
+    use_drop = drop_path_rate > 0.0 and rng is not None
     if (allow_fused and compute_dtype == jnp.bfloat16
-            and not return_last_attention
+            and not return_last_attention and not use_drop
             and jax.default_backend() == "tpu"):
         return _vit_forward_fused(params, images, cfg, quant=quant), None
     if quant is not None:
@@ -313,9 +344,13 @@ def vit_forward(params: Params, images: jnp.ndarray, cfg: ViTConfig,
     x = prepare_tokens(params, images.astype(compute_dtype), cfg)
     last_attn = None
     depth = len(params["blocks"])
+    dpr = [drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
+    rngs = jax.random.split(rng, depth) if use_drop else [None] * depth
     for i in range(depth):
         want = return_last_attention and (i == depth - 1)
-        x, w = block(x, params["blocks"][i], cfg, return_weights=want)
+        x, w = block(x, params["blocks"][i], cfg, return_weights=want,
+                     drop_path_prob=dpr[i] if use_drop else 0.0,
+                     rng=rngs[i])
         if want:
             last_attn = w
     x = _layer_norm(x, params["ln_s"], params["ln_b"], cfg.layernorm_eps)
@@ -356,13 +391,17 @@ def vit_intermediate_layers(params: Params, images: jnp.ndarray,
 def vit_features(params: Params, images: jnp.ndarray, cfg: ViTConfig,
                  compute_dtype: jnp.dtype = jnp.float32,
                  allow_fused: bool = False,
-                 quant: Optional[str] = None) -> jnp.ndarray:
+                 quant: Optional[str] = None,
+                 drop_path_rate: float = 0.0,
+                 rng: Optional[jax.Array] = None) -> jnp.ndarray:
     """CLS feature extraction — the hot loop of the reference pipeline
     (extract_representations.py:351-378, batch 1024).  Inference callers
     pass allow_fused=True for the Pallas fast path (2x on v5e); quant='int8'
-    additionally runs the block matmuls W8A8 (opt-in throughput mode)."""
+    additionally runs the block matmuls W8A8 (opt-in throughput mode).
+    Training callers pass drop_path_rate + rng for stochastic depth."""
     return vit_forward(params, images, cfg, compute_dtype=compute_dtype,
-                       allow_fused=allow_fused, quant=quant)[0]
+                       allow_fused=allow_fused, quant=quant,
+                       drop_path_rate=drop_path_rate, rng=rng)[0]
 
 
 def _trunc_normal(key: jax.Array, shape: Tuple[int, ...],

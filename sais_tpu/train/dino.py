@@ -63,6 +63,12 @@ class DINOConfig:
     epochs: int = 100
     batch_size: int = 64
     norm_last_layer: bool = True
+    # stochastic depth on the STUDENT backbone (main_dino.py:111,369:
+    # --drop_path_rate default 0.1; the teacher is built without it).
+    # Nonzero rates route the student through the XLA backbone (the fused
+    # Pallas blocks compute whole residuals internally and cannot drop
+    # branches); set 0.0 to restore the full fused-routing throughput.
+    drop_path_rate: float = 0.1
 
 
 def cosine_scheduler(base: float, final: float, epochs: int,
@@ -223,28 +229,37 @@ class DINOTrainer:
 
         vcfg = vit_cfg
 
-        def backbone(params, crops):
+        def backbone(params, crops, rng=None):
             # Mixed strategy (measured on v5e at batch 64): the fused
             # Pallas fwd+bwd wins big at global-crop length (L=197:
             # 38.5 vs 56.1 ms for 128 images fwd+bwd, teacher fwd 11.5
             # vs 23.2) but LOSES to XLA at local-crop length (L=37:
             # 60.7 vs 42.4 ms for 512 images) where the short sequences
             # starve the per-program operands.  Route by crop size.
-            if fused_blocks and crops.shape[1] >= 160:
+            # rng != None = student with stochastic depth -> XLA path
+            # (the fused blocks cannot drop internal residual branches).
+            use_drop = rng is not None and cfg.drop_path_rate > 0.0
+            if fused_blocks and crops.shape[1] >= 160 and not use_drop:
                 from sais_tpu.models.vit import vit_features_trainable_fused
                 return vit_features_trainable_fused(params, crops, vcfg)
-            return vit_features(params, crops, vcfg,
-                                compute_dtype=jnp.bfloat16)
+            return vit_features(
+                params, crops, vcfg, compute_dtype=jnp.bfloat16,
+                drop_path_rate=cfg.drop_path_rate if use_drop else 0.0,
+                rng=rng)
 
-        def forward(params, globals_, locals_):
+        def forward(params, globals_, locals_, rng=None):
             """Backbone over the two resolution groups, head over ALL rows
             in one call — MultiCropWrapper semantics (utils.py:595-631).
             A per-crop head would re-read the 256 x out_dim weight-normed
-            last layer (67 MB at out_dim 65536) once per crop list entry."""
-            gfeat = backbone(params["backbone"], globals_)
+            last layer (67 MB at out_dim 65536) once per crop list entry.
+            rng (student only) drives stochastic depth; the teacher runs
+            deterministically like the reference's."""
+            rg, rl = (jax.random.split(rng) if rng is not None
+                      else (None, None))
+            gfeat = backbone(params["backbone"], globals_, rg)
             feats = gfeat
             if locals_ is not None and cfg.n_local_crops:
-                lfeat = backbone(params["backbone"], locals_)
+                lfeat = backbone(params["backbone"], locals_, rl)
                 feats = jnp.concatenate([gfeat, lfeat], 0)
             head_out = dino_head_forward(params["head"], feats,
                                          cfg.norm_last_layer)
@@ -258,9 +273,10 @@ class DINOTrainer:
             return outs
 
         def train_step(student, teacher, center, opt_state, globals_,
-                       locals_, lr, teacher_temp, momentum, wd, cancel_last):
+                       locals_, lr, teacher_temp, momentum, wd, cancel_last,
+                       rng):
             def loss_fn(student):
-                s_out = forward(student, globals_, locals_)
+                s_out = forward(student, globals_, locals_, rng)
                 t_out = forward(teacher, globals_, None)[:cfg.n_global_crops]
                 loss, batch_center = dino_loss(s_out, t_out, center,
                                                teacher_temp, cfg.student_temp)
@@ -334,7 +350,8 @@ class DINOTrainer:
             globals_, locals_, jnp.float32(self.lr_sched[i]),
             jnp.float32(self.temp_sched[min(epoch, len(self.temp_sched) - 1)]),
             jnp.float32(self.mom_sched[i]), jnp.float32(self.wd_sched[i]),
-            jnp.bool_(epoch < self.cfg.freeze_last_layer_epochs))
+            jnp.bool_(epoch < self.cfg.freeze_last_layer_epochs),
+            jax.random.key(self.step_idx))   # per-step stochastic-depth rng
         self.student, self.teacher, self.center, self.opt_state, loss = out
         self.step_idx += 1
         return loss

@@ -154,3 +154,68 @@ def test_center_border_crop_matches_torchvision_semantics():
     # VUA_Lab/AFB right-hand timer trim
     trimmed = center_border_crop(img, 0.8, 0.8, trim_right_px=130)
     assert trimmed.shape[2] == int(0.8 * 320) - 130
+
+
+def test_drop_path_stochastic_depth():
+    """Stochastic depth (vision_transformer.py:27-35, 150): per-sample
+    Bernoulli(1-p) masks scaled by 1/keep on both residual branches,
+    linspace(0, rate, depth) per-block decay, student-only."""
+    from sais_tpu.models.vit import _drop_path, vit_features, vit_init
+
+    # unit behavior: values are exactly x/keep or 0, at ~keep frequency
+    x = jnp.ones((4000, 3, 5))
+    out = np.asarray(_drop_path(x, 0.4, jax.random.key(0)))
+    per_sample = out.reshape(4000, -1)
+    kept = per_sample[:, 0] != 0
+    # mask is per-sample: all elements of a sample agree
+    assert np.all((per_sample != 0).all(1) == kept)
+    np.testing.assert_allclose(per_sample[kept], 1.0 / 0.6, rtol=1e-6)
+    assert abs(kept.mean() - 0.6) < 0.03
+
+    # rate=0 (or rng=None) is exactly the deterministic forward
+    vcfg = ViTConfig(image_size=16, patch_size=8, embed_dim=32, depth=3,
+                     num_heads=2)
+    params = vit_init(jax.random.key(3), vcfg)
+    imgs = jax.random.uniform(jax.random.key(4), (2, 16, 16, 3))
+    base = vit_features(params, imgs, vcfg)
+    np.testing.assert_array_equal(
+        base, vit_features(params, imgs, vcfg, drop_path_rate=0.0,
+                           rng=jax.random.key(5)))
+    np.testing.assert_array_equal(
+        base, vit_features(params, imgs, vcfg, drop_path_rate=0.5))
+
+    # depth-1 network: linspace(0, rate, 1) = [0] -> inert even with rng
+    v1 = ViTConfig(image_size=16, patch_size=8, embed_dim=32, depth=1,
+                   num_heads=2)
+    p1 = vit_init(jax.random.key(6), v1)
+    np.testing.assert_array_equal(
+        vit_features(p1, imgs, v1),
+        vit_features(p1, imgs, v1, drop_path_rate=0.9,
+                     rng=jax.random.key(7)))
+
+    # with rate>0 and depth>1 the stochastic forward differs from base
+    # for some rng (block 0 has prob 0; later blocks can drop)
+    drop = vit_features(params, imgs, vcfg, drop_path_rate=0.9,
+                        rng=jax.random.key(8))
+    assert np.abs(np.asarray(drop) - np.asarray(base)).max() > 1e-6
+
+
+def test_dino_trainer_drop_path():
+    """Student steps run (and differentiate) with stochastic depth on;
+    per-step rng is deterministic in step_idx."""
+    cfg = DINOConfig(out_dim=16, n_global_crops=2, n_local_crops=2,
+                     epochs=2, batch_size=4, warmup_epochs=0,
+                     freeze_last_layer_epochs=0, drop_path_rate=0.5)
+    vit_cfg = ViTConfig(image_size=16, patch_size=8, embed_dim=32, depth=2,
+                        num_heads=2)
+    g = jax.random.uniform(jax.random.key(1), (2 * 4, 16, 16, 3))
+    l = jax.random.uniform(jax.random.key(2), (2 * 4, 16, 16, 3))
+
+    def run():
+        tr = DINOTrainer(vit_cfg, cfg, niter_per_ep=2,
+                         key=jax.random.key(0))
+        return [float(tr.step(g, l)) for _ in range(2)]
+
+    a, b = run(), run()
+    assert all(np.isfinite(a))
+    assert a == b    # same step_idx -> same drop mask -> same loss
