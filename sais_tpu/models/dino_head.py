@@ -5,6 +5,10 @@ normalization, then a weight-normalized linear to the prototype dimension
 (65536 by default) whose per-row gain g is frozen at 1 when
 norm_last_layer=True (the reference default for ViT-S) — i.e. the final
 weight rows are unit-normalized at every step.
+
+The vendored tool's non-default `--use_bn_in_head` (BatchNorm between
+MLP layers, main_dino.py:70) is intentionally not implemented: SAIS's
+published checkpoints and the ViT recipes all use the BN-free head.
 """
 
 from __future__ import annotations
