@@ -298,10 +298,12 @@ def fused_vit_block(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
 
 def _xla_block_tanh(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w,
                     fc2_b, ln1_s, ln1_b, ln2_s, ln2_b, num_heads: int,
-                    valid_len: int, eps: float):
+                    valid_len: int, eps: float, s1=None, s2=None):
     """Differentiable XLA twin of _block_kernel: identical math (incl. the
     tanh GELU and padded-key masking), batch-major.  Used as the backward
-    function for the trainable fused block."""
+    function for the trainable fused block.  s1/s2: optional (B, Lp, 1)
+    residual-branch scales (stochastic depth), matching the scaled Pallas
+    kernels."""
     b, lp, d = x.shape
     dh = d // num_heads
     dtype = x.dtype
@@ -321,6 +323,8 @@ def _xla_block_tanh(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w,
     o = (jnp.einsum("bld,de->ble", ctx.reshape(b, lp, d), proj_w,
                     preferred_element_type=jnp.float32).astype(dtype)
          + proj_b)
+    if s1 is not None:
+        o = o * s1
     x = x + o
 
     y = _layer_norm_f32(x, ln2_s, ln2_b, eps).astype(dtype)
@@ -331,6 +335,8 @@ def _xla_block_tanh(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w,
     o = (jnp.einsum("bld,de->ble", hdn, fc2_w,
                     preferred_element_type=jnp.float32).astype(dtype)
          + fc2_b)
+    if s2 is not None:
+        o = o * s2
     return x + o
 
 
@@ -409,10 +415,21 @@ def _ln_bwd(dy32, xhat, rstd, scale32):
 
 def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
                             fc1_b, fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b,
-                            o_ref, x1_ref, *, num_heads: int, head_dim: int,
-                            valid_len: int, eps: float, imgs: int = 1):
+                            *rest, num_heads: int, head_dim: int,
+                            valid_len: int, eps: float, imgs: int = 1,
+                            scaled: bool = False):
     """Same math as _block_kernel but also emits the post-attention
-    residual x1 (needed by the split backward)."""
+    residual x1 (needed by the split backward).
+
+    scaled=True adds two per-row (rows, 1) branch-scale inputs s1/s2 —
+    stochastic-depth masks 0 or 1/keep, constant within an image — so the
+    block computes x1 = x + s1*attn_branch, out = x1 + s2*mlp_branch
+    (vision_transformer.py:111-112's two self.drop_path calls) without
+    leaving the fused path."""
+    if scaled:
+        s1_ref, s2_ref, o_ref, x1_ref = rest
+    else:
+        o_ref, x1_ref = rest
     rows, d = x_ref.shape
     lp = rows // imgs
     x = x_ref[:]
@@ -446,6 +463,8 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     o = (jax.lax.dot_general(ctx, proj_w[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
          .astype(dtype) + proj_b[:])
+    if scaled:
+        o = o * s1_ref[:]
     x1 = x + o
     x1_ref[:] = x1
 
@@ -457,13 +476,24 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     o = (jax.lax.dot_general(hdn, fc2_w[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
          .astype(dtype) + fc2_b[:])
+    if scaled:
+        o = o * s2_ref[:]
     o_ref[:] = x1 + o
 
 
-def _mlp_bwd_kernel(x1_ref, dout_ref, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s,
-                    ln2_b, dx1_ref, dfc1_w, dfc1_b, dfc2_w, dfc2_b, dln2_s,
-                    dln2_b, *, eps: float):
-    """Backward through out = x1 + fc2(gelu(fc1(LN2(x1))))."""
+def _mlp_bwd_kernel(x1_ref, dout_ref, *rest, eps: float,
+                    scaled: bool = False):
+    """Backward through out = x1 + [s2 *] fc2(gelu(fc1(LN2(x1)))).
+
+    With scaled=True an extra (rows, 1) s2 input follows dout; the branch
+    chain (weight grads and the LN2 path) sees dout*s2 while the residual
+    passthrough into dx1 stays unscaled."""
+    if scaled:
+        (s2_ref, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b, dx1_ref,
+         dfc1_w, dfc1_b, dfc2_w, dfc2_b, dln2_s, dln2_b) = rest
+    else:
+        (fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b, dx1_ref,
+         dfc1_w, dfc1_b, dfc2_w, dfc2_b, dln2_s, dln2_b) = rest
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -489,7 +519,7 @@ def _mlp_bwd_kernel(x1_ref, dout_ref, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s,
     g = g32.astype(dtype)
 
     # backward
-    do2 = dout                                       # bf16 (lp, d)
+    do2 = dout * s2_ref[:] if scaled else dout       # bf16 (lp, d)
     dfc2_w[:] += jax.lax.dot_general(g, do2, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dfc2_b[:] += jnp.sum(do2.astype(jnp.float32), axis=0, keepdims=True)
@@ -507,11 +537,20 @@ def _mlp_bwd_kernel(x1_ref, dout_ref, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s,
     dx1_ref[:] = (dx1 + dout.astype(jnp.float32)).astype(dtype)
 
 
-def _attn_bwd_kernel(x_ref, dx1_ref, qkv_w, qkv_b, proj_w, proj_b, ln1_s,
-                     ln1_b, dx_ref, dqkv_w, dqkv_b, dproj_w, dproj_b,
-                     dln1_s, dln1_b, *, num_heads: int, head_dim: int,
-                     valid_len: int, eps: float, imgs: int = 1):
-    """Backward through x1 = x + proj(attn(qkv(LN1(x))))."""
+def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
+                     valid_len: int, eps: float, imgs: int = 1,
+                     scaled: bool = False):
+    """Backward through x1 = x + [s1 *] proj(attn(qkv(LN1(x)))).
+
+    With scaled=True an extra (rows, 1) s1 input follows dx1; the branch
+    chain sees dx1*s1 while the residual passthrough into dx stays
+    unscaled."""
+    if scaled:
+        (s1_ref, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, dx_ref,
+         dqkv_w, dqkv_b, dproj_w, dproj_b, dln1_s, dln1_b) = rest
+    else:
+        (qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, dx_ref,
+         dqkv_w, dqkv_b, dproj_w, dproj_b, dln1_s, dln1_b) = rest
 
     @pl.when(pl.program_id(0) == 0)
     def _init():
@@ -527,6 +566,7 @@ def _attn_bwd_kernel(x_ref, dx1_ref, qkv_w, qkv_b, proj_w, proj_b, ln1_s,
     x = x_ref[:]
     dtype = x.dtype
     dx1 = dx1_ref[:]
+    dbr = dx1 * s1_ref[:] if scaled else dx1         # grad into the branch
     scale = head_dim ** -0.5
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
     key_mask = (key_ids >= valid_len) * _NEG_INF
@@ -541,7 +581,7 @@ def _attn_bwd_kernel(x_ref, dx1_ref, qkv_w, qkv_b, proj_w, proj_b, ln1_s,
 
     # ctx and its grad, head by head (p recomputed per head, never stored
     # for more than one head at a time)
-    dctx = jax.lax.dot_general(dx1, proj_w[:], (((1,), (1,)), ((), ())),
+    dctx = jax.lax.dot_general(dbr, proj_w[:], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32).astype(dtype)
     img_ctx = []
     img_dqkv = []
@@ -585,9 +625,9 @@ def _attn_bwd_kernel(x_ref, dx1_ref, qkv_w, qkv_b, proj_w, proj_b, ln1_s,
     dqkv = (jnp.concatenate(img_dqkv, axis=0) if imgs > 1
             else img_dqkv[0])                          # (rows, 3d)
 
-    dproj_w[:] += jax.lax.dot_general(ctx, dx1, (((0,), (0,)), ((), ())),
+    dproj_w[:] += jax.lax.dot_general(ctx, dbr, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
-    dproj_b[:] += jnp.sum(dx1.astype(jnp.float32), axis=0, keepdims=True)
+    dproj_b[:] += jnp.sum(dbr.astype(jnp.float32), axis=0, keepdims=True)
     dqkv_w[:] += jax.lax.dot_general(y, dqkv, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
     dqkv_b[:] += jnp.sum(dqkv.astype(jnp.float32), axis=0, keepdims=True)
@@ -623,7 +663,7 @@ def _pick_imgs(b: int, lp: int, want: int, row_cap: int) -> int:
 def _fused_block_fwd_train(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
                            fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b,
                            num_heads: int, valid_len: int, eps: float,
-                           interpret: bool):
+                           interpret: bool, s1=None, s2=None):
     b, lp, d = x.shape
     head_dim = d // num_heads
     # measured fastest at 2 for L~208 (x1 doubles IO); SHORT sequences
@@ -634,24 +674,28 @@ def _fused_block_fwd_train(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
     xg = x.reshape(groups, imgs * lp, d)
     weights = (qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w, fc2_b,
                ln1_s, ln1_b, ln2_s, ln2_b)
+    scaled = s1 is not None
+    extra = ((s1.reshape(groups, imgs * lp, 1),
+              s2.reshape(groups, imgs * lp, 1)) if scaled else ())
     out, x1 = pl.pallas_call(
         functools.partial(_block_fwd_train_kernel, num_heads=num_heads,
                           head_dim=head_dim, valid_len=valid_len, eps=eps,
-                          imgs=imgs),
+                          imgs=imgs, scaled=scaled),
         grid=(groups,),
         in_specs=[_img_spec(imgs * lp, d)] + [_const_spec(w.shape)
-                                              for w in weights],
+                                              for w in weights]
+                 + [_img_spec(imgs * lp, 1)] * len(extra),
         out_specs=(_img_spec(imgs * lp, d), _img_spec(imgs * lp, d)),
         out_shape=(jax.ShapeDtypeStruct((groups, imgs * lp, d), x.dtype),
                    jax.ShapeDtypeStruct((groups, imgs * lp, d), x.dtype)),
         interpret=interpret,
-    )(xg, *weights)
+    )(xg, *weights, *extra)
     return out.reshape(b, lp, d), x1.reshape(b, lp, d)
 
 
 @functools.partial(jax.jit, static_argnames=("eps", "interpret"))
 def _fused_block_bwd_mlp(x1, dout, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b,
-                         eps: float, interpret: bool):
+                         eps: float, interpret: bool, s2=None):
     b, lp, d = x1.shape
     dff = fc1_w.shape[1]
     # the MLP backward is fully row-independent; one image per program at
@@ -660,11 +704,14 @@ def _fused_block_bwd_mlp(x1, dout, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b,
     imgs = _pick_imgs(b, lp, max(1, 208 // lp), 512)
     groups = b // imgs
     weights = (fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b)
+    scaled = s2 is not None
+    extra = (s2.reshape(groups, imgs * lp, 1),) if scaled else ()
     outs = pl.pallas_call(
-        functools.partial(_mlp_bwd_kernel, eps=eps),
+        functools.partial(_mlp_bwd_kernel, eps=eps, scaled=scaled),
         grid=(groups,),
-        in_specs=[_img_spec(imgs * lp, d)] * 2 + [_const_spec(w.shape)
-                                                  for w in weights],
+        in_specs=[_img_spec(imgs * lp, d)] * 2
+                 + [_img_spec(imgs * lp, 1)] * len(extra)
+                 + [_const_spec(w.shape) for w in weights],
         out_specs=(_img_spec(imgs * lp, d),
                    _const_spec((d, dff)), _const_spec((1, dff)),
                    _const_spec((dff, d)), _const_spec((1, d)),
@@ -678,7 +725,7 @@ def _fused_block_bwd_mlp(x1, dout, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b,
                    jax.ShapeDtypeStruct((1, d), jnp.float32)),
         interpret=interpret,
     )(x1.reshape(groups, imgs * lp, d), dout.reshape(groups, imgs * lp, d),
-      *weights)
+      *extra, *weights)
     return (outs[0].reshape(b, lp, d),) + tuple(outs[1:])
 
 
@@ -686,7 +733,7 @@ def _fused_block_bwd_mlp(x1, dout, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b,
                                              "interpret"))
 def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
                           num_heads: int, valid_len: int, eps: float,
-                          interpret: bool):
+                          interpret: bool, s1=None):
     b, lp, d = x.shape
     head_dim = d // num_heads
     # fastest at 1 img/program for L~208; short sequences group like the
@@ -694,13 +741,16 @@ def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
     imgs = _pick_imgs(b, lp, max(1, 208 // lp), 512)
     groups = b // imgs
     weights = (qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b)
+    scaled = s1 is not None
+    extra = (s1.reshape(groups, imgs * lp, 1),) if scaled else ()
     outs = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, num_heads=num_heads,
                           head_dim=head_dim, valid_len=valid_len, eps=eps,
-                          imgs=imgs),
+                          imgs=imgs, scaled=scaled),
         grid=(groups,),
-        in_specs=[_img_spec(imgs * lp, d)] * 2 + [_const_spec(w.shape)
-                                                  for w in weights],
+        in_specs=[_img_spec(imgs * lp, d)] * 2
+                 + [_img_spec(imgs * lp, 1)] * len(extra)
+                 + [_const_spec(w.shape) for w in weights],
         out_specs=(_img_spec(imgs * lp, d),
                    _const_spec((d, 3 * d)), _const_spec((1, 3 * d)),
                    _const_spec((d, d)), _const_spec((1, d)),
@@ -714,56 +764,70 @@ def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
                    jax.ShapeDtypeStruct((1, d), jnp.float32)),
         interpret=interpret,
     )(x.reshape(groups, imgs * lp, d), dx1.reshape(groups, imgs * lp, d),
-      *weights)
+      *extra, *weights)
     return (outs[0].reshape(b, lp, d),) + tuple(outs[1:])
 
 
 def make_pallas_trainable_fused_block(num_heads: int, valid_len: int,
                                       eps: float = 1e-6,
-                                      interpret: bool = False):
+                                      interpret: bool = False,
+                                      scaled: bool = False):
     """Fully-fused trainable block: Pallas forward AND Pallas backward.
 
     Unlike make_trainable_fused_block (XLA recompute backward), both
     directions run as VMEM-resident kernels — the backward streams x / x1
     / dout once from HBM and accumulates f32 weight grads on chip.
-    Gradients match the XLA twin to bf16 tolerance (tested)."""
+    Gradients match the XLA twin to bf16 tolerance (tested).
+
+    scaled=True returns `block_op(x, s1, s2, *weights)` where s1/s2 are
+    (B, Lp, 1) per-row residual-branch scales (stochastic-depth masks,
+    constant within an image; vision_transformer.py:111-112).  The scales
+    are treated as constants by the VJP (zero cotangent) — they are
+    Bernoulli draws, not parameters."""
 
     @jax.custom_vjp
-    def block_op(x, *weights):
+    def block_op(x, *rest):
+        s1, s2, weights = ((rest[0], rest[1], rest[2:]) if scaled
+                           else (None, None, rest))
         out, _ = _fused_block_fwd_train(x, *weights, num_heads=num_heads,
                                         valid_len=valid_len, eps=eps,
-                                        interpret=interpret)
+                                        interpret=interpret, s1=s1, s2=s2)
         return out
 
-    def fwd(x, *weights):
+    def fwd(x, *rest):
+        s1, s2, weights = ((rest[0], rest[1], rest[2:]) if scaled
+                           else (None, None, rest))
         out, x1 = _fused_block_fwd_train(x, *weights, num_heads=num_heads,
                                          valid_len=valid_len, eps=eps,
-                                         interpret=interpret)
-        return out, (x, x1, weights)
+                                         interpret=interpret, s1=s1, s2=s2)
+        return out, (x, x1, s1, s2, weights)
 
     def bwd(res, g):
-        x, x1, weights = res
+        x, x1, s1, s2, weights = res
         (qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w, fc2_b,
          ln1_s, ln1_b, ln2_s, ln2_b) = weights
         (dx1, dfc1_w, dfc1_b, dfc2_w, dfc2_b, dln2_s, dln2_b) = \
             _fused_block_bwd_mlp(x1, g, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s,
-                                 ln2_b, eps=eps, interpret=interpret)
+                                 ln2_b, eps=eps, interpret=interpret, s2=s2)
         (dx, dqkv_w, dqkv_b, dproj_w, dproj_b, dln1_s, dln1_b) = \
             _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b,
                                   ln1_s, ln1_b, num_heads=num_heads,
                                   valid_len=valid_len, eps=eps,
-                                  interpret=interpret)
+                                  interpret=interpret, s1=s1)
 
         def cast(gw, w):
             gw = gw.reshape(w.shape)
             return gw.astype(w.dtype)
 
-        return (dx, cast(dqkv_w, qkv_w), cast(dqkv_b, qkv_b),
-                cast(dproj_w, proj_w), cast(dproj_b, proj_b),
-                cast(dfc1_w, fc1_w), cast(dfc1_b, fc1_b),
-                cast(dfc2_w, fc2_w), cast(dfc2_b, fc2_b),
-                cast(dln1_s, ln1_s), cast(dln1_b, ln1_b),
-                cast(dln2_s, ln2_s), cast(dln2_b, ln2_b))
+        dw = (cast(dqkv_w, qkv_w), cast(dqkv_b, qkv_b),
+              cast(dproj_w, proj_w), cast(dproj_b, proj_b),
+              cast(dfc1_w, fc1_w), cast(dfc1_b, fc1_b),
+              cast(dfc2_w, fc2_w), cast(dfc2_b, fc2_b),
+              cast(dln1_s, ln1_s), cast(dln1_b, ln1_b),
+              cast(dln2_s, ln2_s), cast(dln2_b, ln2_b))
+        if scaled:
+            return (dx, jnp.zeros_like(s1), jnp.zeros_like(s2)) + dw
+        return (dx,) + dw
 
     block_op.defvjp(fwd, bwd)
     return block_op

@@ -272,16 +272,29 @@ def _vit_forward_fused(params: Params, images: jnp.ndarray,
 def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
                                  cfg: ViTConfig,
                                  interpret: bool = False,
-                                 backward: str = "pallas") -> jnp.ndarray:
+                                 backward: str = "pallas",
+                                 drop_path_rate: float = 0.0,
+                                 rng: Optional[jax.Array] = None
+                                 ) -> jnp.ndarray:
     """Differentiable fused path for training loops (DINO).
 
     backward='pallas' (default): forward AND backward run as VMEM-resident
     Pallas kernels (make_pallas_trainable_fused_block) — the backward
     streams activations once and accumulates f32 weight grads on chip.
     backward='xla': Pallas forward with an XLA-recompute backward (the
-    round-1 fallback, kept for comparison)."""
+    round-1 fallback, kept for comparison).
+
+    drop_path_rate + rng enable stochastic depth WITHOUT leaving the fused
+    path: the per-image Bernoulli masks (linspace-decayed probabilities,
+    two independent draws per block like vision_transformer.py:111-112)
+    become per-row branch scales 0 or 1/keep fed to the scaled kernels.
+    Requires backward='pallas'."""
     from sais_tpu.kernels.fused_mha import (
         make_pallas_trainable_fused_block, make_trainable_fused_block)
+    use_drop = drop_path_rate > 0.0 and rng is not None
+    if use_drop and backward != "pallas":
+        raise ValueError("drop_path on the fused path requires "
+                         "backward='pallas'")
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     x = prepare_tokens(params, images.astype(jnp.bfloat16), cfg)
     b, l, d = x.shape
@@ -290,9 +303,35 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
         x = jnp.pad(x, ((0, 0), (0, lp - l), (0, 0)))
     maker = (make_pallas_trainable_fused_block if backward == "pallas"
              else make_trainable_fused_block)
-    block_op = maker(cfg.num_heads, l, cfg.layernorm_eps,
-                     interpret=interpret)
-    for p in params["blocks"]:
+    if backward == "pallas":
+        block_op = maker(cfg.num_heads, l, cfg.layernorm_eps,
+                         interpret=interpret, scaled=use_drop)
+    else:
+        block_op = maker(cfg.num_heads, l, cfg.layernorm_eps,
+                         interpret=interpret)
+    depth = len(params["blocks"])
+    if use_drop:
+        dpr = [drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
+        rngs = jax.random.split(rng, 2 * depth)
+    for i, p in enumerate(params["blocks"]):
+        if use_drop:
+            keep1 = 1.0 - dpr[i]
+            keep2 = 1.0 - dpr[i]
+            # floor(keep + U[0,1)) per image — the reference's binarize
+            # (vision_transformer.py:27-35) — scaled by 1/keep
+            def draw(key, keep):
+                m = jnp.floor(keep + jax.random.uniform(
+                    key, (b,), jnp.bfloat16))
+                s = m / jnp.bfloat16(keep)
+                return jnp.broadcast_to(s[:, None, None], (b, lp, 1))
+            s1 = draw(rngs[2 * i], keep1)
+            s2 = draw(rngs[2 * i + 1], keep2)
+            x = block_op(x, s1, s2, p["attn"]["qkv_w"], p["attn"]["qkv_b"],
+                         p["attn"]["proj_w"], p["attn"]["proj_b"],
+                         p["mlp"]["fc1_w"], p["mlp"]["fc1_b"],
+                         p["mlp"]["fc2_w"], p["mlp"]["fc2_b"], p["ln1_s"],
+                         p["ln1_b"], p["ln2_s"], p["ln2_b"])
+            continue
         x = block_op(x, p["attn"]["qkv_w"], p["attn"]["qkv_b"],
                      p["attn"]["proj_w"], p["attn"]["proj_b"],
                      p["mlp"]["fc1_w"], p["mlp"]["fc1_b"],

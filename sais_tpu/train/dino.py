@@ -236,12 +236,15 @@ class DINOTrainer:
             # vs 23.2) but LOSES to XLA at local-crop length (L=37:
             # 60.7 vs 42.4 ms for 512 images) where the short sequences
             # starve the per-program operands.  Route by crop size.
-            # rng != None = student with stochastic depth -> XLA path
-            # (the fused blocks cannot drop internal residual branches).
+            # Stochastic depth (rng != None on the student) stays fused:
+            # the scaled kernels take per-image branch masks directly.
             use_drop = rng is not None and cfg.drop_path_rate > 0.0
-            if fused_blocks and crops.shape[1] >= 160 and not use_drop:
+            if fused_blocks and crops.shape[1] >= 160:
                 from sais_tpu.models.vit import vit_features_trainable_fused
-                return vit_features_trainable_fused(params, crops, vcfg)
+                return vit_features_trainable_fused(
+                    params, crops, vcfg,
+                    drop_path_rate=cfg.drop_path_rate if use_drop else 0.0,
+                    rng=rng if use_drop else None)
             return vit_features(
                 params, crops, vcfg, compute_dtype=jnp.bfloat16,
                 drop_path_rate=cfg.drop_path_rate if use_drop else 0.0,
