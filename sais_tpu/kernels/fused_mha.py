@@ -58,6 +58,46 @@ def _layer_norm_f32(x, scale, bias, eps):
         jnp.float32) + bias.astype(jnp.float32)
 
 
+def _packed_mask(rows: int, lp: int, valid_len: int):
+    """(rows, rows) additive mask for block-diagonal attention over a
+    group of rows//lp images packed along the row axis: key j is visible
+    to query i iff both sit in the same image AND j's in-image position is
+    < valid_len.  Short sequences (local crops, lp=48) starve per-image
+    (lp x dh) matmuls on the MXU; packing runs ONE (rows, rows) score
+    matmul per head — wasted cross-image FLOPs are ~imgs x a tiny
+    attention share (<2% of block FLOPs at L=37), repaid by full tiles."""
+    row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
+    same_img = (row_ids // lp) == (col_ids // lp)
+    col_valid = (col_ids % lp) < valid_len
+    return jnp.where(same_img & col_valid, 0.0, _NEG_INF)
+
+
+def _packed_attn_ctx(qkv, d: int, num_heads: int, head_dim: int,
+                     mask, dtype):
+    """Block-diagonal attention context over packed rows.
+
+    qkv: (rows, 3d).  Returns ctx (rows, d).  Cross-image scores are
+    killed by the additive mask before the softmax, so the result equals
+    the per-image loop exactly (softmax rows renormalize over the
+    surviving block)."""
+    scale = head_dim ** -0.5
+    ctx_heads = []
+    for h in range(num_heads):
+        q = qkv[:, h * head_dim:(h + 1) * head_dim]
+        k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+        v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+        s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
+                                k.astype(jnp.float32),
+                                (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        p = jax.nn.softmax(s + mask, axis=-1)
+        ctx_heads.append(jax.lax.dot_general(
+            p.astype(dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32).astype(dtype))
+    return jnp.concatenate(ctx_heads, axis=-1)
+
+
 def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
                   fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b, o_ref, *,
                   num_heads: int, head_dim: int, valid_len: int,
@@ -417,7 +457,7 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
                             fc1_b, fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b,
                             *rest, num_heads: int, head_dim: int,
                             valid_len: int, eps: float, imgs: int = 1,
-                            scaled: bool = False):
+                            scaled: bool = False, packed: bool = False):
     """Same math as _block_kernel but also emits the post-attention
     residual x1 (needed by the split backward).
 
@@ -425,7 +465,12 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     stochastic-depth masks 0 or 1/keep, constant within an image — so the
     block computes x1 = x + s1*attn_branch, out = x1 + s2*mlp_branch
     (vision_transformer.py:111-112's two self.drop_path calls) without
-    leaving the fused path."""
+    leaving the fused path.
+
+    packed=True computes the group's attention as ONE block-diagonal
+    masked matmul per head (_packed_attn_ctx) instead of an imgs-loop —
+    the short-sequence (local-crop) regime where per-image matmuls
+    starve the MXU."""
     if scaled:
         s1_ref, s2_ref, o_ref, x1_ref = rest
     else:
@@ -442,24 +487,28 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     qkv = (jax.lax.dot_general(y, qkv_w[:], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
            .astype(dtype) + qkv_b[:])
-    img_ctx = []
-    for g in range(imgs):
-        sl = slice(g * lp, (g + 1) * lp)
-        ctx_heads = []
-        for h in range(num_heads):
-            q = qkv[sl, h * head_dim:(h + 1) * head_dim]
-            k = qkv[sl, d + h * head_dim:d + (h + 1) * head_dim]
-            v = qkv[sl, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-            s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
-                                    k.astype(jnp.float32),
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s + key_mask, axis=-1)
-            ctx_heads.append(jax.lax.dot_general(
-                p.astype(dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-        img_ctx.append(jnp.concatenate(ctx_heads, axis=-1))
-    ctx = jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
+    if packed:
+        ctx = _packed_attn_ctx(qkv, d, num_heads, head_dim,
+                               _packed_mask(rows, lp, valid_len), dtype)
+    else:
+        img_ctx = []
+        for g in range(imgs):
+            sl = slice(g * lp, (g + 1) * lp)
+            ctx_heads = []
+            for h in range(num_heads):
+                q = qkv[sl, h * head_dim:(h + 1) * head_dim]
+                k = qkv[sl, d + h * head_dim:d + (h + 1) * head_dim]
+                v = qkv[sl, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+                s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
+                                        k.astype(jnp.float32),
+                                        (((1,), (1,)), ((), ())),
+                                        preferred_element_type=jnp.float32)
+                p = jax.nn.softmax(s + key_mask, axis=-1)
+                ctx_heads.append(jax.lax.dot_general(
+                    p.astype(dtype), v, (((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32).astype(dtype))
+            img_ctx.append(jnp.concatenate(ctx_heads, axis=-1))
+        ctx = jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
     o = (jax.lax.dot_general(ctx, proj_w[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
          .astype(dtype) + proj_b[:])
@@ -539,12 +588,18 @@ def _mlp_bwd_kernel(x1_ref, dout_ref, *rest, eps: float,
 
 def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
                      valid_len: int, eps: float, imgs: int = 1,
-                     scaled: bool = False):
+                     scaled: bool = False, packed: bool = False):
     """Backward through x1 = x + [s1 *] proj(attn(qkv(LN1(x)))).
 
     With scaled=True an extra (rows, 1) s1 input follows dx1; the branch
     chain sees dx1*s1 while the residual passthrough into dx stays
-    unscaled."""
+    unscaled.
+
+    packed=True recomputes and differentiates the attention as
+    block-diagonal full-rows matmuls (see _packed_attn_ctx): the
+    softmax's masked probabilities are exactly zero at cross-image /
+    invalid keys, so ds vanishes there and dq/dk/dv match the per-image
+    loop."""
     if scaled:
         (s1_ref, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, dx_ref,
          dqkv_w, dqkv_b, dproj_w, dproj_b, dln1_s, dln1_b) = rest
@@ -583,6 +638,44 @@ def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
     # for more than one head at a time)
     dctx = jax.lax.dot_general(dbr, proj_w[:], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32).astype(dtype)
+    if packed:
+        mask = _packed_mask(rows, lp, valid_len)
+        ctx_heads = []
+        dq_heads, dk_heads, dv_heads = [], [], []
+        for h in range(num_heads):
+            q = qkv[:, h * head_dim:(h + 1) * head_dim]
+            k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
+            v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+            s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
+                                    k.astype(jnp.float32),
+                                    (((1,), (1,)), ((), ())),
+                                    preferred_element_type=jnp.float32)
+            p = jax.nn.softmax(s + mask, axis=-1)
+            pb = p.astype(dtype)
+            ctx_heads.append(jax.lax.dot_general(
+                pb, v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32).astype(dtype))
+            dc = dctx[:, h * head_dim:(h + 1) * head_dim]
+            dv = jax.lax.dot_general(pb, dc, (((0,), (0,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            dp = jax.lax.dot_general(dc, v, (((1,), (1,)), ((), ())),
+                                     preferred_element_type=jnp.float32)
+            # p == 0 at cross-image / invalid keys -> ds vanishes there,
+            # so full-rows matmuls reproduce the per-image grads exactly
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            ds = ds.astype(dtype)
+            dq_heads.append((jax.lax.dot_general(
+                ds, k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale).astype(dtype))
+            dk_heads.append((jax.lax.dot_general(
+                ds, q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32) * scale).astype(dtype))
+            dv_heads.append(dv.astype(dtype))
+        ctx = jnp.concatenate(ctx_heads, axis=-1)
+        dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
+        return _attn_bwd_tail(x, xhat, rstd, s32, y, ctx, dqkv, dbr, dx1,
+                              qkv_w, dx_ref, dqkv_w, dqkv_b, dproj_w,
+                              dproj_b, dln1_s, dln1_b)
     img_ctx = []
     img_dqkv = []
     for gi in range(imgs):
@@ -624,7 +717,17 @@ def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
     ctx = jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
     dqkv = (jnp.concatenate(img_dqkv, axis=0) if imgs > 1
             else img_dqkv[0])                          # (rows, 3d)
+    _attn_bwd_tail(x, xhat, rstd, s32, y, ctx, dqkv, dbr, dx1, qkv_w,
+                   dx_ref, dqkv_w, dqkv_b, dproj_w, dproj_b, dln1_s,
+                   dln1_b)
 
+
+def _attn_bwd_tail(x, xhat, rstd, s32, y, ctx, dqkv, dbr, dx1, qkv_w,
+                   dx_ref, dqkv_w, dqkv_b, dproj_w, dproj_b, dln1_s,
+                   dln1_b):
+    """Shared weight-grad accumulation + LN1 backward of _attn_bwd_kernel
+    (identical for the per-image-loop and packed attention recomputes)."""
+    dtype = x.dtype
     dproj_w[:] += jax.lax.dot_general(ctx, dbr, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
     dproj_b[:] += jnp.sum(dbr.astype(jnp.float32), axis=0, keepdims=True)
@@ -657,13 +760,20 @@ def _pick_imgs(b: int, lp: int, want: int, row_cap: int) -> int:
     return 1
 
 
+def _auto_packed(packed, lp: int, imgs: int) -> bool:
+    """Default: pack short sequences (local crops) into block-diagonal
+    attention; long sequences (224 crops, lp=208) keep the per-image loop
+    whose (lp, dh) matmuls already fill the MXU."""
+    return (lp <= 64 and imgs > 1) if packed is None else packed
+
+
 @functools.partial(jax.jit,
                    static_argnames=("num_heads", "valid_len", "eps",
-                                    "interpret"))
+                                    "interpret", "packed"))
 def _fused_block_fwd_train(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
                            fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b,
                            num_heads: int, valid_len: int, eps: float,
-                           interpret: bool, s1=None, s2=None):
+                           interpret: bool, s1=None, s2=None, packed=None):
     b, lp, d = x.shape
     head_dim = d // num_heads
     # measured fastest at 2 for L~208 (x1 doubles IO); SHORT sequences
@@ -680,7 +790,8 @@ def _fused_block_fwd_train(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
     out, x1 = pl.pallas_call(
         functools.partial(_block_fwd_train_kernel, num_heads=num_heads,
                           head_dim=head_dim, valid_len=valid_len, eps=eps,
-                          imgs=imgs, scaled=scaled),
+                          imgs=imgs, scaled=scaled,
+                          packed=_auto_packed(packed, lp, imgs)),
         grid=(groups,),
         in_specs=[_img_spec(imgs * lp, d)] + [_const_spec(w.shape)
                                               for w in weights]
@@ -730,10 +841,10 @@ def _fused_block_bwd_mlp(x1, dout, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b,
 
 
 @functools.partial(jax.jit, static_argnames=("num_heads", "valid_len", "eps",
-                                             "interpret"))
+                                             "interpret", "packed"))
 def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
                           num_heads: int, valid_len: int, eps: float,
-                          interpret: bool, s1=None):
+                          interpret: bool, s1=None, packed=None):
     b, lp, d = x.shape
     head_dim = d // num_heads
     # fastest at 1 img/program for L~208; short sequences group like the
@@ -746,7 +857,8 @@ def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
     outs = pl.pallas_call(
         functools.partial(_attn_bwd_kernel, num_heads=num_heads,
                           head_dim=head_dim, valid_len=valid_len, eps=eps,
-                          imgs=imgs, scaled=scaled),
+                          imgs=imgs, scaled=scaled,
+                          packed=_auto_packed(packed, lp, imgs)),
         grid=(groups,),
         in_specs=[_img_spec(imgs * lp, d)] * 2
                  + [_img_spec(imgs * lp, 1)] * len(extra)
@@ -771,7 +883,8 @@ def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
 def make_pallas_trainable_fused_block(num_heads: int, valid_len: int,
                                       eps: float = 1e-6,
                                       interpret: bool = False,
-                                      scaled: bool = False):
+                                      scaled: bool = False,
+                                      packed=None):
     """Fully-fused trainable block: Pallas forward AND Pallas backward.
 
     Unlike make_trainable_fused_block (XLA recompute backward), both
@@ -791,7 +904,8 @@ def make_pallas_trainable_fused_block(num_heads: int, valid_len: int,
                            else (None, None, rest))
         out, _ = _fused_block_fwd_train(x, *weights, num_heads=num_heads,
                                         valid_len=valid_len, eps=eps,
-                                        interpret=interpret, s1=s1, s2=s2)
+                                        interpret=interpret, s1=s1, s2=s2,
+                                        packed=packed)
         return out
 
     def fwd(x, *rest):
@@ -799,7 +913,8 @@ def make_pallas_trainable_fused_block(num_heads: int, valid_len: int,
                            else (None, None, rest))
         out, x1 = _fused_block_fwd_train(x, *weights, num_heads=num_heads,
                                          valid_len=valid_len, eps=eps,
-                                         interpret=interpret, s1=s1, s2=s2)
+                                         interpret=interpret, s1=s1, s2=s2,
+                                         packed=packed)
         return out, (x, x1, s1, s2, weights)
 
     def bwd(res, g):
@@ -813,7 +928,8 @@ def make_pallas_trainable_fused_block(num_heads: int, valid_len: int,
             _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b,
                                   ln1_s, ln1_b, num_heads=num_heads,
                                   valid_len=valid_len, eps=eps,
-                                  interpret=interpret, s1=s1)
+                                  interpret=interpret, s1=s1,
+                                  packed=packed)
 
         def cast(gw, w):
             gw = gw.reshape(w.shape)

@@ -230,16 +230,17 @@ class DINOTrainer:
         vcfg = vit_cfg
 
         def backbone(params, crops, rng=None):
-            # Mixed strategy (measured on v5e at batch 64): the fused
-            # Pallas fwd+bwd wins big at global-crop length (L=197:
-            # 38.5 vs 56.1 ms for 128 images fwd+bwd, teacher fwd 11.5
-            # vs 23.2) but LOSES to XLA at local-crop length (L=37:
-            # 60.7 vs 42.4 ms for 512 images) where the short sequences
-            # starve the per-program operands.  Route by crop size.
-            # Stochastic depth (rng != None on the student) stays fused:
-            # the scaled kernels take per-image branch masks directly.
+            # Fused Pallas fwd+bwd for BOTH crop sizes (measured on v5e
+            # at batch 64): globals (L=197) 36.4 vs 54.0 ms XLA for 128
+            # images fwd+bwd; locals (L=37) 36.5 vs 41.2 ms for 512
+            # images once the kernels pack the group's attention into
+            # one block-diagonal matmul per head (_packed_attn_ctx —
+            # the earlier per-image loop starved the MXU and lost to
+            # XLA, 60.7 ms).  Stochastic depth (rng != None on the
+            # student) stays fused too: the scaled kernels take
+            # per-image branch masks directly.
             use_drop = rng is not None and cfg.drop_path_rate > 0.0
-            if fused_blocks and crops.shape[1] >= 160:
+            if fused_blocks:
                 from sais_tpu.models.vit import vit_features_trainable_fused
                 return vit_features_trainable_fused(
                     params, crops, vcfg,

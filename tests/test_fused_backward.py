@@ -201,3 +201,38 @@ def test_vit_trainable_fused_drop_path_interpret():
                                            drop_path_rate=0.5,
                                            rng=jax.random.key(1))
     assert np.abs(np.asarray(dropped) - np.asarray(base)).max() > 1e-3
+
+
+def test_pallas_backward_scaled_packed_short_sequence():
+    """Packed block-diagonal attention + stochastic-depth scales together
+    (the DINO student local-crop regime): gradients must match the scaled
+    XLA twin."""
+    heads, d, lp, valid, b = 2, 64, 48, 37, 8
+    ks = jax.random.split(jax.random.key(40), 12)
+    shapes = [(d, 3 * d), (3 * d,), (d, d), (d,), (d, 4 * d), (4 * d,),
+              (4 * d, d), (d,), (d,), (d,), (d,), (d,)]
+    ws = tuple(0.05 * jax.random.normal(k, s) for k, s in zip(ks, shapes))
+    x = jax.random.normal(jax.random.key(41), (b, lp, d))
+    x = x * (jnp.arange(lp)[None, :, None] < valid)
+    keep = 0.8
+    m1 = (jax.random.uniform(jax.random.key(42), (b,)) < keep) / keep
+    m2 = (jax.random.uniform(jax.random.key(43), (b,)) < keep) / keep
+    s1 = jnp.broadcast_to(m1[:, None, None], (b, lp, 1)).astype(x.dtype)
+    s2 = jnp.broadcast_to(m2[:, None, None], (b, lp, 1)).astype(x.dtype)
+
+    block_op = make_pallas_trainable_fused_block(heads, valid,
+                                                 interpret=True, scaled=True)
+
+    def loss_p(x, *w):
+        return jnp.sum(block_op(x, s1, s2, *w)[:, :valid] ** 2)
+
+    def loss_r(x, *w):
+        return jnp.sum(_xla_block_tanh(x, *w, num_heads=heads,
+                                       valid_len=valid, eps=1e-6,
+                                       s1=s1, s2=s2)[:, :valid] ** 2)
+
+    gp = jax.grad(loss_p, argnums=tuple(range(13)))(x, *ws)
+    gr = jax.grad(loss_r, argnums=tuple(range(13)))(x, *ws)
+    for i, (a, b_) in enumerate(zip(gp, gr)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                   rtol=2e-4, atol=2e-4, err_msg=str(i))
