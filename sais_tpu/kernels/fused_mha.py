@@ -812,6 +812,8 @@ def _fused_block_bwd_mlp(x1, dout, fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b,
     # the MLP backward is fully row-independent; one image per program at
     # L~208 (the f32 dW accumulators leave little VMEM headroom), but
     # short sequences group up to ~208 rows for taller dW operands
+    # (384 rows OOMs scoped vmem at 20.2M: the f32 (rows, 4d) GELU
+    # intermediates dominate)
     imgs = _pick_imgs(b, lp, max(1, 208 // lp), 512)
     groups = b // imgs
     weights = (fc1_w, fc1_b, fc2_w, fc2_b, ln2_s, ln2_b)
@@ -847,9 +849,9 @@ def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
                           interpret: bool, s1=None, packed=None):
     b, lp, d = x.shape
     head_dim = d // num_heads
-    # fastest at 1 img/program for L~208; short sequences group like the
-    # MLP half
-    imgs = _pick_imgs(b, lp, max(1, 208 // lp), 512)
+    # fastest at 1 img/program for L~208; short PACKED sequences group to
+    # ~416 rows so the block-diagonal matmuls get full tiles
+    imgs = _pick_imgs(b, lp, max(1, (416 if lp <= 64 else 208) // lp), 512)
     groups = b // imgs
     weights = (qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b)
     scaled = s1 is not None

@@ -251,19 +251,34 @@ class DINOTrainer:
                 drop_path_rate=cfg.drop_path_rate if use_drop else 0.0,
                 rng=rng)
 
-        def forward(params, globals_, locals_, rng=None):
+        def backbone_infer(params, crops):
+            # teacher forward: no gradients flow to it (EMA update only),
+            # so it can use the INFERENCE fused path — imgs=4/Lp-208
+            # geometry and no x1 residual write, the 14.2k f/s kernel —
+            # instead of the trainable block.  Same bf16 math.
+            if fused_blocks:
+                return vit_features(params, crops, vcfg,
+                                    compute_dtype=jnp.bfloat16,
+                                    allow_fused=True)
+            return vit_features(params, crops, vcfg,
+                                compute_dtype=jnp.bfloat16)
+
+        def forward(params, globals_, locals_, rng=None, infer=False):
             """Backbone over the two resolution groups, head over ALL rows
             in one call — MultiCropWrapper semantics (utils.py:595-631).
             A per-crop head would re-read the 256 x out_dim weight-normed
             last layer (67 MB at out_dim 65536) once per crop list entry.
             rng (student only) drives stochastic depth; the teacher runs
-            deterministically like the reference's."""
+            deterministically like the reference's (infer=True also
+            selects the gradient-free fused kernel)."""
             rg, rl = (jax.random.split(rng) if rng is not None
                       else (None, None))
-            gfeat = backbone(params["backbone"], globals_, rg)
+            bb = ((lambda p, c, _r: backbone_infer(p, c)) if infer
+                  else backbone)
+            gfeat = bb(params["backbone"], globals_, rg)
             feats = gfeat
             if locals_ is not None and cfg.n_local_crops:
-                lfeat = backbone(params["backbone"], locals_, rl)
+                lfeat = bb(params["backbone"], locals_, rl)
                 feats = jnp.concatenate([gfeat, lfeat], 0)
             head_out = dino_head_forward(params["head"], feats,
                                          cfg.norm_last_layer)
@@ -281,7 +296,8 @@ class DINOTrainer:
                        rng):
             def loss_fn(student):
                 s_out = forward(student, globals_, locals_, rng)
-                t_out = forward(teacher, globals_, None)[:cfg.n_global_crops]
+                t_out = forward(teacher, globals_, None,
+                                infer=True)[:cfg.n_global_crops]
                 loss, batch_center = dino_loss(s_out, t_out, center,
                                                teacher_temp, cfg.student_temp)
                 return loss, batch_center
