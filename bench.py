@@ -62,10 +62,12 @@ def bench_features():
     return batch * iters / dt
 
 
-def bench_raft(batch: int = 8, iters: int = 32, n: int = 12):
+def bench_raft(batch: int = 8, iters: int = 32, n: int = 48):
     """RAFT flow pairs at 240x320 (the dual-stream pipeline's hot kernel).
-    Returns ms/pair.  Fetches the result to host each round so the remote
-    tunnel's async dispatch can't fake the timing."""
+    Returns ms/pair.  One blocking fetch after n pipelined dispatches; n
+    is sized so the remote tunnel's ~33 ms final-fetch RTT is <3% of the
+    measured window (n=12 inflated the number ~10%: 3.77 vs 3.62 ms/pair
+    for identical code)."""
     import functools
     import numpy as np
     import jax
