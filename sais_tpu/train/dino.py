@@ -282,13 +282,23 @@ class DINOTrainer:
                 feats = jnp.concatenate([gfeat, lfeat], 0)
             head_out = dino_head_forward(params["head"], feats,
                                          cfg.norm_last_layer)
+
+            def regroup(out, n):
+                # rows are image-major ([img0crop0, img0crop1, ...] —
+                # ops/augment.multi_crop_batch's stack axis 1); a strided
+                # out[i::n] slice per crop costs ~5 ms in the backward
+                # over (640, 65536) logits (dilated-pad grads), the
+                # reshape+transpose form is dense copies (measured 13.8
+                # -> 8.5 ms for the head+loss grad)
+                nb = out.shape[0] // n
+                return list(out.reshape(nb, n, out.shape[-1])
+                            .transpose(1, 0, 2))
+
             ng = cfg.n_global_crops
-            gout = head_out[:gfeat.shape[0]]
-            outs = [gout[i::ng] for i in range(ng)]
+            outs = regroup(head_out[:gfeat.shape[0]], ng)
             if locals_ is not None and cfg.n_local_crops:
-                nl = cfg.n_local_crops
-                lout = head_out[gfeat.shape[0]:]
-                outs += [lout[i::nl] for i in range(nl)]
+                outs += regroup(head_out[gfeat.shape[0]:],
+                                cfg.n_local_crops)
             return outs
 
         def train_step(student, teacher, center, opt_state, globals_,
