@@ -111,18 +111,24 @@ def dino_loss(student_out: Sequence[jnp.ndarray],
     # reference recomputes it per (iq, v) pair — same value, 1.8x the work)
     logp = [jax.nn.log_softmax(s.astype(jnp.float32) / student_temp, -1)
             for s in student_out]
-    total = 0.0
-    n_terms = 0
+    # The reference's double loop (main_dino.py:607-617) sums
+    # -q[iq] . logp[v] over every pair with v != iq — ng*(ncrops-1)
+    # elementwise passes over (B, K) tensors.  Algebraically identical
+    # (up to f32 reassociation, ~1e-7 relative):
+    #   sum_iq sum_{v!=iq} -q_iq.logp_v
+    #     = -(sum_iq q_iq) . (sum_v logp_v) + sum_iq q_iq.logp_iq
+    # which is 3 passes instead of 18 at the 2-global/8-local config.
+    s_sum = sum(logp[1:], logp[0])
+    q_sum = sum(q[1:], q[0])
+    per_elem = -q_sum * s_sum
     for iq in range(len(q)):
-        for v in range(len(student_out)):
-            if v == iq:
-                continue
-            total = total + jnp.mean(jnp.sum(-q[iq] * logp[v], axis=-1))
-            n_terms += 1
+        per_elem = per_elem + q[iq] * logp[iq]
+    n_terms = len(q) * (len(student_out) - 1)
+    total = jnp.mean(jnp.sum(per_elem, axis=-1)) / n_terms
     batch_center = jnp.mean(
         jnp.concatenate([t.astype(jnp.float32) for t in teacher_out], 0),
         axis=0)
-    return total / n_terms, batch_center
+    return total, batch_center
 
 
 def update_center(center: jnp.ndarray, batch_center: jnp.ndarray,
