@@ -1085,8 +1085,8 @@ def build_parser():
         sp.add_argument("--drop-path", type=float, default=0.1,
                         help="pretrain: student stochastic-depth rate "
                              "(main_dino.py --drop_path_rate default 0.1; "
-                             "0 restores the fully fused student path, "
-                             "~15%% faster)")
+                             "runs fused at any rate — per-image branch "
+                             "scales; 0 skips the mask draws)")
     return p
 
 

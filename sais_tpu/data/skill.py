@@ -432,8 +432,6 @@ def ease_inference_table(stitch_df: pd.DataFrame, phase: str,
       as upstream), keep all low-skill rows, then balance classes in
       maj-appearance order [2, 0] (:354-377).
     """
-    from sais_tpu.data.datasets import balance_classes
-
     race = domain.split("_")[0]
     df = stitch_df.copy()
     if "Video" not in df.columns and "Path" in df.columns:

@@ -525,7 +525,10 @@ class GestureDecoder:
     # partial final chunks pad up to the next of these window counts
     # instead of the full device_batch: a 120-window minute-long video
     # uploads and computes 128 padded windows, not 512.  Each bucket is
-    # one extra compiled temporal shape, reused across videos.
+    # one extra compiled temporal shape, reused across videos — so on
+    # videos LONGER than device_batch a bucket is only used once its
+    # shape is warm (see _chunk_batch); serve's warmup pre-compiles all
+    # of them, one-shot CLI decodes never pay a tail-only compile.
     TAIL_BUCKETS = (32, 64, 128, 256)
 
     def __init__(self, fold_params: Sequence[Tuple[dict, jnp.ndarray]],
@@ -551,24 +554,45 @@ class GestureDecoder:
 
         self._fn = jax.jit(_fn)
         self._artifact_fn = jax.jit(_artifact_fn)
+        # (padded_windows, frames_per_window) shapes already dispatched at
+        # least once (= compiled); filled by real dispatches, so serve's
+        # warmup marks every bucket x TTA combination warm
+        self._warm_buckets: set = set()
 
-    def _chunk_batch(self, n: int) -> int:
-        """Padded size for a chunk of n windows: the smallest tail bucket
-        that fits, else the full device_batch."""
-        for b in self.TAIL_BUCKETS:
-            if n <= b < self.device_batch:
-                return b
-        return self.device_batch
+    def _chunk_batch(self, n: int, total: int, fpw) -> int:
+        """Padded size for a chunk of n windows (total = windows in the
+        variant, fpw = (program tag, frames-per-window) shape key — the
+        probs and artifact paths compile separate programs, so warmth is
+        tracked per program).  A tail bucket only pays when
+        its compile is already warm: on a video longer than device_batch
+        the full-batch shape is compiled by the preceding chunks anyway,
+        so a cold tail bucket would ADD one XLA compile (tens of seconds
+        through a remote-compile tunnel) to save milliseconds of padded
+        compute.  Short videos (total <= bucket) compile exactly one
+        shape either way, and the bucket is the cheaper one."""
+        b = self.device_batch
+        for cand in self.TAIL_BUCKETS:
+            if n <= cand < self.device_batch:
+                b = cand
+                break
+        if (b != self.device_batch and total > self.device_batch
+                and (b, fpw) not in self._warm_buckets):
+            return self.device_batch
+        return b
 
     def _run_batch(self, params, protos, tta: TTABatch) -> np.ndarray:
         """Chunked, padded execution of one TTA variant -> (W, P) probs."""
         w = tta.rgb.shape[0]
+        fpw = tta.rgb.shape[1]
         bs = self.device_batch
         pending: List[Tuple[jax.Array, int]] = []
         for i in range(0, w, bs):
             sl = slice(i, min(i + bs, w))
             n = sl.stop - sl.start
-            pad = self._chunk_batch(n) - n
+            psize = self._chunk_batch(n, w, ("p", fpw))
+            pad = psize - n
+            if psize < bs:
+                self._warm_buckets.add((psize, ("p", fpw)))
 
             def padded(a):
                 if pad == 0:
@@ -659,12 +683,16 @@ class GestureDecoder:
         attention = None
         for ti, tta in enumerate(tta_batches):
             w = tta.rgb.shape[0]
+            fpw = tta.rgb.shape[1]
             bs = self.device_batch
             out_reps, out_probs, out_attn = [], [], []
             for i in range(0, w, bs):
                 sl = slice(i, min(i + bs, w))
                 n = sl.stop - sl.start
-                pad = self._chunk_batch(n) - n
+                psize = self._chunk_batch(n, w, ("a", fpw))
+                pad = psize - n
+                if psize < bs:
+                    self._warm_buckets.add((psize, ("a", fpw)))
 
                 def padded(a):
                     if pad == 0:

@@ -112,9 +112,12 @@ def _drop_path(x: jnp.ndarray, prob: float, rng: jax.Array) -> jnp.ndarray:
     1/keep_prob.  The reference binarizes floor(keep_prob + U[0,1)) —
     identical in distribution to a Bernoulli draw."""
     keep = 1.0 - prob
+    # draw in f32: a bf16 U[0,1) has only 128 distinct values, which
+    # quantizes the realized drop probability by up to ~15% relative and
+    # biases the 1/keep survivor scale; only the final scale is cast
     mask = jnp.floor(keep + jax.random.uniform(
-        rng, (x.shape[0],) + (1,) * (x.ndim - 1), x.dtype))
-    return x / keep * mask
+        rng, (x.shape[0],) + (1,) * (x.ndim - 1), jnp.float32))
+    return x * (mask / keep).astype(x.dtype)
 
 
 def block(x: jnp.ndarray, p: Params, cfg: ViTConfig,
@@ -320,9 +323,12 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
             # floor(keep + U[0,1)) per image — the reference's binarize
             # (vision_transformer.py:27-35) — scaled by 1/keep
             def draw(key, keep):
+                # f32 draw + scale, cast at the end (a bf16 U[0,1) has
+                # only 128 distinct values — realized drop probs would
+                # quantize to n/128, up to ~15% off the linspace schedule)
                 m = jnp.floor(keep + jax.random.uniform(
-                    key, (b,), jnp.bfloat16))
-                s = m / jnp.bfloat16(keep)
+                    key, (b,), jnp.float32))
+                s = (m / keep).astype(jnp.bfloat16)
                 return jnp.broadcast_to(s[:, None, None], (b, lp, 1))
             s1 = draw(rngs[2 * i], keep1)
             s2 = draw(rngs[2 * i + 1], keep2)

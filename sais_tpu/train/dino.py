@@ -65,9 +65,9 @@ class DINOConfig:
     norm_last_layer: bool = True
     # stochastic depth on the STUDENT backbone (main_dino.py:111,369:
     # --drop_path_rate default 0.1; the teacher is built without it).
-    # Nonzero rates route the student through the XLA backbone (the fused
-    # Pallas blocks compute whole residuals internally and cannot drop
-    # branches); set 0.0 to restore the full fused-routing throughput.
+    # Nonzero rates STAY on the fused Pallas path: the scaled training
+    # kernels take per-image residual-branch scales s in {0, 1/keep}
+    # directly (see backbone() below); 0.0 merely skips the mask draws.
     drop_path_rate: float = 0.1
 
 

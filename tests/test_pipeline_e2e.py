@@ -239,13 +239,21 @@ def test_tail_bucket_padding_matches_unbucketed():
     _, protos = prototypes_init(jax.random.key(32), 2)
 
     bucketed = GestureDecoder([(params, protos)], cfg)  # device_batch=512
-    assert bucketed._chunk_batch(93) == 128
-    assert bucketed._chunk_batch(1) == 32
-    assert bucketed._chunk_batch(256) == 256
-    assert bucketed._chunk_batch(300) == 512
-    assert bucketed._chunk_batch(512) == 512
+    key = ("p", 15)
+    # short variants (total <= device_batch): buckets always used
+    assert bucketed._chunk_batch(93, 93, key) == 128
+    assert bucketed._chunk_batch(1, 1, key) == 32
+    assert bucketed._chunk_batch(256, 256, key) == 256
+    assert bucketed._chunk_batch(300, 300, key) == 512
+    assert bucketed._chunk_batch(512, 512, key) == 512
+    # long variant (total > device_batch): a COLD tail bucket would add an
+    # XLA compile the preceding full chunks didn't pay — pad to the
+    # already-compiled device_batch instead, unless the bucket is warm
+    assert bucketed._chunk_batch(93, 600, key) == 512
+    bucketed._warm_buckets.add((128, key))
+    assert bucketed._chunk_batch(93, 600, key) == 128
     small = GestureDecoder([(params, protos)], cfg, device_batch=8)
-    assert small._chunk_batch(5) == 8   # no bucket below device_batch
+    assert small._chunk_batch(5, 5, key) == 8   # no bucket below device_batch
 
     np.testing.assert_allclose(
         bucketed.window_probs("v", reps, None),
