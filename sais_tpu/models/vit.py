@@ -106,18 +106,24 @@ def _mlp(x: jnp.ndarray, p: Params) -> jnp.ndarray:
     return _linear(y, p["fc2_w"], p["fc2_b"])
 
 
+def drop_path_scales(rng: jax.Array, keep: float, b: int) -> jnp.ndarray:
+    """Per-image survivor scales in {0, 1/keep}: floor(keep + U[0,1)) /
+    keep, the reference's binarize (vision_transformer.py:27-35) —
+    identical in distribution to a Bernoulli(keep) draw.  Always drawn in
+    f32: a bf16 U[0,1) has only 128 distinct values, which quantizes the
+    realized drop probability to multiples of 1/128 (up to ~15% off a
+    linspace schedule) and biases the 1/keep scale; callers cast the
+    RESULT to the compute dtype."""
+    mask = jnp.floor(keep + jax.random.uniform(rng, (b,), jnp.float32))
+    return mask / keep
+
+
 def _drop_path(x: jnp.ndarray, prob: float, rng: jax.Array) -> jnp.ndarray:
     """Stochastic depth on one residual branch (vision_transformer.py:27-35):
     per-SAMPLE Bernoulli(1 - prob) mask, surviving branches scaled by
-    1/keep_prob.  The reference binarizes floor(keep_prob + U[0,1)) —
-    identical in distribution to a Bernoulli draw."""
-    keep = 1.0 - prob
-    # draw in f32: a bf16 U[0,1) has only 128 distinct values, which
-    # quantizes the realized drop probability by up to ~15% relative and
-    # biases the 1/keep survivor scale; only the final scale is cast
-    mask = jnp.floor(keep + jax.random.uniform(
-        rng, (x.shape[0],) + (1,) * (x.ndim - 1), jnp.float32))
-    return x * (mask / keep).astype(x.dtype)
+    1/keep_prob."""
+    s = drop_path_scales(rng, 1.0 - prob, x.shape[0])
+    return x * s.reshape((x.shape[0],) + (1,) * (x.ndim - 1)).astype(x.dtype)
 
 
 def block(x: jnp.ndarray, p: Params, cfg: ViTConfig,
@@ -320,15 +326,8 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
         if use_drop:
             keep1 = 1.0 - dpr[i]
             keep2 = 1.0 - dpr[i]
-            # floor(keep + U[0,1)) per image — the reference's binarize
-            # (vision_transformer.py:27-35) — scaled by 1/keep
             def draw(key, keep):
-                # f32 draw + scale, cast at the end (a bf16 U[0,1) has
-                # only 128 distinct values — realized drop probs would
-                # quantize to n/128, up to ~15% off the linspace schedule)
-                m = jnp.floor(keep + jax.random.uniform(
-                    key, (b,), jnp.float32))
-                s = (m / keep).astype(jnp.bfloat16)
+                s = drop_path_scales(key, keep, b).astype(jnp.bfloat16)
                 return jnp.broadcast_to(s[:, None, None], (b, lp, 1))
             s1 = draw(rngs[2 * i], keep1)
             s2 = draw(rngs[2 * i + 1], keep2)

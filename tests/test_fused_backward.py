@@ -236,3 +236,19 @@ def test_pallas_backward_scaled_packed_short_sequence():
     for i, (a, b_) in enumerate(zip(gp, gr)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
                                    rtol=2e-4, atol=2e-4, err_msg=str(i))
+
+
+def test_drop_path_realized_probability_matches_schedule():
+    """The realized drop frequency must track keep_prob finely — an f32
+    draw.  A bf16 U[0,1) (128 distinct values) quantizes realized drop
+    probs to n/128: e.g. block 1 of linspace(0, 0.1, 12) would drop at
+    0.00774 instead of 0.00909 (-15%) and scale survivors by bf16(1/keep).
+    """
+    from sais_tpu.models.vit import drop_path_scales
+    prob = 0.1 * 1 / 11          # ViT-S block-1 rate of the 0.1 schedule
+    keep = 1.0 - prob
+    s = np.asarray(drop_path_scales(jax.random.key(7), keep, 200_000))
+    rate = float((s == 0).mean())
+    assert abs(rate - prob) < 5e-4, rate       # bf16 draw is ~1.4e-3 off
+    # survivor scale is exactly 1/keep at f32, not bf16(1/keep)
+    np.testing.assert_allclose(np.unique(s), [0.0, 1.0 / keep], rtol=1e-6)
