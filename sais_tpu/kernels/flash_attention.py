@@ -265,7 +265,7 @@ def _run_bwd(q, k, v, bias, o, lse, do, scale, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, lp, dhp), q.dtype),
+            jax.ShapeDtypeStruct((bh, lp, dhp), k.dtype),
             jax.ShapeDtypeStruct((bh, lp, dhp), v.dtype),
         ],
         interpret=interpret,
@@ -317,6 +317,21 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         key_padding_mask = jnp.zeros((b, l), bool)
     bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
 
+    # VMEM ceiling: the backward's dkv program holds full (Lp, Dhp) q and
+    # do refs (plus k/v blocks and f32 score temporaries) in VMEM, so the
+    # kernels cap out around ~24k tokens at Dh<=128 bf16 — still 12x the
+    # reference's 2000-frame subsampling cap.  Fail with a actionable
+    # message instead of an opaque Mosaic scoped-allocation error.
+    dhp_est = dh + ((-dh) % 128)
+    lp_est = l + ((-l) % 128)
+    vmem_est = 2 * lp_est * dhp_est * q.dtype.itemsize + 3 * lp_est * 4
+    if not interpret and vmem_est > 12 * 1024 * 1024:
+        raise ValueError(
+            f"flash_attention sequence too long for VMEM: L={l}, Dh={dh} "
+            f"needs ~{vmem_est / 2**20:.0f} MB per program (limit ~12). "
+            "Subsample the window (the reference caps at 2000 frames, "
+            "prepare_dataset.py:2437) or split the sequence.")
+
     # clamp blocks to the (128-aligned) sequence so a forced-flash SHORT
     # sequence doesn't pad all the way to the default 512-block
     lmax = max(l + ((-l) % 128), 128)
@@ -338,6 +353,15 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     v = _pad_to(v, 3, 128)
 
     out = _flash_core(q, k, v, bias, scale, block_q, block_k, interpret)
+    # A batch element whose keys are ALL masked has no valid softmax: the
+    # additive -1e30 bias cancels inside exp(s + bias - lse) and the
+    # kernels would return an unmasked-softmax average (and the backward
+    # O(L)-magnitude garbage dk/dv).  Define the output as zeros instead;
+    # the multiply also zeroes the cotangent flowing into the core for
+    # those rows, so dq/dk/dv stay zero.  (Unreachable from the production
+    # model — the CLS slot is never padded — but ragged callers exist.)
+    any_valid = ~jnp.all(key_padding_mask, axis=-1)          # (B,)
+    out = out * any_valid[:, None, None, None].astype(out.dtype)
     return out[:, :, :l, :dh]
 
 

@@ -1,16 +1,25 @@
-"""Fused multi-head attention for short sequences (ViT-S/16: L=197).
+"""Fully-fused ViT transformer blocks for short sequences (ViT-S/16:
+L=197 globals, L=37 local crops) — forward, W8A8, and training
+forward/backward Pallas kernels.
 
 XLA's attention path materializes per-head transposes of q/k/v and the
 (B, h, L, L) score/weight tensors in HBM — at ViT scale that traffic is
-~60% of block time.  This kernel keeps one image's entire attention in
-VMEM: it reads the qkv projection output (B, L, 3D) directly, loops over
-heads with static slices, runs the f32 softmax in VMEM, and writes only the
-(B, L, D) context — no intermediate ever touches HBM.
+~60% of block time.  These kernels keep a whole pre-norm block (LN ->
+qkv -> attention -> proj -> residual -> LN -> MLP -> residual) for a
+group of `imgs` images in VMEM: only the block input and output (plus
+the x1 residual on the training path) ever touch HBM.
 
-Grid: one program per batch element (L and D are small: q/k/v/out plus one
-(L, L) f32 score block fit comfortably in 16 MB VMEM).  The sequence is
-padded to a lane-friendly length outside; padded keys are masked with -inf
-via iota comparison inside.
+Entry points: `fused_vit_block` (inference), `fused_vit_block_int8`
+(W8A8 experiment), `make_trainable_fused_block` (XLA backward) and
+`make_pallas_trainable_fused_block` (custom-VJP Pallas backward, with
+optional stochastic-depth branch scales and packed block-diagonal
+attention for the local-crop regime).
+
+The attention context math lives in exactly two helpers shared by every
+forward kernel — `_packed_attn_ctx` (one masked (rows, rows) matmul per
+head) and `_loop_attn_ctx` (per-image loop) — plus the interleaved
+recompute inside `_attn_bwd_kernel`; test_fused_backward's agreement
+assertions guard the pair.
 """
 
 from __future__ import annotations
@@ -24,30 +33,6 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _NEG_INF = -1e30
-
-
-def _mha_kernel(qkv_ref, o_ref, *, num_heads: int, head_dim: int,
-                valid_len: int):
-    lp = qkv_ref.shape[0]
-    d = num_heads * head_dim
-    scale = head_dim ** -0.5
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
-    key_mask = (key_ids >= valid_len) * _NEG_INF          # (1, Lp) f32
-
-    for h in range(num_heads):
-        q = qkv_ref[:, h * head_dim:(h + 1) * head_dim]
-        k = qkv_ref[:, d + h * head_dim:d + (h + 1) * head_dim]
-        v = qkv_ref[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-        s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
-                                k.astype(jnp.float32),
-                                (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        s = s + key_mask
-        p = jax.nn.softmax(s, axis=-1)
-        o = jax.lax.dot_general(p.astype(v.dtype), v,
-                                (((1,), (0,)), ((), ())),
-                                preferred_element_type=jnp.float32)
-        o_ref[:, h * head_dim:(h + 1) * head_dim] = o.astype(o_ref.dtype)
 
 
 def _layer_norm_f32(x, scale, bias, eps):
@@ -98,18 +83,28 @@ def _packed_attn_ctx(qkv, d: int, num_heads: int, head_dim: int,
     return jnp.concatenate(ctx_heads, axis=-1)
 
 
+def _loop_attn_ctx(qkv, d: int, num_heads: int, head_dim: int,
+                   key_mask, dtype, lp: int, imgs: int):
+    """Per-image attention context over `imgs` images packed along the
+    row axis — the long-sequence regime (global crops, lp=208) where
+    per-image (lp, dh) matmuls already fill the MXU.  key_mask: (1, lp)
+    additive f32 (-1e30 at padded keys), broadcast across queries."""
+    img_ctx = [_packed_attn_ctx(qkv[g * lp:(g + 1) * lp], d, num_heads,
+                                head_dim, key_mask, dtype)
+               for g in range(imgs)]
+    return jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
+
+
 def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
                   fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b, o_ref, *,
                   num_heads: int, head_dim: int, valid_len: int,
                   eps: float, imgs: int = 1):
     """One full pre-norm ViT block for `imgs` images, entirely in VMEM.
 
-    MAINTENANCE NOTE: the per-head attention inner loop appears, with
-    variant-specific differences, in _block_kernel, _block_kernel_int8,
-    _block_fwd_train_kernel and _attn_bwd_kernel's recompute.  Any change
-    to the shared math (masking, dtype casts, softmax) must be applied to
-    ALL FOUR, and test_fused_backward's forward/gradient agreement
-    assertions are the guard that catches drift.
+    Attention context comes from the shared _loop_attn_ctx /
+    _packed_attn_ctx helpers; the only other copy of the attention math
+    is the interleaved recompute in _attn_bwd_kernel, guarded by
+    test_fused_backward's forward/gradient agreement assertions.
 
     With imgs > 1 the qkv / proj / MLP matmuls run over all images' rows at
     once ((imgs*Lp, D) operands feed the MXU with taller tiles) while the
@@ -119,7 +114,6 @@ def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
     lp = rows // imgs
     x = x_ref[:]
     dtype = x.dtype
-    scale = head_dim ** -0.5
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
     key_mask = (key_ids >= valid_len) * _NEG_INF
 
@@ -127,24 +121,8 @@ def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
     qkv = (jax.lax.dot_general(y, qkv_w[:], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
            .astype(dtype) + qkv_b[:])
-    img_ctx = []
-    for g in range(imgs):
-        sl = slice(g * lp, (g + 1) * lp)
-        ctx_heads = []
-        for h in range(num_heads):
-            q = qkv[sl, h * head_dim:(h + 1) * head_dim]
-            k = qkv[sl, d + h * head_dim:d + (h + 1) * head_dim]
-            v = qkv[sl, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-            s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
-                                    k.astype(jnp.float32),
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s + key_mask, axis=-1)
-            ctx_heads.append(jax.lax.dot_general(
-                p.astype(dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-        img_ctx.append(jnp.concatenate(ctx_heads, axis=-1))
-    ctx = jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
+    ctx = _loop_attn_ctx(qkv, d, num_heads, head_dim, key_mask, dtype,
+                         lp, imgs)
     o = (jax.lax.dot_general(ctx, proj_w[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
          .astype(dtype) + proj_b[:])
@@ -201,30 +179,13 @@ def _block_kernel_int8(x_ref, qkv_wq, qkv_ws, qkv_b, proj_wq, proj_ws,
     lp = rows // imgs
     x = x_ref[:]
     dtype = x.dtype
-    scale = head_dim ** -0.5
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
     key_mask = (key_ids >= valid_len) * _NEG_INF
 
     yq, rs = _quant_rows(_layer_norm_f32(x, ln1_s[:], ln1_b[:], eps))
     qkv = _int8_mm(yq, rs, qkv_wq, qkv_ws, qkv_b).astype(dtype)
-    img_ctx = []
-    for g in range(imgs):
-        sl = slice(g * lp, (g + 1) * lp)
-        ctx_heads = []
-        for h in range(num_heads):
-            q = qkv[sl, h * head_dim:(h + 1) * head_dim]
-            k = qkv[sl, d + h * head_dim:d + (h + 1) * head_dim]
-            v = qkv[sl, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-            s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
-                                    k.astype(jnp.float32),
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s + key_mask, axis=-1)
-            ctx_heads.append(jax.lax.dot_general(
-                p.astype(dtype), v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-        img_ctx.append(jnp.concatenate(ctx_heads, axis=-1))
-    ctx = jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
+    ctx = _loop_attn_ctx(qkv, d, num_heads, head_dim, key_mask, dtype,
+                         lp, imgs)
     cq, cs = _quant_rows(ctx.astype(jnp.float32))
     x = x + _int8_mm(cq, cs, proj_wq, proj_ws, proj_b).astype(dtype)
 
@@ -271,10 +232,6 @@ def fused_vit_block_int8(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b,
     fc2_wq, fc2_ws = quantize_weight(fc2_w)
     f32 = jnp.float32
 
-    def const_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
-                            memory_space=pltpu.VMEM)
-
     weights = (qkv_wq, qkv_ws, qkv_b.astype(f32), proj_wq, proj_ws,
                proj_b.astype(f32), fc1_wq, fc1_ws, fc1_b.astype(f32),
                fc2_wq, fc2_ws, fc2_b.astype(f32), ln1_s, ln1_b, ln2_s,
@@ -284,11 +241,9 @@ def fused_vit_block_int8(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b,
                           head_dim=head_dim, valid_len=valid_len, eps=eps,
                           imgs=imgs),
         grid=(groups,),
-        in_specs=[pl.BlockSpec((None, imgs * lp, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)] +
-                 [const_spec(w) for w in weights],
-        out_specs=pl.BlockSpec((None, imgs * lp, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[_img_spec(imgs * lp, d)] +
+                 [_const_spec(w.shape) for w in weights],
+        out_specs=_img_spec(imgs * lp, d),
         out_shape=jax.ShapeDtypeStruct((groups, imgs * lp, d), x.dtype),
         interpret=interpret,
     )(xg, *weights)
@@ -314,10 +269,6 @@ def fused_vit_block(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     groups = b // imgs
     xg = x.reshape(groups, imgs * lp, d)
 
-    def const_spec(arr):
-        return pl.BlockSpec(arr.shape, lambda i: (0,) * arr.ndim,
-                            memory_space=pltpu.VMEM)
-
     weights = (qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b, fc2_w, fc2_b,
                ln1_s, ln1_b, ln2_s, ln2_b)
     out = pl.pallas_call(
@@ -325,11 +276,9 @@ def fused_vit_block(x: jnp.ndarray, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
                           head_dim=head_dim, valid_len=valid_len, eps=eps,
                           imgs=imgs),
         grid=(groups,),
-        in_specs=[pl.BlockSpec((None, imgs * lp, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)] +
-                 [const_spec(w) for w in weights],
-        out_specs=pl.BlockSpec((None, imgs * lp, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
+        in_specs=[_img_spec(imgs * lp, d)] +
+                 [_const_spec(w.shape) for w in weights],
+        out_specs=_img_spec(imgs * lp, d),
         out_shape=jax.ShapeDtypeStruct((groups, imgs * lp, d), x.dtype),
         interpret=interpret,
     )(xg, *weights)
@@ -479,7 +428,6 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     lp = rows // imgs
     x = x_ref[:]
     dtype = x.dtype
-    scale = head_dim ** -0.5
     key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
     key_mask = (key_ids >= valid_len) * _NEG_INF
 
@@ -491,24 +439,8 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
         ctx = _packed_attn_ctx(qkv, d, num_heads, head_dim,
                                _packed_mask(rows, lp, valid_len), dtype)
     else:
-        img_ctx = []
-        for g in range(imgs):
-            sl = slice(g * lp, (g + 1) * lp)
-            ctx_heads = []
-            for h in range(num_heads):
-                q = qkv[sl, h * head_dim:(h + 1) * head_dim]
-                k = qkv[sl, d + h * head_dim:d + (h + 1) * head_dim]
-                v = qkv[sl, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-                s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
-                                        k.astype(jnp.float32),
-                                        (((1,), (1,)), ((), ())),
-                                        preferred_element_type=jnp.float32)
-                p = jax.nn.softmax(s + key_mask, axis=-1)
-                ctx_heads.append(jax.lax.dot_general(
-                    p.astype(dtype), v, (((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32).astype(dtype))
-            img_ctx.append(jnp.concatenate(ctx_heads, axis=-1))
-        ctx = jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
+        ctx = _loop_attn_ctx(qkv, d, num_heads, head_dim, key_mask,
+                             dtype, lp, imgs)
     o = (jax.lax.dot_general(ctx, proj_w[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
          .astype(dtype) + proj_b[:])
@@ -950,30 +882,3 @@ def make_pallas_trainable_fused_block(num_heads: int, valid_len: int,
     block_op.defvjp(fwd, bwd)
     return block_op
 
-
-@functools.partial(jax.jit, static_argnames=("num_heads", "interpret"))
-def fused_mha_short(qkv: jnp.ndarray, num_heads: int,
-                    interpret: bool = False) -> jnp.ndarray:
-    """qkv: (B, L, 3D) packed projection output -> (B, L, D) context.
-
-    Unmasked self-attention (all L positions valid), q scaled by
-    head_dim**-0.5 — the ViT convention (vision_transformer.py:85-89).
-    """
-    b, l, three_d = qkv.shape
-    d = three_d // 3
-    head_dim = d // num_heads
-    lp = l + ((-l) % 128)
-    if lp != l:
-        qkv = jnp.pad(qkv, ((0, 0), (0, lp - l), (0, 0)))
-    out = pl.pallas_call(
-        functools.partial(_mha_kernel, num_heads=num_heads,
-                          head_dim=head_dim, valid_len=l),
-        grid=(b,),
-        in_specs=[pl.BlockSpec((None, lp, three_d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((None, lp, d), lambda i: (i, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((b, lp, d), qkv.dtype),
-        interpret=interpret,
-    )(qkv)
-    return out[:, :l, :]

@@ -111,23 +111,6 @@ def test_encoder_flash_path_matches_vanilla():
                                atol=1e-6)
 
 
-def test_fused_mha_short_matches_reference():
-    from sais_tpu.kernels.fused_mha import fused_mha_short
-    b, l, h, dh = 2, 197, 6, 64
-    d = h * dh
-    qkv = jax.random.normal(jax.random.key(5), (b, l, 3 * d))
-    q, k, v = jnp.split(qkv, 3, -1)
-    q = q.reshape(b, l, h, dh)
-    k = k.reshape(b, l, h, dh)
-    v = v.reshape(b, l, h, dh)
-    s = jnp.einsum("bnhd,bmhd->bhnm", q * dh ** -0.5, k)
-    ref = jnp.einsum("bhnm,bmhd->bnhd", jax.nn.softmax(s, -1),
-                     v).reshape(b, l, d)
-    out = fused_mha_short(qkv, h, interpret=True)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5,
-                               atol=2e-6)
-
-
 def test_trainable_fused_block_forward_and_grad():
     """Pallas-forward / XLA-backward block: forward matches the XLA twin,
     gradients equal the twin's exactly (bwd is its VJP by construction)."""
@@ -168,3 +151,58 @@ def test_trainable_fused_block_forward_and_grad():
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(gw_f), np.asarray(gw_r), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_flash_all_masked_element_is_zero_and_grad_safe():
+    """A batch element with EVERY key masked has no valid softmax; the
+    additive -1e30 bias cancels inside exp(s + bias - lse), so without the
+    wrapper fix the kernels return an unmasked average (forward) and
+    O(L)-magnitude dk/dv (backward).  Contract: zeros out, zero grads in."""
+    key = jax.random.key(11)
+    b, h, l, dh = 3, 2, 256, 64
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (b, h, l, dh))
+               for i in range(3))
+    mask = jnp.zeros((b, l), bool).at[1].set(True)      # element 1: all pad
+    out = flash_attention(q, k, v, mask, interpret=True)
+    np.testing.assert_array_equal(np.asarray(out[1]), 0.0)
+    # valid elements unaffected
+    ref, _ = _ref_attention(q, k, v, mask)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               rtol=2e-5, atol=2e-5)
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, mask, interpret=True)
+        return jnp.sum(o ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for g in (dq, dk, dv):
+        assert np.isfinite(np.asarray(g)).all()
+        np.testing.assert_array_equal(np.asarray(g[1]), 0.0)
+
+
+def test_flash_mixed_dtype_grad():
+    """dk must come back in k's dtype (custom_vjp aval check) even when q
+    and k/v dtypes differ."""
+    key = jax.random.key(12)
+    b, h, l, dh = 1, 2, 128, 64
+    q = jax.random.normal(jax.random.fold_in(key, 0), (b, h, l, dh),
+                          jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (b, h, l, dh))
+    v = jax.random.normal(jax.random.fold_in(key, 2), (b, h, l, dh))
+
+    def loss(q, k, v):
+        o = flash_attention(q, k, v, interpret=True)
+        return jnp.sum(o.astype(jnp.float32) ** 2)
+
+    dq, dk, dv = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    assert dq.dtype == jnp.bfloat16 and dk.dtype == jnp.float32
+    assert np.isfinite(np.asarray(dk)).all()
+
+
+def test_flash_vmem_guard_raises_informative():
+    """Sequences past the ~24k-token VMEM ceiling must fail with an
+    actionable message, not an opaque Mosaic allocation error."""
+    b, h, l, dh = 1, 1, 40_000, 64
+    q = jnp.zeros((b, h, l, dh), jnp.bfloat16)
+    with pytest.raises(ValueError, match="sequence too long"):
+        flash_attention(q, q, q, interpret=False)
