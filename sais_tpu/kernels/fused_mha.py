@@ -830,7 +830,13 @@ def make_pallas_trainable_fused_block(num_heads: int, valid_len: int,
     (B, Lp, 1) per-row residual-branch scales (stochastic-depth masks,
     constant within an image; vision_transformer.py:111-112).  The scales
     are treated as constants by the VJP (zero cotangent) — they are
-    Bernoulli draws, not parameters."""
+    Bernoulli draws, not parameters.
+
+    Gradient-free forwards should use the inference kernels instead
+    (vit_features / fused_vit_block): even outside jax.grad this primal
+    runs the training kernel, which writes the x1 residual to HBM — one
+    wasted (B, Lp, D) store per block (the DINO teacher routes around it
+    via backbone_infer, train/dino.py)."""
 
     @jax.custom_vjp
     def block_op(x, *rest):
