@@ -258,3 +258,25 @@ def test_tail_bucket_padding_matches_unbucketed():
     np.testing.assert_allclose(
         bucketed.window_probs("v", reps, None),
         small.window_probs("v", reps, None), atol=1e-5)
+
+
+def test_tail_bucket_warmth_marked_by_dispatch(monkeypatch):
+    """Real dispatches (e.g. serve warmup's window_probs calls) must mark
+    their bucket shapes warm so long videos start using them."""
+    cfg = tiny_cfg()
+    params = full_model_init(jax.random.key(41), cfg.model)
+    _, protos = prototypes_init(jax.random.key(42), 2)
+    monkeypatch.setattr(GestureDecoder, "TAIL_BUCKETS", (2, 4))
+    dec = GestureDecoder([(params, protos)], cfg, device_batch=8)
+    rng = np.random.default_rng(5)
+
+    # short video (3 windows) -> bucketed chunk of 4 -> marked warm
+    dec.window_probs("v", rng.normal(size=(50, DIM)).astype(np.float32),
+                     None)
+    warm_sizes = {b for b, _ in dec._warm_buckets}
+    assert 4 in warm_sizes, dec._warm_buckets
+    key = next(k for b, k in dec._warm_buckets if b == 4)
+    # long video (11 windows = 8 + tail 3): the warm bucket is now chosen
+    assert dec._chunk_batch(3, 11, key) == 4
+    # a cold bucket size on a long video still defers to device_batch
+    assert dec._chunk_batch(1, 11, key) == 8
