@@ -646,7 +646,6 @@ def cmd_pretrain(args):
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from sais_tpu.config import ViTConfig
     from sais_tpu.io.video import VideoReader
     from sais_tpu.ops.augment import multi_crop_batch
     from sais_tpu.train.checkpoint import CheckpointManager
@@ -702,7 +701,9 @@ def cmd_pretrain(args):
         from sais_tpu.config import MeshConfig
         from sais_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(MeshConfig())
-    trainer = DINOTrainer(ViTConfig(), dcfg, niter_per_ep=niter,
+    from sais_tpu.models import zoo
+    vit_cfg = zoo.config(args.arch)
+    trainer = DINOTrainer(vit_cfg, dcfg, niter_per_ep=niter,
                           key=jax.random.key(0), optimizer=args.optimizer,
                           mesh=mesh)
     outdir = os.path.join(args.path, "pretrain")
@@ -1080,6 +1081,11 @@ def build_parser():
                         help="extra right-hand pixel trim after the border "
                              "crop (VUA_Lab/AFB timer overlay: 130, "
                              "main_dino.py:306-308)")
+        sp.add_argument("--arch", default="vits16",
+                        help="pretrain backbone geometry (main_dino.py "
+                             "--arch/--patch_size via the zoo names: "
+                             "vits16/vits8/vitb16/vitb8 or their dino_* "
+                             "hubconf aliases; SAIS's recipe is vits16)")
         sp.add_argument("--optimizer", default="adamw",
                         choices=["adamw", "sgd", "lars"])
         sp.add_argument("--drop-path", type=float, default=0.1,

@@ -112,3 +112,44 @@ def test_training_fraction_gating(tmp_path):
         _main(["train", "-p", root, "--segments", csv,
                "--dataset", "vua-ease", "--random-init", "-tf", "0.5",
                "-e", "1", "--nfolds", "1", "--dtype", "float32"])
+
+
+def test_cli_pretrain_e2e_and_resume(tmp_path, monkeypatch, capsys):
+    """`sais pretrain` end to end on CPU: video glob -> border crop ->
+    device multi-crop -> DINO steps -> checkpoint + JSONL log; a second
+    invocation resumes from the saved epoch instead of restarting.
+    Backbone geometry comes from --arch via the zoo (monkeypatched to a
+    patch-32 depth-1 ViT so the 224/96 reference crops stay cheap)."""
+    import cv2
+    import jax
+
+    from sais_tpu.config import ViTConfig
+    from sais_tpu.models import zoo
+
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "videos"))
+    path = os.path.join(root, "videos", "vidP.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30, (80, 64))
+    rng = np.random.default_rng(3)
+    for _ in range(24):
+        w.write(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8))
+    w.release()
+
+    tiny = ViTConfig(image_size=224, patch_size=32, embed_dim=32, depth=1,
+                     num_heads=2)
+    monkeypatch.setitem(zoo.CONFIGS, "vits16", tiny)
+    args = ["pretrain", "-p", root, "-bs", "8", "-e", "1",
+            "--out-dim", "32", "--local-crops", "2", "--drop-path", "0.1"]
+    _main(args)
+    out = os.path.join(root, "pretrain")
+    assert os.path.exists(os.path.join(out, "log.txt"))
+    with open(os.path.join(out, "log.txt")) as f:
+        lines = f.read().strip().splitlines()
+    assert len(lines) == 1  # one epoch record
+    ckpts = os.listdir(os.path.join(out, "ckpt"))
+    assert ckpts, "no checkpoint written"
+
+    capsys.readouterr()
+    _main(["pretrain", "-p", root, "-bs", "8", "-e", "2",
+           "--out-dim", "32", "--local-crops", "2"])
+    assert "resumed from epoch 1" in capsys.readouterr().out
