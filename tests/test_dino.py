@@ -92,6 +92,25 @@ def test_dino_loss_parity_and_center():
                                rtol=1e-5, atol=1e-7)
 
 
+def test_dino_loss_regrouping_fuzz():
+    """The 3-pass algebraic form == the reference double loop across crop
+    configurations (1-3 teacher views, 2-10 student crops, incl. the
+    degenerate single-global case)."""
+    gen = torch.Generator().manual_seed(7)
+    for ng, ncrops in [(1, 2), (2, 2), (2, 10), (3, 5)]:
+        b, k = 5, 33
+        s_out = [torch.randn(b, k, generator=gen) for _ in range(ncrops)]
+        t_out = [torch.randn(b, k, generator=gen) for _ in range(ng)]
+        center = 0.05 * torch.randn(k, generator=gen)
+        golden = _golden_dino_loss(s_out, t_out, center, 0.07)
+        ours, _ = dino_loss(
+            [jnp.asarray(s.numpy()) for s in s_out],
+            [jnp.asarray(t.numpy()) for t in t_out],
+            jnp.asarray(center.numpy()), jnp.float32(0.07))
+        np.testing.assert_allclose(float(ours), float(golden), rtol=2e-5,
+                                   err_msg=f"ng={ng} ncrops={ncrops}")
+
+
 def test_cosine_scheduler_matches_reference_formula():
     # literal utils.cosine_scheduler (dino-main/utils.py:187-199)
     base, final, epochs, nit, warm = 0.5, 0.01, 4, 10, 1
