@@ -47,10 +47,15 @@ def dino_head_forward(params: Params, x: jnp.ndarray,
 def dino_head_init(key: jax.Array, in_dim: int, out_dim: int,
                    hidden: int = 2048, bottleneck: int = 256) -> Params:
     """trunc-normal(0.02) weights, zero bias, g=1 (reference init)."""
+    from sais_tpu.models.vit import _trunc_normal
+
     k1, k2, k3, k4 = jax.random.split(key, 4)
 
     def tn(k, fi, fo):
-        return 0.02 * jax.random.truncated_normal(k, -2, 2, (fi, fo))
+        # the reference trunc_normal_ bounds a=-2, b=2 are ABSOLUTE
+        # (+/-100 sigma at std 0.02, effectively untruncated); truncating
+        # at +/-2 SIGMA would shrink the effective std by ~12%
+        return _trunc_normal(k, (fi, fo))
 
     return {
         "mlp": [

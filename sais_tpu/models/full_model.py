@@ -151,6 +151,13 @@ def prototypes_forward(params: Params, cfg: ModelConfig,
             attn, full_seq = tf.attn, tf.full_seq
 
     act = jax.nn.relu(pooled)
+    if primary_domain is not None and "linearB" not in params:
+        # params/config mismatch: routing secondary-domain rows through
+        # the primary head would silently produce wrong video reps
+        raise ValueError(
+            "primary_domain given but params have no 'linearB' head — "
+            "these params were initialized without multi_task "
+            "(prepare_model.py:47-50 linearB)")
     if primary_domain is not None and "linearB" in params:
         rep_a = _linear(act, params["linear"])
         rep_b = _linear(act, params["linearB"])

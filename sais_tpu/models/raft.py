@@ -504,6 +504,14 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
     in pixels (x, y).
     """
     iters = cfg.iters if iters is None else iters
+    if cfg.small:
+        # raft-small (3 corr levels, 96-d features, SmallUpdateBlock) is a
+        # different architecture; silently running the big one would
+        # produce garbage against a small checkpoint
+        raise NotImplementedError(
+            "RAFTConfig.small is not implemented — only the 'things' "
+            "(large) architecture is; the SAIS reference uses only "
+            "raft-things (extract_representations.py:267)")
     if iters < 1:
         # 0 iterations would return the convex upsampling of a zero flow
         # field — garbage with no error (the golden oracle asserts this
@@ -522,7 +530,9 @@ def raft_forward(params: Params, image1: jnp.ndarray, image2: jnp.ndarray,
         pyramid = [c.astype(jnp.bfloat16) for c in pyramid]
 
     cnet = basic_encoder(x1, params["cnet"], "batch")
-    net, inp = jnp.split(cnet, 2, axis=-1)
+    # split at hidden_dim, not in half: hidden_dim and context_dim are
+    # independent knobs (torch: torch.split(cnet, [hdim, cdim], dim=1))
+    net, inp = jnp.split(cnet, [cfg.hidden_dim], axis=-1)
     net = jnp.tanh(net).astype(jnp.float32)
     inp = jax.nn.relu(inp).astype(jnp.float32)
 
@@ -678,17 +688,20 @@ def raft_init(key: jax.Array, cfg: RAFTConfig = RAFTConfig()) -> Params:
                 "convf2": conv(128, 64, 3),
                 "conv": conv(256, 126, 3),
             },
+            # GRU gate input = hidden state (hdim) + context (cdim) +
+            # motion features (126 + 2); gate width = hdim (torch
+            # BasicUpdateBlock: SepConvGRU(hdim, input_dim=cdim+128))
             "gru": {
-                "convz1": conv_rect(256 + 128, 128, 1, 5),
-                "convr1": conv_rect(256 + 128, 128, 1, 5),
-                "convq1": conv_rect(256 + 128, 128, 1, 5),
-                "convz2": conv_rect(256 + 128, 128, 5, 1),
-                "convr2": conv_rect(256 + 128, 128, 5, 1),
-                "convq2": conv_rect(256 + 128, 128, 5, 1),
+                "convz1": conv_rect(cfg.hidden_dim + cfg.context_dim + 128, cfg.hidden_dim, 1, 5),
+                "convr1": conv_rect(cfg.hidden_dim + cfg.context_dim + 128, cfg.hidden_dim, 1, 5),
+                "convq1": conv_rect(cfg.hidden_dim + cfg.context_dim + 128, cfg.hidden_dim, 1, 5),
+                "convz2": conv_rect(cfg.hidden_dim + cfg.context_dim + 128, cfg.hidden_dim, 5, 1),
+                "convr2": conv_rect(cfg.hidden_dim + cfg.context_dim + 128, cfg.hidden_dim, 5, 1),
+                "convq2": conv_rect(cfg.hidden_dim + cfg.context_dim + 128, cfg.hidden_dim, 5, 1),
             },
-            "flow_head": {"conv1": conv(128, 256, 3),
+            "flow_head": {"conv1": conv(cfg.hidden_dim, 256, 3),
                           "conv2": conv(256, 2, 3)},
-            "mask0": conv(128, 256, 3),
+            "mask0": conv(cfg.hidden_dim, 256, 3),
             "mask2": conv(256, 64 * 9, 1),
         },
     }

@@ -319,10 +319,14 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
         block_op = maker(cfg.num_heads, l, cfg.layernorm_eps,
                          interpret=interpret)
     depth = len(params["blocks"])
+    zero_b = jnp.zeros((3 * d,), x.dtype)   # qkv_bias=False -> zero bias
     if use_drop:
         dpr = [drop_path_rate * i / max(depth - 1, 1) for i in range(depth)]
         rngs = jax.random.split(rng, 2 * depth)
-    for i, p in enumerate(params["blocks"]):
+    for i, blk in enumerate(params["blocks"]):
+        p = dict(blk, attn=(blk["attn"] if blk["attn"].get("qkv_b")
+                            is not None
+                            else dict(blk["attn"], qkv_b=zero_b)))
         if use_drop:
             keep1 = 1.0 - dpr[i]
             keep2 = 1.0 - dpr[i]

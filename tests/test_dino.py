@@ -238,3 +238,13 @@ def test_dino_trainer_drop_path():
     a, b = run(), run()
     assert all(np.isfinite(a))
     assert a == b    # same step_idx -> same drop mask -> same loss
+
+
+def test_dino_head_init_effective_std():
+    """trunc_normal_(std=.02, a=-2, b=2) bounds are ABSOLUTE (+/-100
+    sigma — effectively untruncated); truncating at +/-2 SIGMA would
+    shrink the realized std ~12% (0.0176) and diverge from the reference
+    init scheme."""
+    p = dino_head_init(jax.random.key(0), 384, 4096)
+    std = float(jnp.std(p["last_v"]))
+    assert abs(std - 0.02) < 0.0005, std

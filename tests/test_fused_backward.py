@@ -252,3 +252,22 @@ def test_drop_path_realized_probability_matches_schedule():
     assert abs(rate - prob) < 5e-4, rate       # bf16 draw is ~1.4e-3 off
     # survivor scale is exactly 1/keep at f32, not bf16(1/keep)
     np.testing.assert_allclose(np.unique(s), [0.0, 1.0 / keep], rtol=1e-6)
+
+
+def test_vit_trainable_fused_no_qkv_bias():
+    """qkv_bias=False stores qkv_b=None; the trainable fused path must
+    substitute a zero bias like the inference path does, not crash."""
+    from sais_tpu.models.vit import (ViTConfig, vit_features, vit_init,
+                                     vit_features_trainable_fused)
+    cfg = ViTConfig(image_size=32, patch_size=16, embed_dim=64, depth=2,
+                    num_heads=2, qkv_bias=False)
+    params = vit_init(jax.random.key(33), cfg)
+    imgs = jax.random.normal(jax.random.key(34), (4, 32, 32, 3))
+    fused = vit_features_trainable_fused(params, imgs, cfg, interpret=True)
+    dense = vit_features(params, imgs, cfg, compute_dtype=jnp.bfloat16)
+    np.testing.assert_allclose(np.asarray(fused), np.asarray(dense),
+                               atol=0.06)
+    g = jax.grad(lambda p: jnp.sum(vit_features_trainable_fused(
+        p, imgs, cfg, interpret=True) ** 2))(params)
+    assert all(np.isfinite(np.asarray(x, np.float32)).all()
+               for x in jax.tree.leaves(g))

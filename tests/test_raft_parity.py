@@ -60,3 +60,23 @@ def test_raft_init_and_padding():
     assert np.isfinite(np.asarray(flow)).all()
     # identical frames with random weights: flow should stay small/finite
     assert np.abs(np.asarray(flow)).max() < 100
+
+
+def test_raft_config_dims_respected():
+    """hidden_dim/context_dim are independent knobs: the context split is
+    at hidden_dim (torch: torch.split(cnet, [hdim, cdim], dim=1)) and the
+    GRU gates size hdim + cdim + 128 -> hdim.  RAFT-small is a different
+    architecture and must refuse loudly."""
+    import pytest
+
+    from sais_tpu.config import RAFTConfig
+    from sais_tpu.models.raft import raft_forward, raft_init
+
+    cfg = RAFTConfig(hidden_dim=96, context_dim=160)
+    p = raft_init(jax.random.key(0), cfg)
+    i1 = jnp.zeros((1, 32, 40, 3), jnp.uint8)
+    f = raft_forward(p, i1, i1, cfg, iters=2)
+    assert f.shape == (1, 32, 40, 2)
+    assert np.isfinite(np.asarray(f)).all()
+    with pytest.raises(NotImplementedError, match="small"):
+        raft_forward(p, i1, i1, RAFTConfig(small=True))

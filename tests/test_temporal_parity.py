@@ -227,3 +227,19 @@ def test_no_self_attention_mean_pool_path():
         params["linear"]["b"])
     np.testing.assert_allclose(np.asarray(out.video_rep), expect, rtol=1e-5,
                                atol=1e-6)
+
+
+def test_prototypes_forward_multitask_params_mismatch_raises():
+    """primary_domain against params initialized without multi_task must
+    raise instead of silently routing every row through the primary head."""
+    import jax
+    import pytest
+
+    cfg = _cfg(modalities="RGB")
+    params = full_model_init(jax.random.key(5), cfg)
+    params.pop("linearB", None)
+    rgb = jnp.zeros((2, 3, 4, cfg.rep_dim))
+    mask = jnp.zeros((2, 3, 5), bool)
+    with pytest.raises(ValueError, match="linearB"):
+        prototypes_forward(params, cfg, rgb, mask, None, None,
+                           primary_domain=jnp.array([True, False]))
