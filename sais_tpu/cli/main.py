@@ -315,8 +315,12 @@ def cmd_assess(args):
             flow = fs.read_video(args.videoname)
     for fold, (params, protos) in enumerate(folds):
         assessor = SkillAssessor(params, protos, cfg)
-        art = assessor.assess_segments(rgb, flow, rows,
-                                       flow_jump=cfg.window.flow_jump_factor)
+        art = assessor.assess_segments(
+            rgb, flow, rows, phase=args.phase, videoname=args.videoname,
+            # reference flow-jump selection per phase unless the user
+            # explicitly overrode the stride
+            flow_jump=(cfg.window.flow_jump_factor if args.flow_jump
+                       else None))
         savepath = os.path.join(args.path, "params", f"Fold_{fold}")
         save_inference_artifacts(
             savepath, args.phase,
@@ -602,7 +606,8 @@ def cmd_train(args):
                     rows, rgb_store, flow_store, classes_,
                     "NH_vs_ND_vs_NW", phase, args.batch_size, shuffle,
                     tta=tta, seed=epoch,
-                    label_fn=lambda row: classes_.index(row["EASE"]))
+                    label_fn=lambda row: classes_.index(row["EASE"]),
+                    branch="stitch")
             return lambda epoch=0: segment_batches(
                 rows, rgb_store, flow_store, ds.classes, cfg.window,
                 args.batch_size, shuffle, seed=epoch, use_flow=use_flow,

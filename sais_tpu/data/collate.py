@@ -31,7 +31,9 @@ def collate_segments(rows: pd.DataFrame, rgb_store, flow_store,
                      label_to_col: Dict[str, int], wcfg: WindowConfig,
                      buckets: Sequence[int] = (16, 32, 64, 128),
                      tta_offset: int = 0,
-                     use_flow: bool = True) -> Dict[str, np.ndarray]:
+                     use_flow: bool = True,
+                     fixed_stride=None, cap=None,
+                     label_fn=None) -> Dict[str, np.ndarray]:
     """Build one training batch from segment rows.
 
     rows: DataFrame with Video/StartFrame/EndFrame/Gesture columns;
@@ -46,7 +48,8 @@ def collate_segments(rows: pd.DataFrame, rgb_store, flow_store,
     for _, row in rows.iterrows():
         reps = rgb_store.read_video(row["Video"])
         idx = segment_frame_indices(int(row["StartFrame"]),
-                                    int(row["EndFrame"]), wcfg, tta_offset)
+                                    int(row["EndFrame"]), wcfg, tta_offset,
+                                    fixed_stride=fixed_stride, cap=cap)
         rgb_list.append(reps[idx])
         rgb_lens.append(len(idx))
         if use_flow and flow_store is not None:
@@ -54,7 +57,8 @@ def collate_segments(rows: pd.DataFrame, rgb_store, flow_store,
             fidx, fvalid = flow_indices_for(idx[None], len(freps), wcfg)
             flow_list.append(freps[fidx[0]] * fvalid[0][:, None])
             flow_valid.append(fvalid[0])
-        cols.append(label_to_col[row["Gesture"]])
+        cols.append(label_fn(row) if label_fn is not None
+                    else label_to_col[row["Gesture"]])
 
     b = len(rgb_list)
     d = rgb_list[0].shape[1]
@@ -88,7 +92,9 @@ def collate_segments(rows: pd.DataFrame, rgb_store, flow_store,
 def segment_batches(dataset_rows: pd.DataFrame, rgb_store, flow_store,
                     classes: Sequence[str], wcfg: WindowConfig,
                     batch_size: int, shuffle: bool, seed: int = 0,
-                    use_flow: bool = True, tta: bool = False):
+                    use_flow: bool = True, tta: bool = False,
+                    fixed_stride=None, cap=None, label_fn=None,
+                    buckets: Sequence[int] = (16, 32, 64, 128)):
     """Yield collated batches over a phase's segment table.
 
     tta=True (val/test phases) attaches the reference's 3-way TTA variants
@@ -106,7 +112,8 @@ def segment_batches(dataset_rows: pd.DataFrame, rgb_store, flow_store,
         variants = [
             collate_segments(dataset_rows.iloc[idx], rgb_c, flow_c,
                              label_to_col, wcfg, tta_offset=off,
-                             use_flow=use_flow)
+                             use_flow=use_flow, fixed_stride=fixed_stride,
+                             cap=cap, label_fn=label_fn, buckets=buckets)
             for off in offsets
         ]
         out = dict(variants[0])

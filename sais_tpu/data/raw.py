@@ -132,7 +132,14 @@ def collate_raw(rows: pd.DataFrame, frame_source, classes: Sequence[int],
         frames = frame_source(str(row["Video"]), idx, "RGB")
         snippets.append(process_snippet(frames, width, mean, std))
         if use_flow:
-            jump = int(fps_table.get(str(row["Video"]), 30.0) // 2)
+            if str(row["Video"]) not in fps_table:
+                # the reference's fps_dict['VUA'][videoname] raises for
+                # unknown videos too — a silent 30 fps default would load
+                # flows from the wrong timestamps with no error
+                raise KeyError(
+                    f"video {row['Video']!r} not in the VUA fps table "
+                    "(config.VUA_FPS_TABLE); pass fps_table or extend it")
+            jump = int(fps_table[str(row["Video"])] // 2)
             fidx = idx // jump  # no unique() in the raw path (:1975)
             flows.append(process_snippet(
                 frame_source(str(row["Video"]), fidx, "Flow"), width, mean,

@@ -531,6 +531,37 @@ def single_group(df: pd.DataFrame, meta_df: pd.DataFrame, group: str,
     return df[df[group] == group_val]
 
 
+class DomainKeyedStore:
+    """read_video dispatch over per-domain stores (the reference opens one
+    h5 per domain for NS_vs_VUA, hf_rgb[domain], prepare_dataset.py:2439).
+    rows must carry unique video names across domains."""
+
+    def __init__(self, stores: Dict[str, object],
+                 video_to_domain: Dict[str, str]):
+        self.stores = stores
+        self.video_to_domain = video_to_domain
+
+    def read_video(self, name: str):
+        return self.stores[self.video_to_domain[str(name)]].read_video(name)
+
+
+def ns_vs_vua_batches(phase_rows: pd.DataFrame, rgb_store, flow_store,
+                      wcfg, batch_size: int, shuffle: bool, seed: int = 0,
+                      tta: bool = False, use_flow: bool = False):
+    """Collated NS_vs_VUA batches: fixed stride 10, 2000-frame cap, label
+    0=NS / 1=VUA (prepare_dataset.py:2405-2438).  rgb_store may be a
+    DomainKeyedStore wrapping the two per-domain feature stores."""
+    from sais_tpu.data.collate import segment_batches
+
+    return segment_batches(
+        phase_rows, rgb_store, flow_store, classes=["NS", "VUA"], wcfg=wcfg,
+        batch_size=batch_size, shuffle=shuffle, seed=seed,
+        use_flow=use_flow, tta=tta, fixed_stride=10, cap=2000,
+        label_fn=lambda row: 0 if row["Domain"] == "NS" else 1,
+        # segments run up to the 2000-cap — far past the skill buckets
+        buckets=(16, 32, 64, 128, 256, 512, 1024, 2000))
+
+
 def frame_cap(indices: np.ndarray, cap: int = 2000) -> np.ndarray:
     """The reference hard-caps sequences at 2000 frames
     (prepare_dataset.py:2437), matching the learned pos-embedding table."""

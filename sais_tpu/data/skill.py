@@ -31,7 +31,10 @@ import pandas as pd
 
 from sais_tpu.config import VUA_FPS_TABLE
 from sais_tpu.data.datasets import balance_classes
-from sais_tpu.data.tasks import RACE_POLICIES, policy_indices, race_window
+from sais_tpu.data.tasks import (AFB_HANDLING_POLICY, RACE_POLICIES,
+                                 STITCH_INFERENCE_POLICIES,
+                                 STITCH_TRAIN_POLICIES, STITCH_USC_POLICY,
+                                 policy_indices, race_window)
 
 # RACE abbreviation -> (RACE annotation name, EASE metric) pairing
 # (RaceAndEaseFilter, prepare_dataset.py:168-182)
@@ -267,27 +270,75 @@ def encode_skill_label(maj: int, row_domain: str, domain: str,
 # Collation (getData VUA_EASE branch, prepare_dataset.py:2150-2290)
 # ---------------------------------------------------------------------------
 
-def skill_segment_indices(row, phase: str, tta_offset: int = 0) -> np.ndarray:
+def _skill_policy(race: str, phase: str, branch: str = "ease"):
+    """Sampling policy for one segment.
+
+    branch='ease' (VUA_EASE skill, prepare_dataset.py:2173-2214): the RACE
+    windows, with the AFB_inference Needle-Handling stride-120 low-pass
+    (:2184-2188).  branch='stitch' (VUA_EASE_Stitch sub-phase,
+    :2307-2355): DIFFERENT windows — NW samples around the withdrawal
+    START, NH trims a fixed 20 frames in train/val/test, inference drops
+    nothing, USC_inference is a plain full-span stride-10 grid."""
+    if branch == "stitch":
+        if phase == "USC_inference":
+            return STITCH_USC_POLICY
+        if "inference" in phase:
+            return STITCH_INFERENCE_POLICIES[race]
+        return STITCH_TRAIN_POLICIES[race]
+    if phase == "AFB_inference" and race == "Needle Handling":
+        return AFB_HANDLING_POLICY
+    return RACE_POLICIES[race]
+
+
+def skill_segment_indices(row, phase: str, tta_offset: int = 0,
+                          branch: str = "ease") -> np.ndarray:
     """Rep-space sampling indices for one stitch segment."""
     race = row["RACE"]
     cols = RACE_FRAME_COLUMNS[race]
     s, e = race_window(int(row[cols[0]]), int(row[cols[1]]), race)
-    return policy_indices(s, e, RACE_POLICIES[race], tta_offset)
+    return policy_indices(s, e, _skill_policy(race, phase, branch),
+                          tta_offset)
+
+
+_STALE_JUMP_PHASES = ("COH_inference", "Gronau_full_inference",
+                      "USC_inference")
 
 
 def _flow_jump(videoname: str,
                fps_table: Mapping[str, float] = VUA_FPS_TABLE,
-               phase: str = "") -> int:
-    """Flow jump factor (prepare_dataset.py:2240-2245): fixed 15 for
+               phase: str = "",
+               rgb_stride: Optional[int] = None) -> int:
+    """Flow jump factor (prepare_dataset.py:2239-2249): fixed 15 for
     Gronau inference, fixed 30 for Lab/AFB, HMH per-video fps // 2
-    (HMH_FPS_TABLE = extract_representations.py:437-463), otherwise the
-    VUA per-video table (fps_dict, prepare_dataset.py:24-26)."""
+    (HMH_FPS_TABLE = extract_representations.py:437-463); for inference
+    phases with NO branch (COH / Gronau_full / USC) the reference's
+    jump_size variable keeps its STALE RGB-sampling value — a quirk, but
+    the flow stores were generated to match it — so the row's RGB stride
+    is reused; otherwise the VUA per-video table (fps_dict,
+    prepare_dataset.py:24-26), which raises KeyError for unknown videos
+    exactly like the reference's fps_dict['VUA'][videoname]."""
     from sais_tpu.config import FLOW_JUMP_BY_PHASE, HMH_FPS_TABLE
     if phase in FLOW_JUMP_BY_PHASE:
         return FLOW_JUMP_BY_PHASE[phase]
     if "HMH" in phase:
-        return int(HMH_FPS_TABLE.get(str(videoname), 30.0) // 2)
-    return int(fps_table.get(str(videoname), 30.0) // 2)
+        if str(videoname) not in HMH_FPS_TABLE:
+            raise KeyError(
+                f"video {videoname!r} not in HMH_FPS_TABLE (config.py) — "
+                "the reference fails the same way; add the video's fps")
+        return int(HMH_FPS_TABLE[str(videoname)] // 2)
+    if phase in _STALE_JUMP_PHASES or ("inference" in phase
+                                       and rgb_stride is not None):
+        if rgb_stride is None:
+            raise ValueError(f"phase {phase!r} reuses the RGB stride as "
+                             "the flow jump; pass rgb_stride")
+        return max(int(rgb_stride), 1)
+    if str(videoname) not in fps_table:
+        raise KeyError(
+            f"video {videoname!r} not in the VUA fps table "
+            "(config.VUA_FPS_TABLE) — the reference's "
+            "fps_dict['VUA'][videoname] fails the same way; pass an "
+            "explicit fps_table or extend the config table")
+    return int(fps_table[str(videoname)] // 2)
 
 
 def collate_skill(rows: pd.DataFrame, rgb_store, flow_store,
@@ -296,7 +347,8 @@ def collate_skill(rows: pd.DataFrame, rgb_store, flow_store,
                   buckets: Sequence[int] = (16, 32, 64, 128),
                   tta_offset: int = 0,
                   fps_table: Mapping[str, float] = VUA_FPS_TABLE,
-                  label_fn=None) -> Dict[str, np.ndarray]:
+                  label_fn=None, branch: str = "ease"
+                  ) -> Dict[str, np.ndarray]:
     """One static-shaped batch for PrototypeTrainer from stitch rows.
 
     Includes per-frame importance targets + ipad mask for `-il` training
@@ -309,7 +361,7 @@ def collate_skill(rows: pd.DataFrame, rgb_store, flow_store,
 
     rgb_list, imp_list, cols, flow_list = [], [], [], []
     for _, row in rows.iterrows():
-        idx = skill_segment_indices(row, phase, tta_offset)
+        idx = skill_segment_indices(row, phase, tta_offset, branch)
         reps = rgb_store.read_video(str(row["Video"]))
         rgb_list.append(reps[idx])
         # label_fn overrides the maj-score encoding (e.g. the stitch
@@ -325,7 +377,9 @@ def collate_skill(rows: pd.DataFrame, rgb_store, flow_store,
         else:
             imp_list.append(np.zeros((len(idx),), np.float32))
         if flow_store is not None:
-            jump = _flow_jump(row["Video"], fps_table, phase)
+            stride = int(idx[1] - idx[0]) if len(idx) > 1 else 1
+            jump = _flow_jump(row["Video"], fps_table, phase,
+                              rgb_stride=stride)
             fidx = np.unique(idx // jump)
             flow_list.append(flow_store.read_video(str(row["Video"]))[fidx])
 
@@ -374,7 +428,7 @@ def skill_batches(phase_rows: pd.DataFrame, rgb_store, flow_store,
                   importance_loss: bool = False, seed: int = 0,
                   tta: bool = False,
                   fps_table: Mapping[str, float] = VUA_FPS_TABLE,
-                  label_fn=None):
+                  label_fn=None, branch: str = "ease"):
     """Yield skill batches; with tta=True each yield carries the 3 TTA
     variants (dict-of-3 semantics of pad_collate,
     prepare_dataset.py:2808-2935) under a 'tta' key."""
@@ -389,7 +443,8 @@ def skill_batches(phase_rows: pd.DataFrame, rgb_store, flow_store,
         variants = [
             collate_skill(rows, rgb_c, flow_c, classes, domain,
                           phase, importance_loss, tta_offset=off,
-                          fps_table=fps_table, label_fn=label_fn)
+                          fps_table=fps_table, label_fn=label_fn,
+                          branch=branch)
             for off in offsets
         ]
         out = dict(variants[0])

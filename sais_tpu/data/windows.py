@@ -138,12 +138,17 @@ def build_tta_batches(video_reps: np.ndarray, flow_reps: np.ndarray,
 
 def segment_frame_indices(start_frame: int, end_frame: int,
                           cfg: WindowConfig, tta_offset: int = 0,
-                          raw: bool = False) -> np.ndarray:
+                          raw: bool = False,
+                          fixed_stride: "int | None" = None,
+                          cap: "int | None" = None) -> np.ndarray:
     """Indices for one labeled segment (train-time path).
 
     The reps path subtracts 1 from both ends (prepare_dataset.py:2642-2643);
     the raw path does not (prepare_dataset.py:1822) — `raw` selects that.
-    """
+    fixed_stride / cap override the span-divided stride (NS_vs_VUA:
+    jump_size=10 and indices[:2000], prepare_dataset.py:2424-2438)."""
     s, e = (start_frame, end_frame) if raw else (start_frame - 1, end_frame - 1)
-    stride = max((e - s) // cfg.stride_divisor, 1)
-    return np.arange(s + tta_offset, e, stride)
+    stride = (fixed_stride if fixed_stride is not None
+              else max((e - s) // cfg.stride_divisor, 1))
+    idx = np.arange(s + tta_offset, e, stride)
+    return idx[:cap] if cap else idx

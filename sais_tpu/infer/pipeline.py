@@ -156,6 +156,12 @@ class FeatureExtractor:
         if not os.path.exists(video_path):
             raise FileNotFoundError(video_path)
         if self.use_native_decode:
+            # only pump CONSTRUCTION falls back (native lib unavailable /
+            # container unopenable); a mid-stream decode failure must
+            # propagate like the python path's producer_error — silently
+            # re-decoding a corrupt video with OpenCV could return
+            # truncated features and quietly shorter gesture CSVs
+            pump = None
             try:
                 from sais_tpu.io.native_loader import NativeFramePump
                 pump = NativeFramePump(
@@ -163,11 +169,12 @@ class FeatureExtractor:
                     crop_h_frac=self.cfg.preprocess.crop_height_frac,
                     crop_w_frac=self.cfg.preprocess.crop_width_frac,
                     queue_cap=4 * self.batch_size)
+            except RuntimeError:
+                pass  # python decode path below
+            if pump is not None:
                 with pump:
                     return self._drain(pump.batches(self.batch_size),
                                        self._fn_pre)
-            except RuntimeError:
-                pass  # native lib unavailable: python decode path below
 
         q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=prefetch)
         producer_error: List[BaseException] = []
@@ -583,7 +590,9 @@ class GestureDecoder:
     def _run_batch(self, params, protos, tta: TTABatch) -> np.ndarray:
         """Chunked, padded execution of one TTA variant -> (W, P) probs."""
         w = tta.rgb.shape[0]
-        fpw = tta.rgb.shape[1]
+        # compile-shape key: frames-per-window of BOTH streams (shape[1]
+        # is the snippet dim, always 1)
+        fpw = (tta.rgb.shape[2], tta.flow.shape[2])
         bs = self.device_batch
         pending: List[Tuple[jax.Array, int]] = []
         for i in range(0, w, bs):
@@ -683,7 +692,7 @@ class GestureDecoder:
         attention = None
         for ti, tta in enumerate(tta_batches):
             w = tta.rgb.shape[0]
-            fpw = tta.rgb.shape[1]
+            fpw = (tta.rgb.shape[2], tta.flow.shape[2])
             bs = self.device_batch
             out_reps, out_probs, out_attn = [], [], []
             for i in range(0, w, bs):

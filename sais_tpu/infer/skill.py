@@ -24,6 +24,7 @@ from sais_tpu.data.tasks import (RACE_POLICIES, SamplingPolicy,
                                  policy_indices, race_window,
                                  step_window_manifest)
 from sais_tpu.data.windows import build_tta_batches, flow_indices_for
+from sais_tpu.config import VUA_FPS_TABLE
 from sais_tpu.models.full_model import prototypes_forward
 from sais_tpu.models.heads import prototype_probs
 
@@ -62,14 +63,27 @@ class SkillAssessor:
 
     def assess_segments(self, rgb_reps: np.ndarray,
                         flow_reps: Optional[np.ndarray],
-                        segments: pd.DataFrame,
-                        flow_jump: int = 15) -> Dict[str, List]:
-        """segments: DataFrame with StartFrame/EndFrame/RACE columns.
+                        segments: pd.DataFrame, phase: str = "",
+                        videoname: str = "",
+                        flow_jump: Optional[int] = None,
+                        fps_table=VUA_FPS_TABLE) -> Dict[str, List]:
+        """segments: DataFrame with RACE + the per-RACE frame columns
+        (preferred — reference-exact windows/strides via
+        data.skill.skill_segment_indices, incl. the AFB_inference
+        Needle-Handling stride-120 low-pass) or StartFrame/EndFrame.
+
+        phase selects the sampling policy AND the flow jump
+        (prepare_dataset.py:2239-2249 — fixed tables for Gronau/HMH/Lab/
+        AFB, the row's RGB stride for the no-branch phases, the VUA fps
+        table otherwise); an explicit flow_jump overrides.
 
         Returns per-TTA reps/probs plus per-segment attention rows and
         importance scores (trimmed to real frames, matching
         perform_training.py:177-185's CLS-drop and length trim).
         """
+        from sais_tpu.data.skill import (RACE_FRAME_COLUMNS, _flow_jump,
+                                         _skill_policy,
+                                         skill_segment_indices)
         mcfg = self.cfg.model
         if flow_reps is None and "Flow" in mcfg.modalities:
             raise ValueError(
@@ -79,11 +93,17 @@ class SkillAssessor:
         out = {"reps": {0: [], 1: [], 2: []}, "probs": {0: [], 1: [], 2: []},
                "attention": [], "importance": []}
         for _, row in segments.iterrows():
-            policy = RACE_POLICIES[row["RACE"]]
-            s, e = race_window(int(row["StartFrame"]), int(row["EndFrame"]),
-                               row["RACE"])
+            policy = _skill_policy(row["RACE"], phase)
+            cols = RACE_FRAME_COLUMNS[row["RACE"]]
+            use_race_cols = all(c in row.index for c in cols)
+            if not use_race_cols:
+                s, e = race_window(int(row["StartFrame"]),
+                                   int(row["EndFrame"]), row["RACE"])
             for ti, off in enumerate(policy.tta_offsets):
-                idx = policy_indices(s, e, policy, off)
+                if use_race_cols:
+                    idx = skill_segment_indices(row, phase, off)
+                else:
+                    idx = policy_indices(s, e, policy, off)
                 f = len(idx)
                 fb = self._bucket(f)
                 rgb = np.zeros((1, 1, fb, rgb_reps.shape[1]), np.float32)
@@ -92,13 +112,19 @@ class SkillAssessor:
                 rgb_mask[0, 0, f + 1:] = True
                 flow = flow_mask = None
                 if flow_reps is not None and mcfg.modalities != "RGB":
-                    fidx, fvalid = flow_indices_for(idx[None], len(flow_reps),
-                                                    self.cfg.window)
-                    nf = int(fvalid[0].sum())
+                    # EASE semantics (prepare_dataset.py:2250-2252):
+                    # unique(idx // jump), NOT bounds-clipped (the
+                    # reference raises on out-of-range flow rows)
+                    stride = (int(idx[1] - idx[0]) if len(idx) > 1 else 1)
+                    jump = (flow_jump if flow_jump is not None
+                            else _flow_jump(videoname, fps_table, phase,
+                                            rgb_stride=stride))
+                    fidx = np.unique(idx // jump)
+                    nf = len(fidx)
                     fbk = self._bucket(max(nf, 1))
                     flow = np.zeros((1, 1, fbk, flow_reps.shape[1]),
                                     np.float32)
-                    flow[0, 0, :nf] = flow_reps[fidx[0][fvalid[0]]]
+                    flow[0, 0, :nf] = flow_reps[fidx]
                     flow_mask = np.zeros((1, 1, fbk + 1), bool)
                     flow_mask[0, 0, nf + 1:] = True
                 rep, probs, attn, imps = self._fn(

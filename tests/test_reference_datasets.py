@@ -436,3 +436,40 @@ def test_cinvivo_inference_windows_match_reference():
     assert "caseD" not in set(got["Video"])
     # caseA: (107-15)//15+1 = 7 windows
     assert (got["Video"] == "caseA").sum() == 7
+
+
+def test_ns_vs_vua_batches_sampling():
+    """NS_vs_VUA collation: fixed stride 10, 2000-frame cap, label 0=NS /
+    1=VUA (prepare_dataset.py:2405-2438), per-domain store dispatch."""
+    import numpy as np
+    import pandas as pd
+
+    from sais_tpu.config import WindowConfig
+    from sais_tpu.data.reference_datasets import (DomainKeyedStore,
+                                                  ns_vs_vua_batches)
+
+    class Store:
+        def __init__(self, base):
+            self.base = base
+
+        def read_video(self, name):
+            return (np.arange(30000, dtype=np.float32)[:, None]
+                    + self.base) * np.ones((1, 4), np.float32)
+
+    rows = pd.DataFrame({
+        "Video": ["nsv", "vuav"],
+        "Domain": ["NS", "VUA"],
+        "StartFrame": [1, 1],
+        "EndFrame": [25001, 301],
+    })
+    store = DomainKeyedStore({"NS": Store(0.0), "VUA": Store(1.0)},
+                             {"nsv": "NS", "vuav": "VUA"})
+    (batch,) = ns_vs_vua_batches(rows, store, None, WindowConfig(),
+                                 batch_size=2, shuffle=False)
+    np.testing.assert_array_equal(batch["labels"], [0, 1])
+    # 25000-frame segment: stride 10 -> 2500 indices, capped at 2000
+    lens = (~batch["rgb_mask"][:, 0, 1:]).sum(-1)
+    assert lens[0] == 2000 and lens[1] == 30
+    # stride 10 grid from frame-index 0 (StartFrame-1)
+    np.testing.assert_allclose(batch["rgb"][1, 0, :3, 0],
+                               [1.0, 11.0, 21.0])

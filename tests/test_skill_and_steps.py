@@ -107,9 +107,14 @@ def test_step_recognizer_end_to_end():
 
 
 def test_flow_jump_phase_resolution():
-    """prepare_dataset.py:2240-2245: fixed 15 for Gronau inference, fixed
-    30 for Lab/AFB, HMH per-video fps // 2 (HMH_FPS_TABLE), else the VUA
-    per-video table."""
+    """prepare_dataset.py:2239-2249: fixed 15 for Gronau inference, fixed
+    30 for Lab/AFB, HMH per-video fps // 2 (HMH_FPS_TABLE); inference
+    phases with NO branch (COH/Gronau_full/USC) reuse the row's RGB
+    stride (the reference's stale jump_size quirk); else the VUA
+    per-video table, KeyError on unknown videos like the reference's
+    fps_dict['VUA'][videoname]."""
+    import pytest
+
     from sais_tpu.data.skill import _flow_jump
 
     assert _flow_jump("x", phase="Gronau_inference") == 15
@@ -118,7 +123,64 @@ def test_flow_jump_phase_resolution():
     assert _flow_jump("HMV4", phase="HMH_inference") == 30   # 60 fps // 2
     assert _flow_jump("HMV8", phase="HMH_inference") == 29   # 59.94 // 2
     assert _flow_jump("1", phase="train") == 10              # VUA 20 fps
-    assert _flow_jump("unknown", phase="train") == 15        # default 30
+    # stale-jump phases reuse the RGB sampling stride per row
+    assert _flow_jump("x", phase="COH_inference", rgb_stride=10) == 10
+    assert _flow_jump("x", phase="Gronau_full_inference",
+                      rgb_stride=37) == 37
+    assert _flow_jump("x", phase="USC_inference", rgb_stride=10) == 10
+    with pytest.raises(KeyError, match="fps table"):
+        _flow_jump("unknown", phase="train")
+    with pytest.raises(KeyError, match="HMH_FPS_TABLE"):
+        _flow_jump("unknown", phase="HMH_inference")
+
+
+def test_skill_policy_branches():
+    """Sampling windows differ per reference branch:
+    VUA_EASE (prepare_dataset.py:2173-2198) vs VUA_EASE_Stitch
+    (:2307-2355) vs AFB low-pass (:2184-2188)."""
+    import pandas as pd
+
+    from sais_tpu.data.skill import skill_segment_indices
+
+    nw = pd.Series({"RACE": "Needle Withdrawal",
+                    "Needle Withdrawal Start Frame": 1001,
+                    "Needle Withdrawal End Frame": 1501})
+    nh = pd.Series({"RACE": "Needle Handling",
+                    "Needle Handling Start Frame": 101,
+                    "Needle Entry Start Frame": 401})
+    # EASE branch: NW full span, stride span//10
+    np.testing.assert_array_equal(
+        skill_segment_indices(nw, "test"), np.arange(1000, 1500, 50))
+    # EASE branch: NH drops 20% of the span, stride 10
+    np.testing.assert_array_equal(
+        skill_segment_indices(nh, "test"), np.arange(100, 400 - 60, 10))
+    # AFB_inference NH: stride 120 low-pass
+    np.testing.assert_array_equal(
+        skill_segment_indices(nh, "AFB_inference"),
+        np.arange(100, 340, 120))
+    # stitch train: NW samples [start-40, start+40) stride 10
+    np.testing.assert_array_equal(
+        skill_segment_indices(nw, "train", branch="stitch"),
+        np.arange(960, 1040, 10))
+    # stitch train: NH trims a FIXED 20 frames, stride 10
+    np.testing.assert_array_equal(
+        skill_segment_indices(nh, "train", branch="stitch"),
+        np.arange(100, 380, 10))
+    # stitch non-USC inference: NW [start, start+60), NH full span
+    np.testing.assert_array_equal(
+        skill_segment_indices(nw, "COH_inference", branch="stitch"),
+        np.arange(1000, 1060, 10))
+    np.testing.assert_array_equal(
+        skill_segment_indices(nh, "COH_inference", branch="stitch"),
+        np.arange(100, 400, 10))
+    # stitch USC_inference: full span stride 10 for every race
+    np.testing.assert_array_equal(
+        skill_segment_indices(nw, "USC_inference", branch="stitch"),
+        np.arange(1000, 1500, 10))
+    # TTA shifts both ends (offset +3)
+    np.testing.assert_array_equal(
+        skill_segment_indices(nw, "train", 3, branch="stitch"),
+        np.arange(963, 1043, 10))
 
 
 def test_ease_inference_tables_match_reference():
