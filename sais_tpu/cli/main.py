@@ -722,7 +722,8 @@ def cmd_pretrain(args):
     from sais_tpu.ops.augment import center_border_crop
     hf, wf = (0.8, 0.7) if args.crop_policy == "gronau" else (0.8, 0.8)
     aug = jax.jit(lambda k, x: multi_crop_batch(
-        k, x, dcfg.n_global_crops, dcfg.n_local_crops))
+        k, x, dcfg.n_global_crops, dcfg.n_local_crops,
+        dcfg.global_size, dcfg.local_size))
 
     for epoch in range((start_epoch or 0), args.nepochs):
         # fresh meters per epoch (main_dino builds a new MetricLogger each

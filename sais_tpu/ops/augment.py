@@ -5,7 +5,8 @@ which the reference runs per-sample on CPU workers through PIL/torchvision.
 Here the whole batch is augmented on device inside the jit'd step: random
 resized crops (area scale + aspect jitter, bicubic), horizontal flip,
 color jitter (brightness 0.4 / contrast 0.4 / saturation 0.2 / hue 0.1,
-p=0.8), random grayscale (p=0.2), Gaussian blur (sigma ~ U[0.1, 2]),
+p=0.8, per-op clamp + random op order like torchvision), random
+grayscale (p=0.2), Gaussian blur (sigma ~ U[0.1, 2]),
 prefiltered bilinear crops (see _random_resized_crop),
 solarization (p=0.2 on the second global crop), ImageNet normalization.
 
@@ -63,20 +64,46 @@ def _adjust_hue(x, delta):
 
 
 def _color_jitter(key, x):
-    """brightness 0.4, contrast 0.4, saturation 0.2, hue 0.1 (all uniform
-    factor ranges like torchvision ColorJitter)."""
-    kb, kc, ks, kh = jax.random.split(key, 4)
+    """brightness 0.4, contrast 0.4, saturation 0.2, hue 0.1 (uniform
+    factor ranges like torchvision ColorJitter).  torchvision clamps to
+    [0, 1] after EVERY op (each adjust_* blends then clamps, so e.g. the
+    contrast grey-mean is computed from the clamped brightness output)
+    and applies the four ops in a random permutation per call
+    (ColorJitter.get_params' torch.randperm(4)) — both reproduced here."""
+    import itertools
+
+    kb, kc, ks, kh, kp = jax.random.split(key, 5)
     b = jax.random.uniform(kb, (), minval=0.6, maxval=1.4)
     c = jax.random.uniform(kc, (), minval=0.6, maxval=1.4)
     s = jax.random.uniform(ks, (), minval=0.8, maxval=1.2)
     h = jax.random.uniform(kh, (), minval=-0.1, maxval=0.1)
-    x = x * b
-    mean = jnp.mean(_rgb_to_gray(x), axis=(-3, -2, -1), keepdims=True)
-    x = (x - mean) * c + mean
-    gray = _rgb_to_gray(x)
-    x = (x - gray) * s + gray
-    x = _adjust_hue(x, h)
-    return jnp.clip(x, 0.0, 1.0)
+
+    def brightness(x):
+        return jnp.clip(x * b, 0.0, 1.0)
+
+    def contrast(x):
+        mean = jnp.mean(_rgb_to_gray(x), axis=(-3, -2, -1), keepdims=True)
+        return jnp.clip((x - mean) * c + mean, 0.0, 1.0)
+
+    def saturation(x):
+        gray = _rgb_to_gray(x)
+        return jnp.clip((x - gray) * s + gray, 0.0, 1.0)
+
+    def hue(x):
+        return jnp.clip(_adjust_hue(x, h), 0.0, 1.0)
+
+    ops = (brightness, contrast, saturation, hue)
+
+    def chain(perm):
+        def run(x):
+            for i in perm:
+                x = ops[i](x)
+            return x
+        return run
+
+    branches = [chain(p) for p in itertools.permutations(range(4))]
+    return jax.lax.switch(jax.random.randint(kp, (), 0, len(branches)),
+                          branches, x)
 
 
 def _gaussian_blur(key, x, size):
@@ -180,26 +207,34 @@ def augment_crop(key: jax.Array, img: jnp.ndarray, spec: CropSpec
 
 
 def multi_crop_batch(key: jax.Array, images: jnp.ndarray,
-                     n_global: int = 2, n_local: int = 8
+                     n_global: int = 2, n_local: int = 8,
+                     global_size: int = 224, local_size: int = 96
                      ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-    """(B, H, W, 3) float [0,1] -> (n_global*B, 224, 224, 3) and
-    (n_local*B, 96, 96, 3), crop-major interleaved to match
-    DINOTrainer.forward's `gfeat[i::ng]` regrouping."""
+    """(B, H, W, 3) float [0,1] -> (n_global*B, gs, gs, 3) and
+    (n_local*B, ls, ls, 3), IMAGE-major rows ([img0crop0, img0crop1,
+    ...] — stack axis 1), the layout DINOTrainer.forward's
+    reshape(nb, n)+transpose regrouping consumes."""
+    import dataclasses as _dc
+
     b = images.shape[0]
     gspecs = [GLOBAL_1] + [GLOBAL_2] * (n_global - 1)
+    gspecs = [_dc.replace(sp, size=global_size) for sp in gspecs]
+    local_spec = _dc.replace(LOCAL, size=local_size)
     gcrops = []
     for ci, spec in enumerate(gspecs):
         keys = jax.random.split(jax.random.fold_in(key, ci), b)
         gcrops.append(jax.vmap(augment_crop, (0, 0, None))(keys, images, spec))
-    globals_ = jnp.stack(gcrops, 1).reshape(n_global * b, 224, 224, 3)
+    globals_ = jnp.stack(gcrops, 1).reshape(n_global * b, global_size,
+                                            global_size, 3)
     locals_ = None
     if n_local:
         lcrops = []
         for ci in range(n_local):
             keys = jax.random.split(jax.random.fold_in(key, 100 + ci), b)
             lcrops.append(jax.vmap(augment_crop, (0, 0, None))(keys, images,
-                                                               LOCAL))
-        locals_ = jnp.stack(lcrops, 1).reshape(n_local * b, 96, 96, 3)
+                                                               local_spec))
+        locals_ = jnp.stack(lcrops, 1).reshape(n_local * b, local_size,
+                                               local_size, 3)
     return globals_, locals_
 
 
@@ -211,14 +246,17 @@ def center_border_crop(frames, height_frac: float = 0.8,
     0.8/0.7 for the Gronau datasets (getCropDims, main_dino.py:320-325);
     trim_right_px additionally removes a right-hand strip (the VUA_Lab /
     VUA_AFB timer overlay, 130 px, main_dino.py:306-308).  Works on host
-    numpy or device arrays, (B, H, W, C); crop offsets follow
-    torchvision's int(round((H - ch) / 2)) convention.
+    numpy or device arrays, (B, H, W, C); box math shared with
+    ops.preprocess.center_crop_bounds (float-size CenterCrop + PIL
+    half-even box rounding).
     """
+    from sais_tpu.ops.preprocess import center_crop_bounds
     h, w = frames.shape[1], frames.shape[2]
-    ch, cw = int(height_frac * h), int(width_frac * w)
-    top = int(round((h - ch) / 2.0))
-    left = int(round((w - cw) / 2.0))
-    out = frames[:, top:top + ch, left:left + cw]
+    # identical box math to the extraction path (the reference feeds the
+    # SAME float-size CenterCrop in both places)
+    top, bottom = center_crop_bounds(h, height_frac)
+    left, right = center_crop_bounds(w, width_frac)
+    out = frames[:, top:bottom, left:right]
     if trim_right_px:
         out = out[:, :, :max(out.shape[2] - trim_right_px, 1)]
     return out

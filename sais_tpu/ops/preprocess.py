@@ -34,11 +34,15 @@ _HALF = 1 << (_PRECISION_BITS - 1)    # rounding bias of the 8bpc passes
 
 
 def center_crop_bounds(size: int, frac: float) -> Tuple[int, int]:
-    """(start, stop) row/col bounds replicating torchvision CenterCrop with a
-    fractional size followed by PIL crop-box truncation."""
+    """(start, stop) row/col bounds replicating torchvision CenterCrop with
+    a FRACTIONAL size: crop_top = int(round((size - frac*size)/2)) and the
+    PIL crop box rounds each coordinate half-to-even (Image._crop:
+    map(int, map(round, box))) — so the stop bound is round(top + crop),
+    NOT int(top + crop) (truncation loses a row whenever frac*size has a
+    fractional part >= .5, e.g. 101 @ 0.7 -> 15:86, size 71)."""
     crop = frac * size
     top = int(round((size - crop) / 2.0))
-    return top, int(top + crop)
+    return top, int(round(top + crop))
 
 
 @lru_cache(maxsize=64)

@@ -45,6 +45,8 @@ class DINOConfig:
     out_dim: int = 65536
     n_global_crops: int = 2
     n_local_crops: int = 8
+    # crop resolutions, consumed by ops.augment.multi_crop_batch (the
+    # trainer itself accepts whatever crop arrays the caller built)
     global_size: int = 224
     local_size: int = 96
     student_temp: float = 0.1
@@ -76,10 +78,14 @@ def cosine_scheduler(base: float, final: float, epochs: int,
                      start_warmup_value: float = 0.0) -> np.ndarray:
     """utils.cosine_scheduler (dino-main/utils.py:187-199)."""
     warmup_iters = warmup_epochs * niter_per_ep
+    if warmup_iters > epochs * niter_per_ep:
+        raise ValueError(
+            f"warmup_epochs={warmup_epochs} exceeds epochs={epochs}; "
+            "reduce warmup (the CLI clamps it to min(10, nepochs // 10))")
     warmup = np.linspace(start_warmup_value, base, warmup_iters)
     iters = np.arange(epochs * niter_per_ep - warmup_iters)
     sched = final + 0.5 * (base - final) * (
-        1 + np.cos(np.pi * iters / len(iters)))
+        1 + np.cos(np.pi * iters / max(len(iters), 1)))
     out = np.concatenate([warmup, sched])
     assert len(out) == epochs * niter_per_ep
     return out
@@ -186,8 +192,8 @@ class DINOTrainer:
 
         fused_blocks: fully-fused Pallas forward AND backward kernels
         (custom VJP, kernels/fused_mha.make_pallas_trainable_fused_block)
-        for crops large enough to feed them (the backbone() router below
-        sends local crops through XLA regardless).  Only (x, x1) per block
+        for BOTH crop sizes — local crops run the packed block-diagonal
+        attention variant (see backbone() below).  Only (x, x1) per block
         are saved — a remat-like memory profile with the recompute running
         inside the VMEM-resident backward kernels.  Measured on v5e at
         batch 64 (8 locals): mixed routing 592 img/s vs 471 pure-XLA.
@@ -374,8 +380,10 @@ class DINOTrainer:
         (e.g. one step delayed) so host-side decode/augmentation staging
         overlaps device compute instead of serializing on a per-step sync.
 
-        globals_: (n_global*B, H, W, 3) normalized crops interleaved
-        crop-major; locals_: (n_local*B, h, w, 3) or None.
+        globals_: (n_global*B, H, W, 3) normalized crops, IMAGE-major
+        rows ([img0crop0, img0crop1, ...], multi_crop_batch's layout —
+        forward() regroups by reshape(B, n)+transpose);
+        locals_: (n_local*B, h, w, 3) or None.
         """
         i = min(self.step_idx, len(self.lr_sched) - 1)
         epoch = i // self.niter_per_ep

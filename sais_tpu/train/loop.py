@@ -94,7 +94,7 @@ class PrototypeTrainer:
                     labels = jnp.where(weight > 0, labels, -1)
                 loss = loss + importance_loss_reference(
                     out.importances, batch["importance"], batch["ipad"],
-                    labels)
+                    labels, weight=weight)
             return loss, out.video_rep
 
         def train_step(state: TrainState, batch):

@@ -30,16 +30,27 @@ def _bce_with_logits(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
 def importance_loss_reference(output_importances: jnp.ndarray,
                               importances: jnp.ndarray,
                               ipad: jnp.ndarray,
-                              labels: jnp.ndarray) -> jnp.ndarray:
+                              labels: jnp.ndarray,
+                              weight: Optional[jnp.ndarray] = None
+                              ) -> jnp.ndarray:
     """calcImportanceLoss (prepare_miscellaneous.py:48-60), quirk preserved.
 
     output_importances: (B, S, F+1, 1) model scores (CLS at slot 0);
     importances: (B, S, F) per-frame targets; ipad: (B, S, F+1) bool pad
     mask; labels: (B,) int — only label==0 (low skill) rows contribute.
+    weight: optional (B,) 0/1 real-row mask (mesh batch padding) — the
+    quirky global BCE mean must average over REAL rows only, or the loss
+    value (and its gradients, which flow through every row's scores via
+    that mean) would depend on device count and batch divisibility.
     """
     scores = output_importances[:, :, 1:, 0]                  # (B, S, F)
     bce = _bce_with_logits(scores, importances)
-    scalar = jnp.mean(bce)                                    # the quirk
+    if weight is not None:
+        w = weight[:, None, None]
+        scalar = jnp.sum(bce * w) / jnp.maximum(
+            jnp.sum(w) * bce.shape[1] * bce.shape[2], 1.0)
+    else:
+        scalar = jnp.mean(bce)                                # the quirk
     inv = (~ipad)[:, :, :-1].astype(jnp.float32)              # (B, S, F)
     per_entry = scalar * inv
     low = (labels == 0).astype(jnp.float32)                   # (B,)

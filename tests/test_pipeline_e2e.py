@@ -280,3 +280,32 @@ def test_tail_bucket_warmth_marked_by_dispatch(monkeypatch):
     assert dec._chunk_batch(3, 11, key) == 4
     # a cold bucket size on a long video still defers to device_batch
     assert dec._chunk_batch(1, 11, key) == 8
+
+
+def test_center_crop_bounds_matches_pil_box_math():
+    """The reference feeds torchvision CenterCrop a FLOAT size
+    (main_dino.py:301: CenterCrop((0.8*h, 0.8*w))); the crop box then
+    rounds each coordinate half-to-even inside PIL (Image._crop).  Both
+    our crop sites share center_crop_bounds, which must match that box
+    math exactly — including sizes where frac*size has a .5+ fraction
+    (truncating the stop bound loses a row)."""
+    from PIL import Image
+
+    from sais_tpu.ops.augment import center_border_crop
+    from sais_tpu.ops.preprocess import center_crop_bounds
+
+    for size in (100, 101, 107, 224, 480, 719, 1079, 1081):
+        for frac in (0.7, 0.8):
+            ch = frac * size
+            top = int(round((size - ch) / 2.0))
+            img = Image.fromarray(np.zeros((size, 8, 3), np.uint8))
+            out = img.crop((0, top, 8, top + ch))
+            r0, r1 = center_crop_bounds(size, frac)
+            assert (r0, r1) == (top, top + out.size[1]), (size, frac)
+    # the augmentation-side crop uses the same bounds
+    frames = np.arange(101 * 50 * 3, dtype=np.float32).reshape(1, 101, 50, 3)
+    out = center_border_crop(frames, 0.7, 0.7)
+    r0, r1 = center_crop_bounds(101, 0.7)
+    c0, c1 = center_crop_bounds(50, 0.7)
+    np.testing.assert_array_equal(np.asarray(out),
+                                  frames[:, r0:r1, c0:c1])

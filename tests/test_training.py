@@ -202,3 +202,36 @@ def test_fit_reshuffles_each_epoch():
     trainer.fit({"train": make, "val": make}, nepochs=3,
                 log=lambda s: None)
     assert seen[:2] == [0, 0] and 1 in seen and 2 in seen
+
+
+def test_importance_loss_ignores_padded_rows():
+    """Mesh batch padding must not leak into the quirky global BCE mean:
+    padded rows (weight 0) contribute neither to the loss value nor to
+    the gradients (train/loop.py pads the last batch to the device
+    count)."""
+    from sais_tpu.train.losses import importance_loss_reference
+
+    rng = np.random.default_rng(0)
+    b, s, f = 3, 1, 5
+    oi = rng.normal(size=(b, s, f + 1, 1)).astype(np.float32)
+    imp = (rng.uniform(size=(b, s, f)) > 0.5).astype(np.float32)
+    ipad = np.zeros((b, s, f + 1), bool)
+    labels = np.asarray([0, 1, 0], np.int32)
+    base = importance_loss_reference(jnp.asarray(oi), jnp.asarray(imp),
+                                     jnp.asarray(ipad), jnp.asarray(labels))
+    # pad with a junk row; weight masks it; padded label set to -1 like
+    # the loop does
+    oi_p = np.concatenate([oi, 100 * np.ones((1, s, f + 1, 1), np.float32)])
+    imp_p = np.concatenate([imp, np.zeros((1, s, f), np.float32)])
+    ipad_p = np.concatenate([ipad, np.zeros((1, s, f + 1), bool)])
+    labels_p = np.asarray([0, 1, 0, -1], np.int32)
+    w = jnp.asarray([1.0, 1.0, 1.0, 0.0])
+    padded = importance_loss_reference(
+        jnp.asarray(oi_p), jnp.asarray(imp_p), jnp.asarray(ipad_p),
+        jnp.asarray(labels_p), weight=w)
+    np.testing.assert_allclose(float(padded), float(base), rtol=1e-6)
+
+    g = jax.grad(lambda x: importance_loss_reference(
+        x, jnp.asarray(imp_p), jnp.asarray(ipad_p),
+        jnp.asarray(labels_p), weight=w))(jnp.asarray(oi_p))
+    np.testing.assert_array_equal(np.asarray(g[-1]), 0.0)
