@@ -82,11 +82,18 @@ _matmul = jax.jit(jnp.matmul)  # module-level: one compile per shape
 
 
 def rank_copies(queries: np.ndarray, database: np.ndarray,
-                topk: int = 20) -> Tuple[np.ndarray, np.ndarray]:
-    """Cosine similarity top-k (eval_copy_detection.py:294-299); returns
-    (similarities, indices), the device matmul jitted."""
+                topk: Optional[int] = None) -> Tuple[np.ndarray, np.ndarray]:
+    """Cosine-similarity ranking (eval_copy_detection.py:294-299); returns
+    (similarities, indices), the device matmul jitted.
+
+    Default ranks the FULL database like the reference's untruncated
+    argsort — AP integrates every positive's rank, so a topk cutoff
+    silently deflates mAP whenever a positive ranks past it; pass topk
+    only for qualitative nearest-neighbor dumps."""
     sim = np.asarray(_matmul(jnp.asarray(queries), jnp.asarray(database.T)))
-    idx = np.argsort(-sim, axis=1)[:, :topk]
+    idx = np.argsort(-sim, axis=1)
+    if topk is not None:
+        idx = idx[:, :topk]
     return np.take_along_axis(sim, idx, axis=1), idx
 
 

@@ -111,7 +111,12 @@ def train_linear_probe(train_features: np.ndarray, train_labels: np.ndarray,
     key = jax.random.key(seed)
     params = {"w": jnp.zeros((d, num_classes)),
               "b": jnp.zeros((num_classes,))}
-    steps = max(len(train_features) // batch_size, 1) * epochs
+    n = len(train_features)
+    batch_size = min(batch_size, n)   # small sets still train (a larger
+    # batch than n would otherwise run ZERO steps and return a zero probe)
+    # schedule horizon = the ACTUAL step count (ceil over the tail-wrapped
+    # loop below); a floor-based horizon left the trailing steps at lr=0
+    steps = -(-n // batch_size) * epochs
     sched = optax.cosine_decay_schedule(lr, steps)
     opt = optax.sgd(sched, momentum=0.9)
     opt_state = opt.init(params)
@@ -127,9 +132,6 @@ def train_linear_probe(train_features: np.ndarray, train_labels: np.ndarray,
         updates, opt_state = opt.update(grads, opt_state)
         return optax.apply_updates(params, updates), opt_state, loss
 
-    n = len(train_features)
-    batch_size = min(batch_size, n)   # small sets still train (a larger
-    # batch than n would otherwise run ZERO steps and return a zero probe)
     rng = np.random.default_rng(seed)
     for _ in range(epochs):
         order = rng.permutation(n)

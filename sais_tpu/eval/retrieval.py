@@ -23,7 +23,11 @@ from sais_tpu.config import ViTConfig
 from sais_tpu.models.vit import vit_features
 
 
-_matmul = jax.jit(jnp.matmul)  # module-level: one compile per shape
+# one jitted matmul + one trapezoid-AP implementation shared with the
+# copy-detection protocol (both references carry the identical formula:
+# utils.py:709-741 == eval_copy_detection.py:97-126)
+from sais_tpu.eval.copy_detection import _matmul, score_ap_from_ranks
+
 
 def multi_scale_features(params, images: jnp.ndarray,
                          cfg: ViTConfig) -> jnp.ndarray:
@@ -61,17 +65,9 @@ def retrieval_ranks(db_features: np.ndarray,
     return np.argsort(-sim, axis=0)
 
 
-def compute_ap(ranks: np.ndarray, nres: int) -> float:
-    """utils.compute_ap (utils.py:709-741): trapezoid AP over zero-based
-    positive ranks."""
-    ap = 0.0
-    recall_step = 1.0 / nres
-    for j in range(len(ranks)):
-        rank = ranks[j]
-        precision_0 = 1.0 if rank == 0 else float(j) / rank
-        precision_1 = float(j + 1) / (rank + 1)
-        ap += (precision_0 + precision_1) * recall_step / 2.0
-    return ap
+# utils.compute_ap (utils.py:709-741) is the same trapezoid AP as the
+# copy-detection score_ap_from_ranks_1; one implementation serves both
+compute_ap = score_ap_from_ranks
 
 
 def compute_map(ranks: np.ndarray, gnd: Sequence[Dict],

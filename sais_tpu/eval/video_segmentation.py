@@ -21,6 +21,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import functools
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -61,9 +63,11 @@ def norm_mask(mask: np.ndarray) -> np.ndarray:
     return out
 
 
+@functools.partial(jax.jit, static_argnames=("topk",))
 def _propagate(feat_tar, feat_sources, segs, mask, topk: int,
                temperature: float):
-    """One propagation step, fully on device.
+    """One propagation step, fully on device (jitted; `mask` should be a
+    device array reused across frames — label_propagation uploads it once).
 
     feat_tar: (hw, D); feat_sources: (n, hw, D); segs: (n, C, hw);
     mask: (hw, hw) or None.
@@ -100,12 +104,14 @@ def label_propagation(params, cfg: ViTConfig, frame_tar: jnp.ndarray,
     feat_tar, h, w = patch_features(params, frame_tar, cfg)
     if neighborhood > 0 and mask is None:
         mask = restrict_neighborhood(h, w, neighborhood)
+    if mask is not None:
+        # device-resident once: the (hw, hw) mask is ~100 MB at DAVIS
+        # 480p/patch-8 — re-uploading it per frame would dominate the step
+        mask = jnp.asarray(mask)
     fs = jnp.stack(context_feats)
     segs = jnp.stack([jnp.asarray(s.reshape(s.shape[0], -1))
                       for s in context_segs])
-    seg = _propagate(feat_tar, fs, segs,
-                     None if mask is None else jnp.asarray(mask), topk,
-                     temperature)
+    seg = _propagate(feat_tar, fs, segs, mask, topk, temperature)
     return np.asarray(seg).reshape(-1, h, w), feat_tar, mask
 
 

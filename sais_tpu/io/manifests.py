@@ -49,9 +49,10 @@ def flow_paths_manifest(root: str, videos: List[str], jump_frames: int = 15,
         indices = np.arange(0, len(files) - jump_frames, jump_frames)
         for i in indices:
             f1 = files[i]
-            frame = int(f1.split("_")[-1].removesuffix(".jpg"))
+            stem, ext = os.path.splitext(f1)
+            frame = int(stem.split("_")[-1])
             nxt = frame + jump_frames
-            f2 = f"frames_{nxt:08d}.jpg"
+            f2 = f"frames_{nxt:08d}{ext}"
             nflow = frame // jump_frames
             rows.append({
                 "path1": os.path.join(images_dir, case, f1),

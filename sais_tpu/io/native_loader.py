@@ -73,7 +73,13 @@ class NativeFramePump:
         self._h = _lib.fp_open(path.encode(), out_size, crop_h_frac,
                                crop_w_frac, queue_cap)
         if not self._h:
-            raise FileNotFoundError(path)
+            # fp_open also returns null for an EXISTING file OpenCV can't
+            # decode; RuntimeError keeps the caller's construction-only
+            # fallback working (a FileNotFoundError here would escape
+            # extract_video's handler, which checks existence itself)
+            if not os.path.exists(path):
+                raise FileNotFoundError(path)
+            raise RuntimeError(f"native decoder could not open {path}")
         self.out_size = out_size
         fps = ctypes.c_double()
         nf = ctypes.c_long()

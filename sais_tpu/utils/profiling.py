@@ -17,8 +17,12 @@ from typing import Dict, Iterator, List, Optional, Tuple
 
 
 def device_sync() -> None:
+    """Barrier on EVERY addressable device — a single default-device sync
+    under-measures mesh stages (devices 1..N-1 may still be executing and
+    their time would bleed into the next stage)."""
     import jax
-    (jax.device_put(0.0) + 0).block_until_ready()
+    jax.block_until_ready([
+        jax.device_put(0.0, d) + 0 for d in jax.local_devices()])
 
 
 class StageTimer:
