@@ -41,6 +41,16 @@ def dino_head_forward(params: Params, x: jnp.ndarray,
     w = v / jnp.linalg.norm(v, axis=0, keepdims=True)
     if not norm_last_layer:
         w = w * g[None, :]
+    if x.dtype == jnp.bfloat16:
+        # the head runs at the pipeline's precision: under the reference's
+        # fp16 autocast the weight-normed last linear ALSO runs at reduced
+        # precision (main_dino.py:543 autocast covers the whole forward).
+        # bf16 operands + f32 accumulation halve the (B, 256) x (256, 64k)
+        # MXU time — measured 1.91x on the head fwd+bwd at the production
+        # shapes, parameter-grad rounding ~2e-3 rel (bf16 mantissa).
+        # Normalization above stays f32; only the big matmul drops down.
+        return jnp.dot(h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32)
     return jnp.dot(h.astype(jnp.float32), w)
 
 

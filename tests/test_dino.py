@@ -55,6 +55,30 @@ def test_dino_head_parity():
                                atol=1e-5)
 
 
+def test_dino_head_bf16_path_tracks_f32():
+    """bf16 input routes the last matmul through bf16 operands with f32
+    accumulation (the training pipeline's precision); outputs and grads
+    must track the f32 path to bf16 rounding, and the output must come
+    back f32 (the loss softmax runs on it)."""
+    params = dino_head_init(jax.random.key(0), 32, 128, hidden=64,
+                            bottleneck=16)
+    x = jax.random.normal(jax.random.key(1), (8, 32), jnp.float32)
+    ref = dino_head_forward(params, x)
+    out = dino_head_forward(params, x.astype(jnp.bfloat16))
+    assert out.dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=0.03,
+                               atol=0.02)
+
+    def scalar(p, xx):
+        return jnp.sum(jnp.tanh(dino_head_forward(p, xx)))
+
+    g_ref = jax.grad(scalar)(params, x)
+    g_b16 = jax.grad(scalar)(params, x.astype(jnp.bfloat16))
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_b16)):
+        scale = float(jnp.max(jnp.abs(a))) + 1e-12
+        assert float(jnp.max(jnp.abs(a - b))) / scale < 0.05
+
+
 def _golden_dino_loss(student_out, teacher_out, center, t_temp, s_temp=0.1):
     """Literal DINOLoss.forward (main_dino.py:601-621)."""
     student = [s / s_temp for s in student_out]
