@@ -1117,8 +1117,23 @@ def _enable_compile_cache():
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 
+def _apply_platform_override():
+    """SAIS_PLATFORM=<cpu|tpu|...> pins the jax backend for this process.
+
+    Needed because a PJRT plugin registered at interpreter startup (e.g.
+    a sitecustomize TPU tunnel) can force jax_platforms before the CLI
+    runs, at which point the JAX_PLATFORMS env var is read too late —
+    jax.config.update is the only override that still wins.  Lets the
+    CLI run on CPU-only hosts or when the accelerator is unreachable."""
+    plat = os.environ.get("SAIS_PLATFORM")
+    if plat:
+        import jax
+        jax.config.update("jax_platforms", plat)
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    _apply_platform_override()
     _enable_compile_cache()
     args.fn(args)
 

@@ -153,3 +153,23 @@ def test_cli_pretrain_e2e_and_resume(tmp_path, monkeypatch, capsys):
     _main(["pretrain", "-p", root, "-bs", "8", "-e", "2",
            "--out-dim", "32", "--local-crops", "2"])
     assert "resumed from epoch 1" in capsys.readouterr().out
+
+
+def test_platform_override_env(monkeypatch):
+    """SAIS_PLATFORM pins jax_platforms via config.update — the only
+    override that beats a sitecustomize-registered PJRT plugin (env
+    JAX_PLATFORMS is read before the CLI can change it)."""
+    import jax
+
+    from sais_tpu.cli.main import _apply_platform_override
+
+    prev = jax.config.jax_platforms
+    try:
+        monkeypatch.setenv("SAIS_PLATFORM", "cpu")
+        _apply_platform_override()
+        assert jax.config.jax_platforms == "cpu"
+        monkeypatch.delenv("SAIS_PLATFORM")
+        _apply_platform_override()   # unset -> leaves config alone
+        assert jax.config.jax_platforms == "cpu"
+    finally:
+        jax.config.update("jax_platforms", prev)
