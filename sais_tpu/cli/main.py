@@ -54,6 +54,25 @@ def _load_vit(args, cfg):
     return params
 
 
+def _load_raft(args, cfg):
+    """RAFT weights: --raft-weights checkpoint (plain state_dict or a
+    ptlflow-style {'state_dict': ...} wrapper) or --random-init.  Shared
+    by cmd_flow / cmd_pipeline / cmd_serve so the unwrapping and the
+    random-init guard cannot drift between entry points."""
+    import jax
+    from sais_tpu.models.raft import raft_init, raft_params_from_torch
+    if args.raft_weights:
+        from sais_tpu.port.torch_port import load_torch_pickle
+        sd = load_torch_pickle(args.raft_weights)
+        if isinstance(sd, dict) and "state_dict" in sd:
+            sd = sd["state_dict"]
+        return raft_params_from_torch(sd)
+    if not args.random_init:
+        # random RAFT weights would silently produce garbage flow
+        sys.exit("need --raft-weights or --random-init")
+    return raft_init(jax.random.key(3), cfg.raft)
+
+
 def _load_folds(args, cfg) -> List[Tuple[dict, "np.ndarray"]]:
     import jax
     from sais_tpu.models.full_model import full_model_init, prototypes_init
@@ -154,6 +173,40 @@ def _apply_flow_jump(cfg, args, video_path: Optional[str] = None):
                                              flow_jump_factor=jump))
 
 
+def _reconcile_flow_jump(cfg, args, videoname: str):
+    """Adopt or validate the flow-pair stride recorded by extraction.
+
+    The flow store's rows are indexed frame//jump AT THE EXTRACTION
+    stride; decoding with a different cfg stride silently gathers the
+    wrong flow rows (half misaligned, half out of range).  `sais flow`
+    records its stride as a per-video H5 attr; here, consumers that map
+    window frames to flow rows (decode/assess/steps) adopt it when the
+    user gave no --flow-jump, and refuse a contradicting explicit one."""
+    from sais_tpu.io.feature_store import FeatureStore, flow_store_path
+    if cfg.model.modalities == "RGB":
+        return cfg
+    path = flow_store_path(args.path)
+    if not os.path.exists(path):
+        return cfg
+    with FeatureStore(path) as fs:
+        stored = fs.video_attr(videoname, "flow_jump")
+    if stored is None:      # store predates the attr — trust the flags
+        return cfg
+    stored = int(stored)
+    if cfg.window.flow_jump_factor == stored:
+        return cfg
+    if getattr(args, "flow_jump", None):
+        sys.exit(f"--flow-jump {cfg.window.flow_jump_factor} contradicts "
+                 f"the stride {videoname}'s flow reps were extracted at "
+                 f"({stored}); re-extract with `sais flow --force "
+                 f"--flow-jump {cfg.window.flow_jump_factor}` or pass "
+                 f"--flow-jump {stored}")
+    print(f"flow jump {stored} (recorded by extraction)")
+    import dataclasses as dc
+    return dc.replace(cfg, window=dc.replace(cfg.window,
+                                             flow_jump_factor=stored))
+
+
 def _already_extracted(store_path: str, videoname: str) -> bool:
     """Idempotent skip-existing (the reference skips videos whose flow dir
     already exists, extract_representations.py:485)."""
@@ -188,25 +241,14 @@ def cmd_extract(args):
 
 def cmd_flow(args):
     """RAFT flow -> flow-RGB -> DINO flow reps (reference main.sh:18+24)."""
-    import jax
     from sais_tpu.infer.pipeline import FlowExtractor
     from sais_tpu.io.feature_store import FeatureStore, flow_store_path
-    from sais_tpu.models.raft import raft_init, raft_params_from_torch
     cfg = _pipeline_config(args)
     if not args.force and _already_extracted(flow_store_path(args.path),
                                              args.videoname):
         print(f"{args.videoname}: flow reps exist, skipping (--force to redo)")
         return
-    if args.raft_weights:
-        from sais_tpu.port.torch_port import load_torch_pickle
-        sd = load_torch_pickle(args.raft_weights)
-        if isinstance(sd, dict) and "state_dict" in sd:
-            sd = sd["state_dict"]
-        raft_params = raft_params_from_torch(sd)
-    else:
-        if not args.random_init:
-            sys.exit("need --raft-weights or --random-init")
-        raft_params = raft_init(jax.random.key(3), cfg.raft)
+    raft_params = _load_raft(args, cfg)
     vit_params = _load_vit(args, cfg)
     video_path = os.path.join(args.path, "videos", args.videoname + ".mp4")
     # per-video jump = fps // 2, the reference's per-video fps tables
@@ -224,7 +266,11 @@ def cmd_flow(args):
     reps = fx.extract_video(video_path, save_flow_dir=save_dir)
     dt = time.time() - t0
     with FeatureStore(flow_store_path(args.path), "a") as fs:
-        fs.write_video(args.videoname, reps)
+        # record the stride the pairs were built at: decode/assess/steps
+        # adopt (or validate against) it instead of trusting the user to
+        # re-pass the same --flow-jump months later
+        fs.write_video(args.videoname, reps,
+                       attrs={"flow_jump": cfg.window.flow_jump_factor})
     print(f"extracted flow reps {reps.shape} in {dt:.1f}s")
 
 
@@ -235,6 +281,7 @@ def cmd_decode(args):
     cfg = _pipeline_config(args)
     cfg = _apply_flow_jump(cfg, args, os.path.join(
         args.path, "videos", args.videoname + ".mp4"))
+    cfg = _reconcile_flow_jump(cfg, args, args.videoname)
     folds = _load_folds(args, cfg)
     with FeatureStore(rgb_store_path(args.path)) as fs:
         rgb = fs.read_video(args.videoname)
@@ -275,6 +322,7 @@ def cmd_assess(args):
     cfg = _pipeline_config(args)
     cfg = _apply_flow_jump(cfg, args, os.path.join(
         args.path, "videos", args.videoname + ".mp4"))
+    cfg = _reconcile_flow_jump(cfg, args, args.videoname)
     import dataclasses as dc
     cfg = dc.replace(cfg, model=dc.replace(
         cfg.model, importance_head=True, nclasses=args.nclasses))
@@ -313,8 +361,12 @@ def cmd_assess(args):
     if cfg.model.modalities != "RGB":
         with FeatureStore(flow_store_path(args.path)) as fs:
             flow = fs.read_video(args.videoname)
+    assessor = None
     for fold, (params, protos) in enumerate(folds):
-        assessor = SkillAssessor(params, protos, cfg)
+        if assessor is None:   # one jit cache across folds (set_fold)
+            assessor = SkillAssessor(params, protos, cfg)
+        else:
+            assessor.set_fold(params, protos)
         art = assessor.assess_segments(
             rgb, flow, rows, phase=args.phase, videoname=args.videoname,
             # reference flow-jump selection per phase unless the user
@@ -330,7 +382,8 @@ def cmd_assess(args):
             importance=art["importance"] or None)
         import numpy as _np
         mean_probs = _np.mean(
-            [_np.stack(art["probs"][t]) for t in (0, 1, 2)], axis=0)
+            [_np.stack(art["probs"][t]) for t in sorted(art["probs"])],
+            axis=0)
         out = rows.copy()
         for c in range(mean_probs.shape[1]):
             out[f"prob_{c}"] = mean_probs[:, c]
@@ -360,6 +413,7 @@ def cmd_steps(args):
     # 'auto' reads fps from the video container, same as decode/assess
     cfg = _apply_flow_jump(cfg, args, os.path.join(
         args.path, "videos", args.videoname + ".mp4"))
+    cfg = _reconcile_flow_jump(cfg, args, args.videoname)
     args.nclasses = 3          # random-init prototypes must match the 3
     folds = _load_folds(args, cfg)  # step classes (NH/ND/NW)
     with FeatureStore(rgb_store_path(args.path)) as fs:
@@ -689,7 +743,8 @@ def cmd_pretrain(args):
     def _frame_count(v):
         if args.source == "flows":
             return len(glob.glob(os.path.join(v, "*.jpg")))
-        return VideoReader(v).frame_count
+        with VideoReader(v) as r:   # release the capture: summing over
+            return r.frame_count    # hundreds of mp4s would pile up FDs
 
     def _batches(v, n):
         if args.source == "flows":
@@ -770,21 +825,8 @@ def cmd_serve(args):
     cfg = _apply_flow_jump(cfg, args)
     vit_params = _load_vit(args, cfg)
     folds = _load_folds(args, cfg)
-    raft_params = None
-    if cfg.model.modalities != "RGB":
-        import jax
-        from sais_tpu.models.raft import raft_init, raft_params_from_torch
-        if args.raft_weights:
-            from sais_tpu.port.torch_port import load_torch_pickle
-            sd = load_torch_pickle(args.raft_weights)
-            raft_params = raft_params_from_torch(
-                sd.get("state_dict", sd) if isinstance(sd, dict) else sd)
-        else:
-            if not args.random_init:
-                # same guard as cmd_flow: random RAFT weights behind a
-                # long-lived daemon would silently serve garbage flow
-                sys.exit("need --raft-weights or --random-init")
-            raft_params = raft_init(jax.random.key(3), cfg.raft)
+    raft_params = (None if cfg.model.modalities == "RGB"
+                   else _load_raft(args, cfg))
     svc = DecodeService(args.path, cfg, vit_params, folds, raft_params,
                         batch_size=args.batch_size,
                         exact_preprocess=args.exact_preprocess,
@@ -804,6 +846,8 @@ def cmd_request(args):
     """Client for a running `sais serve` daemon."""
     import json as _json
     from sais_tpu.cli.serve import request
+    if not args.rpc and not args.videoname:
+        sys.exit("sais request: -f <videoname> or --rpc <cmd> is required")
     payload = ({"cmd": args.rpc} if args.rpc
                else {"video": args.videoname,
                      "flow": args.modalities != "RGB"})

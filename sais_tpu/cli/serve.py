@@ -49,7 +49,14 @@ class DecodeService:
                            self.cfg.preprocess.resize,
                            self.cfg.preprocess.resize, 3), np.uint8)
         self.extractor._fn_pre(self.extractor._params, frames)
-        self.extractor._fn(self.extractor._params, frames)
+        if self.extractor.exact_preprocess:
+            # exact mode: _fn = host-PIL resample -> _fn_float at the
+            # preprocess size; this call warms _fn_float's real shape
+            self.extractor._fn(self.extractor._params, frames)
+        # default mode: _fn (device crop+resize) only runs on the python
+        # decode FALLBACK, at the incoming video's NATIVE resolution —
+        # unknowable here, so a preprocess-size compile of it would never
+        # be reused (the pump path above is the one real requests take)
         # decode path: one window batch per TTA offset (F = 15/12/9 under
         # the default geometry) at the decoder's device_batch shape AND at
         # every tail bucket (short videos / final partial chunks pad to

@@ -51,6 +51,23 @@ def fetch_all(arrs: Sequence[jax.Array]) -> List[np.ndarray]:
     return [np.asarray(a) for a in arrs]
 
 
+def _reap_producer(t: threading.Thread, q: "queue.Queue") -> None:
+    """Join a bounded-queue producer even when the consumer aborted
+    mid-stream (device OOM, dispatch failure): a producer blocked in
+    q.put on the full queue would otherwise leak the thread AND its open
+    decoder handle for the life of the process — fatal for the serve
+    daemon, which survives per-request failures and would accumulate one
+    stuck thread + capture FD per failing request.  Draining until the
+    thread exits unblocks it; its own finally then enqueues the None
+    sentinel and closes the container."""
+    while t.is_alive():
+        try:
+            q.get(timeout=0.1)
+        except queue.Empty:
+            pass
+    t.join()
+
+
 class FeatureExtractor:
     """Batched DINO feature extraction on device — the reference's hot loop
     (extract_representations.py:351-378) redesigned for TPU throughput."""
@@ -199,8 +216,10 @@ class FeatureExtractor:
                     return
                 yield batch
 
-        out = self._drain(gen(), self._fn)
-        t.join()
+        try:
+            out = self._drain(gen(), self._fn)
+        finally:
+            _reap_producer(t, q)
         if producer_error:
             raise producer_error[0]
         return out
@@ -449,71 +468,73 @@ class FlowExtractor:
         done = False
         buf1: List[np.ndarray] = []
         buf2: List[np.ndarray] = []
-        while not done:
-            item = q.get()
-            if item is None:
-                done = True
-            else:
-                buf1.append(item[0])
-                buf2.append(item[1])
-            if buf1 and (done or len(buf1) == (pair_batch
-                                               or 8 * self._ndev)):
-                i1 = np.stack(buf1)
-                i2 = np.stack(buf2)
-                self.peak_buffered_pairs = max(self.peak_buffered_pairs,
-                                               len(buf1))
-                buf1, buf2 = [], []
-                if pair_batch is None:
-                    pair_batch = self.auto_pair_batch(i1.shape[1],
-                                                      i1.shape[2])
-                for s in range(0, len(i1), pair_batch):
-                    a_np = i1[s:s + pair_batch]
-                    b_np = i2[s:s + pair_batch]
-                    n = a_np.shape[0]
-                    if n < pair_batch:
-                        # tail padded on single chip too — one compiled
-                        # RAFT shape per resolution regardless of length
-                        reps = pair_batch - n
-                        a_np = np.concatenate(
-                            [a_np, np.repeat(a_np[-1:], reps, axis=0)])
-                        b_np = np.concatenate(
-                            [b_np, np.repeat(b_np[-1:], reps, axis=0)])
-                    a = jnp.asarray(a_np, jnp.float32)
-                    b = jnp.asarray(b_np, jnp.float32)
-                    if save_flow_dir is None:
-                        # fused on-device RAFT -> render -> preprocess ->
-                        # ViT (no flow-field round trip to host); fetch is
-                        # deferred so the dispatch pipeline never stalls on
-                        # a per-chunk transfer round trip (reps are tiny)
-                        reps = self._fused_fn(self._raft_params,
-                                              self._features._params, a, b)
-                        try:
-                            reps.copy_to_host_async()
-                        except AttributeError:
-                            pass
-                        fused_out.append((reps, n))
-                        continue
-                    p1, pads = self._pad(a)
-                    p2, _ = self._pad(b)
-                    flow = np.asarray(self._unpad(
-                        self._flow_fn(self._raft_params, p1, p2), pads))[:n]
-                    rgb = np.stack([flow_to_rgb_uint8(f) for f in flow])
-                    if save_flow_dir is not None:
-                        # reference saveFlows layout: flows_%08d.jpg
-                        # numbered by pair index = frame // jump
-                        # (extract_representations.py:254-262,
-                        # generate_paths.py:64-69); PIL writer for
-                        # byte-comparable JPEGs
-                        from PIL import Image
-                        import os as _os
-                        _os.makedirs(save_flow_dir, exist_ok=True)
-                        for im in rgb:
-                            Image.fromarray(im).save(_os.path.join(
-                                save_flow_dir,
-                                f"flows_{n_saved:08d}.jpg"))
-                            n_saved += 1
-                    reps_out.append(self._features.extract_array(rgb))
-        t.join()
+        try:
+            while not done:
+                item = q.get()
+                if item is None:
+                    done = True
+                else:
+                    buf1.append(item[0])
+                    buf2.append(item[1])
+                if buf1 and (done or len(buf1) == (pair_batch
+                                                   or 8 * self._ndev)):
+                    i1 = np.stack(buf1)
+                    i2 = np.stack(buf2)
+                    self.peak_buffered_pairs = max(self.peak_buffered_pairs,
+                                                   len(buf1))
+                    buf1, buf2 = [], []
+                    if pair_batch is None:
+                        pair_batch = self.auto_pair_batch(i1.shape[1],
+                                                          i1.shape[2])
+                    for s in range(0, len(i1), pair_batch):
+                        a_np = i1[s:s + pair_batch]
+                        b_np = i2[s:s + pair_batch]
+                        n = a_np.shape[0]
+                        if n < pair_batch:
+                            # tail padded on single chip too — one compiled
+                            # RAFT shape per resolution regardless of length
+                            npad = pair_batch - n
+                            a_np = np.concatenate(
+                                [a_np, np.repeat(a_np[-1:], npad, axis=0)])
+                            b_np = np.concatenate(
+                                [b_np, np.repeat(b_np[-1:], npad, axis=0)])
+                        a = jnp.asarray(a_np, jnp.float32)
+                        b = jnp.asarray(b_np, jnp.float32)
+                        if save_flow_dir is None:
+                            # fused on-device RAFT -> render -> preprocess ->
+                            # ViT (no flow-field round trip to host); fetch is
+                            # deferred so the dispatch pipeline never stalls on
+                            # a per-chunk transfer round trip (reps are tiny)
+                            reps = self._fused_fn(self._raft_params,
+                                                  self._features._params, a, b)
+                            try:
+                                reps.copy_to_host_async()
+                            except AttributeError:
+                                pass
+                            fused_out.append((reps, n))
+                            continue
+                        p1, pads = self._pad(a)
+                        p2, _ = self._pad(b)
+                        flow = np.asarray(self._unpad(
+                            self._flow_fn(self._raft_params, p1, p2), pads))[:n]
+                        rgb = np.stack([flow_to_rgb_uint8(f) for f in flow])
+                        if save_flow_dir is not None:
+                            # reference saveFlows layout: flows_%08d.jpg
+                            # numbered by pair index = frame // jump
+                            # (extract_representations.py:254-262,
+                            # generate_paths.py:64-69); PIL writer for
+                            # byte-comparable JPEGs
+                            from PIL import Image
+                            import os as _os
+                            _os.makedirs(save_flow_dir, exist_ok=True)
+                            for im in rgb:
+                                Image.fromarray(im).save(_os.path.join(
+                                    save_flow_dir,
+                                    f"flows_{n_saved:08d}.jpg"))
+                                n_saved += 1
+                        reps_out.append(self._features.extract_array(rgb))
+        finally:
+            _reap_producer(t, q)
         if producer_error:
             raise producer_error[0]
         if fused_out:

@@ -49,6 +49,16 @@ class SkillAssessor:
 
         self._fn = jax.jit(_fn)
 
+    def set_fold(self, model_params, prototypes: jnp.ndarray) -> None:
+        """Swap in another fold's weights.  params/protos are traced
+        ARGUMENTS of the jitted step, so reusing one assessor across
+        folds hits the same compiled program; constructing a fresh
+        assessor per fold would recompile the identical XLA program
+        once per fold (tens of seconds each through a remote-compile
+        tunnel)."""
+        self.params = model_params
+        self.protos = prototypes
+
     def _bucket(self, n: int) -> int:
         for b in self.buckets:
             if n <= b:
@@ -90,8 +100,11 @@ class SkillAssessor:
                 f"model modalities={mcfg.modalities!r} require flow "
                 "representations but none were supplied (flow store "
                 "missing?); extract flow or assess with -mod RGB")
-        out = {"reps": {0: [], 1: [], 2: []}, "probs": {0: [], 1: [], 2: []},
-               "attention": [], "importance": []}
+        # TTA slots keyed by offset index — populated from the policies'
+        # actual tta_offsets (3 for every reference policy) rather than a
+        # hardcoded {0,1,2}, so a shorter/longer offset list cannot leave
+        # silently-empty slots behind
+        out = {"reps": {}, "probs": {}, "attention": [], "importance": []}
         for _, row in segments.iterrows():
             policy = _skill_policy(row["RACE"], phase)
             cols = RACE_FRAME_COLUMNS[row["RACE"]]
@@ -132,8 +145,8 @@ class SkillAssessor:
                     jnp.asarray(rgb_mask),
                     None if flow is None else jnp.asarray(flow),
                     None if flow_mask is None else jnp.asarray(flow_mask))
-                out["reps"][ti].append(np.asarray(rep[0]))
-                out["probs"][ti].append(np.asarray(probs[0]))
+                out["reps"].setdefault(ti, []).append(np.asarray(rep[0]))
+                out["probs"].setdefault(ti, []).append(np.asarray(probs[0]))
                 if ti == 0:
                     # attention from the first TTA augment only
                     # (prepare_model.py:313-314).  NOT full_model.

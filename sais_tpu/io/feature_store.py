@@ -27,10 +27,27 @@ class FeatureStore:
         self._h5 = h5py.File(path, mode)
         self.path = path
 
-    def write_video(self, video: str, reps: np.ndarray) -> None:
+    def write_video(self, video: str, reps: np.ndarray,
+                    attrs: Optional[Dict[str, object]] = None) -> None:
+        """attrs: optional per-video metadata stored as HDF5 dataset
+        attributes (e.g. the flow-pair stride the extractor ran at, so
+        consumers can validate/adopt it instead of trusting the user to
+        re-pass the same --flow-jump).  The reference layout has no
+        attributes, and h5py readers that ignore attrs see an identical
+        file, so compatibility is preserved."""
         if video in self._h5:
             del self._h5[video]
-        self._h5.create_dataset(video, data=np.asarray(reps))
+        ds = self._h5.create_dataset(video, data=np.asarray(reps))
+        for k, v in (attrs or {}).items():
+            ds.attrs[k] = v
+
+    def video_attr(self, video: str, key: str):
+        """Per-video metadata (see write_video); None when absent."""
+        if video not in self._h5:
+            return None
+        val = self._h5[video].attrs.get(key)
+        return None if val is None else val.item() if hasattr(
+            val, "item") else val
 
     def append_video(self, video: str, reps: np.ndarray) -> None:
         """Append rows to a growing per-video dataset (streaming writes)."""

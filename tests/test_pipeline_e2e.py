@@ -191,6 +191,92 @@ def test_feature_store_roundtrip(tmp_path):
         assert fs.read_video("b")[3:].sum() == 8
 
 
+def test_producer_reaped_on_consumer_abort(tmp_path):
+    """A mid-stream device failure must not leak the decode producer:
+    a thread blocked in q.put on the full prefetch queue (plus its open
+    capture) would accumulate per failed request in the serve daemon."""
+    import threading
+    import time as _time
+
+    import jax
+    import pytest
+
+    from sais_tpu.infer.pipeline import FeatureExtractor
+    from sais_tpu.models.vit import vit_init
+
+    cfg = tiny_cfg()
+    video = str(tmp_path / "v.mp4")
+    synth_video(video, nframes=80)
+    params = vit_init(jax.random.key(0), cfg.vit)
+    fx = FeatureExtractor(params, cfg, batch_size=4,
+                          use_native_decode=False)
+
+    def explode(batches, fn):
+        next(batches)      # consume one batch, then die mid-stream
+        raise RuntimeError("device failure")
+
+    fx._drain = explode
+    before = threading.active_count()
+    with pytest.raises(RuntimeError, match="device failure"):
+        fx.extract_video(video, prefetch=2)
+    deadline = _time.time() + 10
+    while threading.active_count() > before and _time.time() < deadline:
+        _time.sleep(0.05)
+    assert threading.active_count() <= before
+
+
+def test_feature_store_attrs_and_flow_jump_reconcile(tmp_path):
+    """`sais flow` records its pair stride as a per-video H5 attr;
+    decode/assess/steps adopt it when no --flow-jump was given and
+    refuse a contradicting explicit one (a silent mismatch gathers the
+    wrong flow rows for every window)."""
+    import dataclasses as dc
+    import types
+
+    import pytest
+
+    from sais_tpu.cli.main import _reconcile_flow_jump
+    from sais_tpu.config import PipelineConfig
+    from sais_tpu.io.feature_store import FeatureStore, flow_store_path
+
+    root = str(tmp_path)
+    with FeatureStore(flow_store_path(root), "w") as fs:
+        fs.write_video("v", np.ones((4, 4), np.float32),
+                       attrs={"flow_jump": 30})
+        fs.write_video("old", np.ones((4, 4), np.float32))
+    with FeatureStore(flow_store_path(root)) as fs:
+        assert fs.video_attr("v", "flow_jump") == 30
+        assert fs.video_attr("old", "flow_jump") is None
+        assert fs.video_attr("missing", "flow_jump") is None
+
+    cfg = PipelineConfig()
+    cfg = dc.replace(cfg, model=dc.replace(cfg.model,
+                                           modalities="RGB-Flow"))
+    assert cfg.window.flow_jump_factor == 15
+    # no explicit flag -> adopt the recorded stride
+    args = types.SimpleNamespace(path=root, flow_jump=None)
+    assert _reconcile_flow_jump(cfg, args, "v").window.flow_jump_factor == 30
+    # attr-less legacy store -> flags untouched
+    assert _reconcile_flow_jump(cfg, args,
+                                "old").window.flow_jump_factor == 15
+    # explicit contradicting flag -> refuse loudly
+    args2 = types.SimpleNamespace(path=root, flow_jump="15")
+    with pytest.raises(SystemExit):
+        _reconcile_flow_jump(cfg, args2, "v")
+    # explicit AGREEING flag passes through (stride already equal)
+    cfg30 = dc.replace(cfg, window=dc.replace(cfg.window,
+                                              flow_jump_factor=30))
+    assert _reconcile_flow_jump(cfg30, args2,
+                                "v").window.flow_jump_factor == 30
+    # RGB-only decode never opens the flow store
+    cfg_rgb = dc.replace(cfg, model=dc.replace(cfg.model,
+                                               modalities="RGB"))
+    assert _reconcile_flow_jump(
+        cfg_rgb, types.SimpleNamespace(path=str(tmp_path / "nowhere"),
+                                       flow_jump=None),
+        "v").window.flow_jump_factor == 15
+
+
 def test_decode_refuses_missing_flow_for_flow_modalities():
     """A zero-substituted flow stream would silently skew probabilities
     (the flow branch still contributes CLS/pos-emb features); the decoder
