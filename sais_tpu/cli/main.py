@@ -729,16 +729,6 @@ def cmd_pretrain(args):
                       batch_size=bs, n_local_crops=args.local_crops,
                       warmup_epochs=min(10, max(args.nepochs // 10, 0)),
                       drop_path_rate=args.drop_path)
-    def _jpeg_dir_batches(d, n):
-        from sais_tpu.io.video import read_frame_dir
-        buf = []
-        for frame in read_frame_dir(d):   # names corrupt files, RGB order
-            buf.append(frame)
-            if len(buf) == n:
-                yield np.stack(buf)
-                buf = []
-        if buf:
-            yield np.stack(buf)
 
     def _frame_count(v):
         if args.source == "flows":
@@ -746,12 +736,18 @@ def cmd_pretrain(args):
         with VideoReader(v) as r:   # release the capture: summing over
             return r.frame_count    # hundreds of mp4s would pile up FDs
 
-    def _batches(v, n):
+    def _source(v):
+        """Sequential frame iterator for one video / frame dir."""
         if args.source == "flows":
-            yield from _jpeg_dir_batches(v, n)
+            from sais_tpu.io.video import read_frame_dir
+
+            def it():
+                yield from read_frame_dir(v)   # skips corrupt, RGB order
         else:
-            with VideoReader(v) as r:
-                yield from r.batches(n)
+            def it():
+                with VideoReader(v) as r:
+                    yield from r.frames()
+        return it
 
     # rough steps/epoch from total frame count
     total = sum(_frame_count(v) for v in videos)
@@ -774,24 +770,32 @@ def cmd_pretrain(args):
         print(f"resumed from epoch {start_epoch}")
     log_path = os.path.join(outdir, "log.txt")
 
+    from sais_tpu.io.shuffle_stream import FrameShuffleStream
     from sais_tpu.ops.augment import center_border_crop
     hf, wf = (0.8, 0.7) if args.crop_policy == "gronau" else (0.8, 0.8)
     aug = jax.jit(lambda k, x: multi_crop_batch(
         k, x, dcfg.n_global_crops, dcfg.n_local_crops,
         dcfg.global_size, dcfg.local_size))
 
+    def _border(frame):
+        # SurgDataset border removal, on the loader thread (pure slicing)
+        return center_border_crop(frame[None], hf, wf, args.trim_right)[0]
+
     for epoch in range((start_epoch or 0), args.nepochs):
         # fresh meters per epoch (main_dino builds a new MetricLogger each
         # epoch; cumulative averages would flatten the loss curve)
         logger = MetricLogger(jsonl_path=log_path)
         pending = None   # one step in flight: fetch step k-1's loss while
-        for vi, video in enumerate(videos):  # step k computes and the host
-            for bi, batch in enumerate(_batches(video, bs)):  # decodes k+1
-                if batch.shape[0] < bs:
-                    continue
-                key = jax.random.key(hash((epoch, vi, bi)) % (2 ** 31))
-                batch = center_border_crop(batch, hf, wf,
-                                           args.trim_right)
+        # globally shuffled batches, threads decoding in parallel — the
+        # reference's shuffle=True / num_workers=10 loader semantics
+        # (main_dino.py:351-359); per-epoch seed = per-epoch reshuffle
+        stream = FrameShuffleStream(
+            [_source(v) for v in videos], bs,
+            buffer_frames=args.shuffle_buffer,
+            workers=args.loader_threads, seed=epoch, transform=_border)
+        with stream:   # step k computes while workers decode ahead
+            for bi, batch in enumerate(stream.batches(drop_last=True)):
+                key = jax.random.key(hash((epoch, bi)) % (2 ** 31))
                 g, l = aug(key, jnp.asarray(batch, jnp.float32) / 255.0)
                 loss_dev = trainer.step_async(g, l)
                 if pending is not None:
@@ -1136,6 +1140,16 @@ def build_parser():
                              "--arch/--patch_size via the zoo names: "
                              "vits16/vits8/vitb16/vitb8 or their dino_* "
                              "hubconf aliases; SAIS's recipe is vits16)")
+        sp.add_argument("--loader-threads", type=int, default=4,
+                        help="parallel decode threads feeding the shuffle "
+                             "buffer (the reference DataLoader's "
+                             "num_workers=10, main_dino.py:131)")
+        sp.add_argument("--shuffle-buffer", type=int, default=1024,
+                        help="frames held in the shuffle reservoir; batches "
+                             "sample uniformly from it (approximates the "
+                             "reference's global index shuffle; >= dataset "
+                             "size makes it exact). Bounds host RAM: "
+                             "buffer * frame bytes")
         sp.add_argument("--optimizer", default="adamw",
                         choices=["adamw", "sgd", "lars"])
         sp.add_argument("--drop-path", type=float, default=0.1,
