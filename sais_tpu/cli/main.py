@@ -944,6 +944,55 @@ def cmd_port(args):
         print(f"converted native -> torch under {d}")
 
 
+def cmd_attention(args):
+    """DINO CLS-attention visualization (reference dino-main tools).
+
+    --image <path>: per-head heatmap PNGs (+ mass-threshold masks with
+    --attn-threshold) like visualize_attention.py:179-213.
+    -f <videoname>: attention-overlay mp4 like video_generation.py.
+    """
+    import jax.numpy as jnp
+    from sais_tpu.ops.preprocess import preprocess_batch
+
+    cfg = _pipeline_config(args)
+    vit_params = _load_vit(args, cfg)
+    outdir = os.path.join(args.path, "results")
+    os.makedirs(outdir, exist_ok=True)
+    if args.image:
+        from PIL import Image
+        from sais_tpu.eval.attention_viz import (cls_attention_maps,
+                                                 save_attention_pngs,
+                                                 threshold_masks,
+                                                 upsample_maps)
+        img = np.asarray(Image.open(args.image).convert("RGB"))
+        x = preprocess_batch(jnp.asarray(img[None]), cfg.preprocess)
+        maps = cls_attention_maps(vit_params, x, cfg.vit)
+        stem = os.path.splitext(os.path.basename(args.image))[0]
+        prefix = os.path.join(outdir, f"{stem}_attn")
+        paths = save_attention_pngs(maps, prefix, cfg.vit.patch_size)
+        if args.attn_threshold is not None:
+            masks = upsample_maps(
+                threshold_masks(maps, args.attn_threshold),
+                cfg.vit.patch_size)
+            for h in range(masks.shape[1]):
+                mp = f"{prefix}_mask_th{args.attn_threshold}_head{h}.png"
+                Image.fromarray(
+                    (masks[0, h] * 255).astype(np.uint8)).save(mp)
+                paths.append(mp)
+        print(f"wrote {len(paths)} maps under {prefix}_*.png")
+        return
+    if not args.videoname:
+        sys.exit("sais attention: --image <path> or -f <videoname> "
+                 "is required")
+    from sais_tpu.eval.video_generation import attention_video
+    video_path = os.path.join(args.path, "videos", args.videoname + ".mp4")
+    dest = os.path.join(outdir, f"{args.videoname}_attention.mp4")
+    n = attention_video(vit_params, cfg.vit, video_path, dest,
+                        pre=cfg.preprocess, batch_size=args.batch_size,
+                        alpha=args.alpha, threshold=args.attn_threshold)
+    print(f"wrote {n} frames to {dest}")
+
+
 def build_parser():
     p = argparse.ArgumentParser(prog="sais")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -953,12 +1002,14 @@ def build_parser():
                      ("assess", cmd_assess), ("steps", cmd_steps),
                      ("train", cmd_train), ("pretrain", cmd_pretrain),
                      ("eval", cmd_eval), ("port", cmd_port),
-                     ("serve", cmd_serve), ("request", cmd_request)]:
+                     ("serve", cmd_serve), ("request", cmd_request),
+                     ("attention", cmd_attention)]:
         sp = sub.add_parser(name)
         sp.set_defaults(fn=fn)
         sp.add_argument("-f", "--videoname",
                         required=(name not in ("train", "pretrain", "eval",
-                                               "port", "serve", "request")))
+                                               "port", "serve", "request",
+                                               "attention")))
         sp.add_argument("--socket", default="/tmp/sais.sock")
         sp.add_argument("--rpc", choices=["ping", "shutdown", "stats"])
         sp.add_argument("-p", "--path", default=".")
@@ -974,6 +1025,21 @@ def build_parser():
                         help="flow pair stride: frames, or 'auto' = "
                              "fps // 2 (per-video fps tables, "
                              "extract_representations.py:437-463)")
+        # attention visualization (visualize_attention.py /
+        # video_generation.py equivalents)
+        sp.add_argument("--image", default=None,
+                        help="attention: visualize one image instead of a "
+                             "video (per-head heatmap PNGs, reference "
+                             "visualize_attention.py --image_path)")
+        sp.add_argument("--attn-threshold", type=float, default=None,
+                        help="attention: also write the mass-threshold "
+                             "masks keeping this fraction of attention "
+                             "(visualize_attention.py --threshold, "
+                             "reference value 0.6); on videos, masks the "
+                             "heat overlay")
+        sp.add_argument("--alpha", type=float, default=0.5,
+                        help="attention video: overlay blend weight "
+                             "(video_generation.py default)")
         sp.add_argument("--flow-warmup", default=None, metavar="HxW",
                         help="serve: pre-compile the fused dual-stream "
                              "program for this video resolution (e.g. "

@@ -173,3 +173,26 @@ def test_platform_override_env(monkeypatch):
         assert jax.config.jax_platforms == "cpu"
     finally:
         jax.config.update("jax_platforms", prev)
+
+
+def test_attention_cli_image_and_masks(tmp_path, capsys):
+    """`sais attention --image` writes per-head heatmaps + mass-threshold
+    masks (reference visualize_attention.py:179-213 outputs)."""
+    from PIL import Image
+
+    root = str(tmp_path)
+    img = np.random.default_rng(0).integers(0, 255, (96, 128, 3),
+                                            dtype=np.uint8)
+    Image.fromarray(img).save(os.path.join(root, "frame.png"))
+    _main(["attention", "--image", os.path.join(root, "frame.png"),
+           "-p", root, "--random-init", "--attn-threshold", "0.6",
+           "--dtype", "float32"])
+    out = capsys.readouterr().out
+    assert "wrote" in out
+    results = os.listdir(os.path.join(root, "results"))
+    heads = [f for f in results if "_attn_img0_head" in f]
+    masks = [f for f in results if "_mask_th0.6_head" in f]
+    assert len(heads) == 6          # ViT-S: 6 heads
+    assert len(masks) == 6
+    m = np.asarray(Image.open(os.path.join(root, "results", masks[0])))
+    assert set(np.unique(m)) <= {0, 255}   # binary mass mask
