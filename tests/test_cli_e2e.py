@@ -155,6 +155,41 @@ def test_cli_pretrain_e2e_and_resume(tmp_path, monkeypatch, capsys):
     assert "resumed from epoch 1" in capsys.readouterr().out
 
 
+def test_cli_pretrain_data_parallel_mesh(tmp_path, monkeypatch):
+    """`sais pretrain --data-parallel` through the CLI on the 8-virtual-
+    device CPU mesh: shuffle-loader batches shard over the mesh and the
+    dp DINO step runs (the reference's DDP pretrain, main_dino.py:351,
+    as one jit program)."""
+    import cv2
+    import jax
+
+    from sais_tpu.config import ViTConfig
+    from sais_tpu.models import zoo
+
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs the 8-device CPU mesh")
+    root = str(tmp_path)
+    os.makedirs(os.path.join(root, "videos"))
+    rng = np.random.default_rng(4)
+    for name in ("a", "b"):
+        path = os.path.join(root, "videos", f"{name}.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 30,
+                            (80, 64))
+        for _ in range(16):
+            w.write(rng.integers(0, 255, (64, 80, 3), dtype=np.uint8))
+        w.release()
+
+    tiny = ViTConfig(image_size=224, patch_size=32, embed_dim=32, depth=1,
+                     num_heads=2)
+    monkeypatch.setitem(zoo.CONFIGS, "vits16", tiny)
+    _main(["pretrain", "-p", root, "-bs", "8", "-e", "1",
+           "--out-dim", "32", "--local-crops", "2", "--data-parallel",
+           "--loader-threads", "2"])
+    with open(os.path.join(root, "pretrain", "log.txt")) as f:
+        assert len(f.read().strip().splitlines()) == 1
+
+
 def test_platform_override_env(monkeypatch):
     """SAIS_PLATFORM pins jax_platforms via config.update — the only
     override that beats a sitecustomize-registered PJRT plugin (env
