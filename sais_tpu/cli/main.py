@@ -194,6 +194,9 @@ def _reconcile_flow_jump(cfg, args, videoname: str):
         return cfg
     stored = int(stored)
     if cfg.window.flow_jump_factor == stored:
+        args.flow_jump = str(stored)   # pin: consumers with their own
+        # stride fallbacks (assess's per-phase tables) must use the
+        # extraction stride, exactly as if the user passed it
         return cfg
     if getattr(args, "flow_jump", None):
         sys.exit(f"--flow-jump {cfg.window.flow_jump_factor} contradicts "
@@ -202,6 +205,7 @@ def _reconcile_flow_jump(cfg, args, videoname: str):
                  f"--flow-jump {cfg.window.flow_jump_factor}` or pass "
                  f"--flow-jump {stored}")
     print(f"flow jump {stored} (recorded by extraction)")
+    args.flow_jump = str(stored)       # pin (see above)
     import dataclasses as dc
     return dc.replace(cfg, window=dc.replace(cfg.window,
                                              flow_jump_factor=stored))
@@ -825,7 +829,10 @@ def cmd_serve(args):
     cfg = _pipeline_config(args)
     if args.flow_jump == "auto":
         sys.exit("sais serve decodes many videos with one compiled window "
-                 "config; pass an explicit --flow-jump stride")
+                 "config; pass an explicit --flow-jump stride (the daemon "
+                 "extracts flow per request at that same stride, so "
+                 "pairing and window mapping always agree — but per-video "
+                 "fps//2 parity needs one daemon per fps group)")
     cfg = _apply_flow_jump(cfg, args)
     vit_params = _load_vit(args, cfg)
     folds = _load_folds(args, cfg)

@@ -48,7 +48,9 @@ class DecodeService:
         frames = np.zeros((self.extractor.batch_size,
                            self.cfg.preprocess.resize,
                            self.cfg.preprocess.resize, 3), np.uint8)
-        self.extractor._fn_pre(self.extractor._params, frames)
+        if self.extractor.use_native_decode:
+            # pump path: preprocessed uint8 at the resize shape
+            self.extractor._fn_pre(self.extractor._params, frames)
         if self.extractor.exact_preprocess:
             # exact mode: _fn = host-PIL resample -> _fn_float at the
             # preprocess size; this call warms _fn_float's real shape

@@ -51,21 +51,39 @@ def fetch_all(arrs: Sequence[jax.Array]) -> List[np.ndarray]:
     return [np.asarray(a) for a in arrs]
 
 
-def _reap_producer(t: threading.Thread, q: "queue.Queue") -> None:
+def _reap_producer(t: threading.Thread, q: "queue.Queue",
+                   stop: Optional[threading.Event] = None) -> None:
     """Join a bounded-queue producer even when the consumer aborted
     mid-stream (device OOM, dispatch failure): a producer blocked in
     q.put on the full queue would otherwise leak the thread AND its open
     decoder handle for the life of the process — fatal for the serve
     daemon, which survives per-request failures and would accumulate one
-    stuck thread + capture FD per failing request.  Draining until the
-    thread exits unblocks it; its own finally then enqueues the None
-    sentinel and closes the container."""
+    stuck thread + capture FD per failing request.  `stop` tells the
+    producer to abandon the remaining video (without it the reap would
+    sit here discarding a full decode of a multi-hour case before the
+    caller can report its error); draining unblocks any in-flight put,
+    and the producer's own finally enqueues its sentinel."""
+    if stop is not None:
+        stop.set()
     while t.is_alive():
         try:
             q.get(timeout=0.1)
         except queue.Empty:
             pass
     t.join()
+
+
+def _put_stoppable(q: "queue.Queue", item,
+                   stop: threading.Event) -> bool:
+    """Bounded put that gives up when the consumer stopped; returns
+    False on abandonment so the producer can exit its decode loop."""
+    while not stop.is_set():
+        try:
+            q.put(item, timeout=0.1)
+            return True
+        except queue.Full:
+            continue
+    return False
 
 
 class FeatureExtractor:
@@ -195,16 +213,19 @@ class FeatureExtractor:
 
         q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=prefetch)
         producer_error: List[BaseException] = []
+        stop = threading.Event()
 
         def producer():
             try:
                 with VideoReader(video_path) as r:
                     for batch in r.batches(self.batch_size):
-                        q.put(batch)
+                        if not _put_stoppable(q, batch, stop):
+                            return   # consumer aborted; skip the rest
             except BaseException as e:  # surface decode failures to the
                 producer_error.append(e)  # consumer instead of fake EOF
             finally:
-                q.put(None)
+                _put_stoppable(q, None, stop)   # EOF sentinel (skipped
+                # when the reaper already stopped us — it drains instead)
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -219,7 +240,7 @@ class FeatureExtractor:
         try:
             out = self._drain(gen(), self._fn)
         finally:
-            _reap_producer(t, q)
+            _reap_producer(t, q, stop)
         if producer_error:
             raise producer_error[0]
         return out
@@ -428,6 +449,7 @@ class FlowExtractor:
         q: "queue.Queue[Optional[Tuple[np.ndarray, np.ndarray]]]" = \
             queue.Queue(maxsize=prefetch)
         producer_error: List[BaseException] = []
+        stop = threading.Event()
 
         def producer():
             prev = None
@@ -447,7 +469,8 @@ class FlowExtractor:
                             h, w = self.flow_resize
                             frame = cv2.resize(frame, (w, h))
                         if prev is not None:
-                            q.put((prev, frame))
+                            if not _put_stoppable(q, (prev, frame), stop):
+                                return   # consumer aborted; skip the rest
                         prev = frame
                 finally:
                     if ctx is not None:
@@ -455,7 +478,7 @@ class FlowExtractor:
             except BaseException as e:  # re-raised in the consumer: a decode
                 producer_error.append(e)  # failure must not look like EOF
             finally:
-                q.put(None)
+                _put_stoppable(q, None, stop)   # EOF sentinel
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
@@ -534,7 +557,7 @@ class FlowExtractor:
                                 n_saved += 1
                         reps_out.append(self._features.extract_array(rgb))
         finally:
-            _reap_producer(t, q)
+            _reap_producer(t, q, stop)
         if producer_error:
             raise producer_error[0]
         if fused_out:

@@ -125,6 +125,11 @@ class FrameShuffleStream:
         try:
             while live:
                 item = self._q.get()
+                if self._errors:
+                    # surface a worker's decode failure within one queue
+                    # round trip — waiting for the remaining workers to
+                    # drain every source could hide it for hours
+                    raise self._errors[0]
                 if item is None:
                     live -= 1
                     continue
@@ -134,15 +139,17 @@ class FrameShuffleStream:
                     continue
                 ready = [b for b in buckets.values()
                          if len(b) >= self.batch_size]
-                if ready:
-                    # weight by size: uniform over buffered frames
-                    bucket = self.rng.choices(
-                        ready, weights=[len(b) for b in ready])[0]
-                else:
-                    # buffer full of sub-batch resolution groups — emit a
-                    # partial from the largest to guarantee progress
-                    # (pathological many-resolution case)
-                    bucket = max(buckets.values(), key=len)
+                if not ready:
+                    # every resolution bucket is still sub-batch: let the
+                    # reservoir grow past the soft cap rather than emit a
+                    # partial batch mid-stream (a varying batch dim means
+                    # one fresh XLA compile per size, and sub-device-count
+                    # batches cannot shard).  Overshoot is bounded by
+                    # n_resolutions * (batch_size - 1) frames.
+                    continue
+                # weight by size: uniform over buffered frames
+                bucket = self.rng.choices(
+                    ready, weights=[len(b) for b in ready])[0]
                 yield self._draw(bucket)
                 buffered = sum(len(b) for b in buckets.values())
             if self._errors:

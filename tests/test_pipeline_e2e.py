@@ -253,9 +253,12 @@ def test_feature_store_attrs_and_flow_jump_reconcile(tmp_path):
     cfg = dc.replace(cfg, model=dc.replace(cfg.model,
                                            modalities="RGB-Flow"))
     assert cfg.window.flow_jump_factor == 15
-    # no explicit flag -> adopt the recorded stride
+    # no explicit flag -> adopt the recorded stride, AND pin it on args
+    # (consumers with their own stride fallbacks — assess's per-phase
+    # tables — must see it as if the user passed it)
     args = types.SimpleNamespace(path=root, flow_jump=None)
     assert _reconcile_flow_jump(cfg, args, "v").window.flow_jump_factor == 30
+    assert args.flow_jump == "30"
     # attr-less legacy store -> flags untouched
     assert _reconcile_flow_jump(cfg, args,
                                 "old").window.flow_jump_factor == 15

@@ -70,6 +70,49 @@ def test_mixed_resolutions_never_batch_together():
         assert len(tags) == 1             # resolution == source here
 
 
+def test_no_partial_batches_mid_stream():
+    """With many sub-batch resolution groups the reservoir grows past the
+    soft cap instead of emitting partial batches (a varying batch dim
+    would recompile the jitted step per size and break dp sharding)."""
+    sources = [_const_source(t, 12, 8, 8 + t) for t in range(1, 6)]
+    stream = FrameShuffleStream(sources, batch_size=16, buffer_frames=16,
+                                workers=2, seed=0)
+    full = list(stream.batches(drop_last=True))
+    assert full == []                     # every group < 16 frames
+    sources = [_const_source(t, 12, 8, 8 + t) for t in range(1, 6)]
+    stream = FrameShuffleStream(sources, batch_size=16, buffer_frames=16,
+                                workers=2, seed=0)
+    tails = list(stream.batches(drop_last=False))
+    assert len(tails) == 5                # one tail per resolution, at END
+    assert {b.shape[0] for b in tails} == {12}
+
+
+def test_worker_error_surfaces_promptly():
+    """A dead worker aborts the epoch within one queue round trip — not
+    after the remaining workers drain every other source."""
+    def bad():
+        raise RuntimeError("decoder died")
+        yield  # pragma: no cover
+
+    def slow(tag, n):
+        def it():
+            for i in range(n):
+                time.sleep(0.01)           # ~100 s per source if drained
+                f = np.zeros((8, 8, 3), np.uint8)
+                f[0, 0, 0] = tag
+                yield f
+        return it
+
+    stream = FrameShuffleStream([bad, slow(1, 10_000), slow(2, 10_000)],
+                                batch_size=8, buffer_frames=1 << 20,
+                                workers=3, seed=0)
+    t0 = time.time()
+    with pytest.raises(RuntimeError, match="decoder died"):
+        for _ in stream.batches(drop_last=False):
+            pass
+    assert time.time() - t0 < 20
+
+
 def test_worker_error_propagates():
     def bad():
         yield np.zeros((8, 8, 3), np.uint8)
