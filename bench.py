@@ -153,6 +153,46 @@ def bench_dino_train(batch: int = 64, n_steps: int = 20):
     return img_s, mfu
 
 
+def bench_flash(b: int = 8, l: int = 2000, n: int = 30):
+    """Temporal-model long-sequence speedup: flash vs dense
+    prototypes_forward at the reference's 2000-frame-cap regime
+    (prepare_dataset.py:2437).  Returns (dense_ms, flash_ms, speedup).
+    The flash path also avoids materializing the (B*S, H, L, L) dense
+    attention weights (~513 MB of HBM at these shapes)."""
+    import dataclasses
+    import functools
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sais_tpu.config import ModelConfig
+    from sais_tpu.models.full_model import full_model_init, prototypes_forward
+
+    def cfg(flash):
+        m = ModelConfig(modalities="RGB")
+        return dataclasses.replace(
+            m, temporal=dataclasses.replace(m.temporal, use_flash=flash))
+
+    params = full_model_init(jax.random.key(0), cfg(False))
+    rgb = jax.random.normal(jax.random.key(1), (b, 1, l, 384), jnp.float32)
+    mask = jnp.zeros((b, 1, l + 1), bool)
+
+    def timed(flash):
+        fn = jax.jit(functools.partial(prototypes_forward, cfg=cfg(flash)))
+        out = fn(params, rgb=rgb, rgb_mask=mask)
+        np.asarray(jnp.sum(out.video_rep))            # compile + sync
+        t0 = time.time()
+        for _ in range(n):
+            out = fn(params, rgb=rgb, rgb_mask=mask)
+        np.asarray(jnp.sum(out.video_rep))
+        return (time.time() - t0) / n * 1e3
+
+    dense_ms = timed(False)
+    flash_ms = timed(True)
+    return dense_ms, flash_ms, dense_ms / flash_ms
+
+
 def bench_e2e_compute_dual(seconds_of_video: int = 60, fps: int = 30):
     """Compute-only DUAL-STREAM e2e (BASELINE config 2): device-staged
     frames -> RGB reps (preprocess+ViT) AND flow reps (fused RAFT ->
@@ -315,18 +355,20 @@ def bench_e2e(seconds_of_video: int = 20):
 
 
 def main():
-    fps = bench_features()
-    flops = vit_s16_flops_per_frame()
     peak = float(os.environ.get("SAIS_TPU_PEAK_TFLOPS", "197"))
-    tflops = fps * flops / 1e12
-
     out = {
         "metric": "dino_vit_s16_feature_extraction",
-        "value": round(fps, 1),
+        "value": 0.0,
         "unit": "frames/s/chip",
-        "tflops": round(tflops, 1),
-        "mfu": round(tflops / peak, 3),
     }
+    fps = 0.0
+    try:
+        fps = bench_features()
+        tflops = fps * vit_s16_flops_per_frame() / 1e12
+        out.update(value=round(fps, 1), tflops=round(tflops, 1),
+                   mfu=round(tflops / peak, 3))
+    except Exception as e:   # keep reporting the other metrics
+        out["features_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("SAIS_BENCH_E2E", "1") != "0":
         try:
             out["e2e_video_min_per_s"] = round(bench_e2e(), 3)
@@ -349,6 +391,14 @@ def main():
             out["raft_ms_per_pair"] = round(bench_raft(), 2)
         except Exception as e:
             out["raft_error"] = f"{type(e).__name__}: {e}"
+    if os.environ.get("SAIS_BENCH_FLASH", "1") != "0":
+        try:
+            dense_ms, flash_ms, speedup = bench_flash()
+            out["flash_l2000_dense_ms"] = round(dense_ms, 2)
+            out["flash_l2000_ms"] = round(flash_ms, 2)
+            out["flash_l2000_speedup"] = round(speedup, 2)
+        except Exception as e:
+            out["flash_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("SAIS_BENCH_TRAIN", "1") != "0":
         try:
             img_s, mfu = bench_dino_train()
