@@ -761,6 +761,12 @@ def cmd_pretrain(args):
         from sais_tpu.config import MeshConfig
         from sais_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(MeshConfig())
+        ndev = mesh.devices.size
+        if bs % ndev:
+            # fail at the CLI instead of a mid-epoch shard error: every
+            # loader batch is exactly -bs frames and must split evenly
+            sys.exit(f"-bs {bs} does not divide over the {ndev}-device "
+                     f"mesh; use a multiple of {ndev}")
     from sais_tpu.models import zoo
     vit_cfg = zoo.config(args.arch)
     trainer = DINOTrainer(vit_cfg, dcfg, niter_per_ep=niter,
