@@ -406,6 +406,15 @@ def main():
             out["dino_train_mfu"] = round(mfu, 3)
         except Exception as e:
             out["train_error"] = f"{type(e).__name__}: {e}"
+        # batch-scaling point, guarded separately (a larger per-chip batch
+        # may raise MFU — or exceed HBM; either way keep the b64 number)
+        for b in (128,):
+            try:
+                img_s, mfu = bench_dino_train(batch=b)
+                out[f"dino_train_img_per_s_b{b}"] = round(img_s, 1)
+                out[f"dino_train_mfu_b{b}"] = round(mfu, 3)
+            except Exception as e:
+                out[f"train_b{b}_error"] = f"{type(e).__name__}: {e}"
 
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "bench_baseline.json")) as f:
