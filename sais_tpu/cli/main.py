@@ -853,9 +853,13 @@ def cmd_serve(args):
     print("warming up (compiling)...")
     svc.warmup()
     if getattr(args, "flow_warmup", None):
-        h, w = (int(x) for x in args.flow_warmup.split("x"))
-        print(f"pre-compiling flow path for {h}x{w}...")
-        svc.warmup_flow(h, w)
+        # one or more HxW resolutions (comma-separated): a deployment
+        # serving several camera formats pre-compiles each fused flow
+        # program instead of paying the first request's compile per format
+        for res in args.flow_warmup.split(","):
+            h, w = (int(x) for x in res.strip().split("x"))
+            print(f"pre-compiling flow path for {h}x{w}...")
+            svc.warmup_flow(h, w)
     serve(svc, args.socket)
 
 
@@ -1053,7 +1057,7 @@ def build_parser():
         sp.add_argument("--alpha", type=float, default=0.5,
                         help="attention video: overlay blend weight "
                              "(video_generation.py default)")
-        sp.add_argument("--flow-warmup", default=None, metavar="HxW",
+        sp.add_argument("--flow-warmup", default=None, metavar="HxW[,HxW...]",
                         help="serve: pre-compile the fused dual-stream "
                              "program for this video resolution (e.g. "
                              "240x320) so the first flow request pays no "
