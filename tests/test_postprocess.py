@@ -124,3 +124,66 @@ def test_interval_pred_uses_argmax_not_threshold():
     grp = df[df["Gesture"] == "a"]
     assert len(grp) == 1
     assert grp.iloc[0]["pred"] == "b"  # threshold rule would have said 'a'
+
+
+def _reference_full_decode(probs, starts, ends, cfg):
+    """Literal pandas transcription of the reference __main__ flow
+    (process_inference_results.py:230-255): getPreds(threshold=0.515) ->
+    per-gesture entropy filter -> groupPredictionIntervals ->
+    getGestures (label-sliced member mean + argmax re-pred)."""
+    class_cols = list(range(probs.shape[1]))
+    names = list(cfg.class_names)
+    df = pd.DataFrame(probs)
+    df["StartFrame"] = starts
+    df["EndFrame"] = ends
+    df["Entropy"] = df[class_cols].apply(
+        lambda p: -np.sum(p * np.log(p)), axis=1)
+    df["pred"] = df[class_cols[-1]].apply(
+        lambda p: int(p > cfg.decision_threshold)).map(dict(enumerate(names)))
+    rows = []
+    for gesture in names:
+        curr = df[df["pred"] == gesture]
+        curr = curr[curr["Entropy"] <= cfg.entropy_threshold]
+        if not len(curr):
+            continue
+        s_idx, e_idx = reference_group_intervals(list(curr.index),
+                                                 cfg.merge_gap_s)
+        for si, ei in zip(s_idx, e_idx):
+            mean = curr.loc[si:ei, class_cols].mean()   # filtered members
+            rows.append((
+                gesture,
+                int(curr.loc[si, "StartFrame"]),
+                int(curr.loc[ei, "EndFrame"]),
+                tuple(np.round(mean.to_numpy(), 9)),
+                names[int(np.argmax(mean.to_numpy()))],
+                round(float(-np.sum(mean.to_numpy()
+                                    * np.log(mean.to_numpy()))), 9),
+            ))
+    return rows
+
+
+def test_decode_gesture_intervals_fuzz_vs_reference():
+    """Full-path fuzz: random window prob tables through
+    decode_gesture_intervals must reproduce the literal reference flow —
+    grouping quirks, filtered-member means, argmax re-pred, entropy."""
+    from sais_tpu.infer.postprocess import decode_gesture_intervals
+
+    rng = np.random.default_rng(11)
+    for case in range(300):
+        n = int(rng.integers(1, 40))
+        # mix confident and near-uniform rows so the entropy filter and
+        # both pred classes all trigger; keep probs away from exact 0
+        alpha = rng.choice([0.3, 1.0, 5.0])
+        probs = rng.dirichlet((alpha, alpha), size=n)
+        probs = np.clip(probs, 1e-6, None)
+        probs /= probs.sum(1, keepdims=True)
+        starts = np.arange(n) * 15
+        ends = starts + 15
+        df = decode_gesture_intervals(probs, starts, ends, "v", CFG)
+        got = sorted(
+            (r["Gesture"], int(r["StartFrame"]), int(r["EndFrame"]),
+             tuple(np.round([r[c] for c in range(2)], 9)), r["pred"],
+             round(float(r["Entropy"]), 9))
+            for _, r in df.iterrows())
+        ref = sorted(_reference_full_decode(probs, starts, ends, CFG))
+        assert got == ref, f"case {case} (n={n})"
