@@ -94,3 +94,28 @@ def test_tta_batches_layout_and_masks():
     # masked flow slots are zeroed
     assert (b0.flow[~np.broadcast_to(
         (~b0.flow_mask[:, :, 1:, None]), b0.flow.shape)] == 0).all()
+
+
+def test_window_and_flow_index_fuzz():
+    """Random video lengths / flow-store sizes through the whole window
+    index math vs the literal reference formulas (manifest rows, per-TTA
+    stride sampling with the -1 wrap, unique//jump flow rows clipped to
+    the store)."""
+    rng = np.random.default_rng(5)
+    for _ in range(200):
+        n = int(rng.integers(15, 4000))
+        m = build_window_manifest("v", n, CFG)
+        s, e = reference_window_rows(n)
+        assert m.start_frames.tolist() == s
+        assert m.end_frames.tolist() == e
+        off = int(rng.choice([0, 3, 6]))
+        ours = window_frame_indices(m, CFG, off)
+        for w in rng.choice(len(m), size=min(8, len(m)), replace=False):
+            ref = reference_indices(m.start_frames[w], m.end_frames[w], off)
+            assert ours[w].tolist() == ref, (n, off, w)
+        nflows = int(rng.integers(1, max(n // 15, 2)))
+        fi = window_frame_indices(m, CFG, 0)
+        idx, valid = flow_indices_for(fi, nflows, CFG)
+        for w in rng.choice(len(m), size=min(8, len(m)), replace=False):
+            ref = [i for i in np.unique(fi[w] // 15) if i < nflows]
+            assert idx[w][valid[w]].tolist() == ref, (n, nflows, w)
