@@ -130,7 +130,7 @@ def _extract_mesh(args):
 
 def _pipeline_config(args):
     import dataclasses
-    from sais_tpu.config import PipelineConfig, ModelConfig
+    from sais_tpu.config import PipelineConfig
     cfg = PipelineConfig()
     cfg = dataclasses.replace(
         cfg, model=dataclasses.replace(cfg.model, modalities=args.modalities),

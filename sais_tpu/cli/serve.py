@@ -13,7 +13,6 @@ daemon pays it once).  Protocol: JSON lines over a Unix domain socket —
 
 from __future__ import annotations
 
-import dataclasses
 import json
 import os
 import socket

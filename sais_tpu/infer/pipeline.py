@@ -24,8 +24,8 @@ import numpy as np
 import pandas as pd
 
 from sais_tpu.config import PipelineConfig
-from sais_tpu.data.windows import (TTABatch, WindowManifest,
-                                   build_tta_batches, build_window_manifest)
+from sais_tpu.data.windows import (TTABatch, build_tta_batches,
+                                   build_window_manifest)
 from sais_tpu.infer.postprocess import decode_gesture_intervals, ensemble_probs
 from sais_tpu.io.video import VideoReader
 from sais_tpu.models.full_model import prototypes_forward

@@ -20,11 +20,9 @@ import numpy as np
 import pandas as pd
 
 from sais_tpu.config import PipelineConfig
-from sais_tpu.data.tasks import (RACE_POLICIES, SamplingPolicy,
-                                 policy_indices, race_window,
-                                 step_window_manifest)
-from sais_tpu.data.windows import build_tta_batches, flow_indices_for
 from sais_tpu.config import VUA_FPS_TABLE
+from sais_tpu.data.tasks import (policy_indices, race_window,
+                                 step_window_manifest)
 from sais_tpu.models.full_model import prototypes_forward
 from sais_tpu.models.heads import prototype_probs
 
