@@ -243,3 +243,37 @@ def test_prototypes_forward_multitask_params_mismatch_raises():
     with pytest.raises(ValueError, match="linearB"):
         prototypes_forward(params, cfg, rgb, mask, None, None,
                            primary_domain=jnp.array([True, False]))
+
+
+def test_prototypes_forward_shape_fuzz_vs_torch():
+    """Parity across random (batch, snippets, frames, pad lengths, seeds):
+    the fixed-geometry tests above pin one shape; this sweeps the shape
+    space the collator's buckets can produce, including minimum-length
+    rows and frames == pos-table capacity."""
+    rng = np.random.default_rng(9)
+    for case in range(25):
+        b = int(rng.integers(1, 5))
+        s = int(rng.integers(1, 3))
+        f = int(rng.integers(2, POS))          # pos table has POS slots
+        seed = int(rng.integers(0, 1000))
+        gen, sd, params = _sd_and_params(seed)
+        x = torch.randn(b, s, f, DIM, generator=gen)
+        lens = torch.randint(1, f + 1, (b,), generator=gen)
+        pad = torch.zeros(b, s, f + 1, dtype=torch.bool)
+        for i, ln in enumerate(lens):
+            pad[i, :, ln + 1:] = True
+        g_rep, g_logits, g_attn, g_imp = golden_prototypes_forward(
+            sd, x, pad, None, None, layers=LAYERS, heads=HEADS,
+            importance=True)
+        cfg = _cfg(modalities="RGB", importance_head=True)
+        out = prototypes_forward(params, cfg, jnp.asarray(x.numpy()),
+                                 jnp.asarray(pad.numpy()))
+        np.testing.assert_allclose(np.asarray(out.video_rep), g_rep.numpy(),
+                                   rtol=5e-4, atol=1e-4,
+                                   err_msg=f"case {case} b{b} s{s} f{f}")
+        np.testing.assert_allclose(np.asarray(out.attn), g_attn.numpy(),
+                                   rtol=5e-4, atol=1e-4,
+                                   err_msg=f"case {case}")
+        np.testing.assert_allclose(np.asarray(out.importances),
+                                   g_imp.numpy(), rtol=5e-4, atol=1e-4,
+                                   err_msg=f"case {case}")
