@@ -382,3 +382,39 @@ def test_full_pipeline_golden_csv():
         np.testing.assert_allclose(
             np.asarray([got[c] for c in range(2)], np.float64),
             row["probs"], atol=1e-3)
+
+
+def test_vit_geometry_fuzz_vs_real_reference_module(ref_vits):
+    """Weight-port + forward parity across random ViT geometries (patch
+    size, depth, heads, width, input resolution incl. non-train sizes
+    that trigger the bicubic pos-embed interpolation) — the fixed tests
+    above pin two geometries; hubconf's zoo spans many."""
+    rng = np.random.default_rng(17)
+    for case in range(8):
+        heads = int(rng.choice([2, 3, 4]))
+        dim = heads * int(rng.choice([32, 64]))
+        depth = int(rng.integers(1, 5))
+        patch = int(rng.choice([8, 16]))
+        train_size = 224
+        in_size = int(rng.choice([train_size, 96, 160]))
+        if in_size % patch:
+            in_size = (in_size // patch) * patch
+        torch.manual_seed(100 + case)
+        m = ref_vits.VisionTransformer(
+            img_size=[train_size], patch_size=patch, embed_dim=dim,
+            depth=depth, num_heads=heads, mlp_ratio=4, qkv_bias=True,
+            norm_layer=lambda d: torch.nn.LayerNorm(d, eps=1e-6))
+        m.eval()
+        gen = torch.Generator().manual_seed(case)
+        imgs = torch.randn(2, 3, in_size, in_size, generator=gen)
+        with torch.no_grad():
+            ref = m(imgs)
+        cfg = ViTConfig(image_size=train_size, patch_size=patch,
+                        embed_dim=dim, depth=depth, num_heads=heads)
+        params = vit_params_from_torch(m.state_dict())
+        ours, _ = vit_forward(
+            params, jnp.asarray(imgs.numpy().transpose(0, 2, 3, 1)), cfg)
+        np.testing.assert_allclose(
+            np.asarray(ours), ref.numpy(), rtol=2e-3, atol=2e-4,
+            err_msg=f"case {case}: p{patch} d{depth} h{heads} "
+                    f"dim{dim} in{in_size}")
