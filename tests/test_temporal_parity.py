@@ -277,3 +277,36 @@ def test_prototypes_forward_shape_fuzz_vs_torch():
         np.testing.assert_allclose(np.asarray(out.importances),
                                    g_imp.numpy(), rtol=5e-4, atol=1e-4,
                                    err_msg=f"case {case}")
+
+
+def test_nce_loss_fuzz_vs_golden():
+    """NCE loss + prototype softmax across random batch sizes, prototype
+    counts, dims, and label patterns (incl. unmatched labels hitting the
+    string-match column-0 quirk)."""
+    rng = np.random.default_rng(21)
+    for case in range(30):
+        b = int(rng.integers(1, 12))
+        k = int(rng.integers(2, 6))
+        d = int(rng.choice([16, 32, 64]))
+        gen = torch.Generator().manual_seed(case)
+        reps = torch.randn(b, d, generator=gen)
+        proto = {str(i): torch.rand(1, d, generator=gen) for i in range(k)}
+        labels = [int(rng.integers(0, k + 2)) for _ in range(b)]  # some
+        # labels beyond k-1 match no key -> column 0 (the quirk)
+        keys, mat = prototypes_from_torch(proto)
+        g_loss = golden_nce_loss(reps, torch.vstack(list(proto.values())),
+                                 keys, labels)
+        cols = heads.labels_to_prototype_columns(labels, keys)
+        loss = heads.nce_loss(jnp.asarray(reps.numpy()), mat,
+                              jnp.asarray(cols))
+        np.testing.assert_allclose(float(loss), float(g_loss), rtol=1e-5,
+                                   err_msg=f"case {case} b{b} k{k} d{d}")
+        p = torch.vstack(list(proto.values()))
+        p = p / p.norm(dim=1, keepdim=True)
+        s = reps / reps.norm(dim=1, keepdim=True)
+        g_probs = torch.exp(s @ p.T)
+        g_probs = g_probs / g_probs.sum(dim=1, keepdim=True)
+        probs = heads.prototype_probs(jnp.asarray(reps.numpy()), mat)
+        np.testing.assert_allclose(np.asarray(probs), g_probs.numpy(),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"case {case}")
