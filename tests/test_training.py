@@ -235,3 +235,37 @@ def test_importance_loss_ignores_padded_rows():
         x, jnp.asarray(imp_p), jnp.asarray(ipad_p),
         jnp.asarray(labels_p), weight=w))(jnp.asarray(oi_p))
     np.testing.assert_array_equal(np.asarray(g[-1]), 0.0)
+
+
+def test_importance_loss_fuzz_vs_reference():
+    """calcImportanceLoss quirk across random shapes, pad patterns, and
+    label mixes (incl. the all-high-skill empty-selection edge, where the
+    reference's mean-of-empty would be nan and we return 0)."""
+    from sais_tpu.train.losses import importance_loss_reference
+
+    rng = np.random.default_rng(23)
+    for case in range(40):
+        b = int(rng.integers(1, 6))
+        s = int(rng.integers(1, 3))
+        f = int(rng.integers(2, 10))
+        gen = torch.Generator().manual_seed(case)
+        scores = torch.randn(b, s, f + 1, 1, generator=gen)
+        targets = torch.rand(b, s, f, generator=gen)
+        ipad = torch.zeros(b, s, f + 1, dtype=torch.bool)
+        for i in range(b):
+            ln = int(rng.integers(1, f + 1))
+            ipad[i, :, ln + 1:] = True
+        labels = torch.tensor([int(rng.integers(0, 3)) for _ in range(b)])
+
+        crit = torch.nn.BCEWithLogitsLoss(reduction="none")
+        loss = crit(scores[:, :, 1:, 0], targets)
+        loss = torch.mean(loss)
+        loss = loss * (~ipad)[:, :, :-1]
+        low = np.where(labels.numpy() == 0)[0]
+        ref = float(torch.mean(loss[low, :].float())) if len(low) else 0.0
+
+        ours = float(importance_loss_reference(
+            jnp.asarray(scores.numpy()), jnp.asarray(targets.numpy()),
+            jnp.asarray(ipad.numpy()), jnp.asarray(labels.numpy())))
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7,
+                                   err_msg=f"case {case} b{b} s{s} f{f}")
