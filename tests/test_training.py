@@ -269,3 +269,62 @@ def test_importance_loss_fuzz_vs_reference():
             jnp.asarray(ipad.numpy()), jnp.asarray(labels.numpy())))
         np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-7,
                                    err_msg=f"case {case} b{b} s{s} f{f}")
+
+
+def test_prototype_metrics_fuzz_vs_reference():
+    """calcNCEMetrics parity across random reps/prototype/label/TTA
+    configurations (prepare_miscellaneous.py:97-161): TTA prob-mean then
+    argmax, string-matched label columns, macro P/R, ovr AUC with the
+    try/except -> NaN path (single-class label draws)."""
+    from sklearn.metrics import precision_score, recall_score, roc_auc_score
+
+    from sais_tpu.models.heads import (labels_to_prototype_columns,
+                                       prototype_probs)
+    from sais_tpu.train.metrics import prototype_metrics
+
+    rng = np.random.default_rng(29)
+    for case in range(30):
+        b = int(rng.integers(1, 10))
+        k = int(rng.integers(2, 5))
+        d = 16
+        n_tta = int(rng.choice([1, 3]))
+        gen = torch.Generator().manual_seed(case)
+        keys = [str(i) for i in range(k)]
+        proto = torch.rand(k, d, generator=gen)
+        reps = [torch.randn(b, d, generator=gen) for _ in range(n_tta)]
+        labels = [int(rng.integers(0, k)) for _ in range(b)]
+
+        # literal reference math
+        p_norm = proto / proto.norm(dim=1, keepdim=True)
+        probs_sum = torch.zeros(b, k)
+        for r in reps:
+            s = r / r.norm(dim=1, keepdim=True)
+            e = torch.exp(s @ p_norm.T)
+            probs_sum += e / e.sum(1, keepdim=True)
+        probs = (probs_sum / n_tta).numpy()
+        cols = np.argmax(
+            np.array(keys)[None, :].repeat(b, 0)
+            == np.array([str(l) for l in labels])[:, None].repeat(k, 1), 1)
+        preds = probs.argmax(1)
+        ref_acc = float((preds == cols).mean())
+        ref_prec = precision_score(cols, preds, average="macro",
+                                   zero_division=0)
+        ref_rec = recall_score(cols, preds, average="macro",
+                               zero_division=0)
+        try:
+            ref_auc = roc_auc_score(cols, probs[:, -1] if k == 2 else probs,
+                                    multi_class="ovr")
+        except Exception:
+            ref_auc = float("nan")
+
+        tta_probs = [np.asarray(prototype_probs(
+            jnp.asarray(r.numpy()), jnp.asarray(proto.numpy())))
+            for r in reps]
+        got = prototype_metrics(tta_probs, labels, keys)
+        assert abs(got["acc"] - ref_acc) < 1e-6, case
+        assert abs(got["precision"] - ref_prec) < 1e-6, case
+        assert abs(got["recall"] - ref_rec) < 1e-6, case
+        if np.isnan(ref_auc):
+            assert np.isnan(got["auc"]), case
+        else:
+            assert abs(got["auc"] - ref_auc) < 1e-5, case
