@@ -354,9 +354,38 @@ def bench_e2e(seconds_of_video: int = 20):
     return (seconds_of_video / 60.0) / dt
 
 
+def backend_alive(timeout_s: float) -> bool:
+    """Probe jax backend init in a SUBPROCESS with a hard timeout.
+
+    When the remote-TPU tunnel is down, ``jax.devices()`` blocks forever
+    inside the PJRT plugin — no exception ever fires, so the per-section
+    try/excepts in main() cannot save the run.  Probing in a child process
+    (which inherits JAX_PLATFORMS) lets us kill the hang and report an
+    honest failure line instead of hanging the caller's bench window.
+    """
+    import subprocess
+    import sys
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; jax.devices()"],
+            timeout=timeout_s, capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     peak = float(os.environ.get("SAIS_TPU_PEAK_TFLOPS", "197"))
     t_start = time.time()
+    init_timeout = float(os.environ.get("SAIS_BENCH_INIT_TIMEOUT", "600"))
+    if init_timeout > 0 and not backend_alive(init_timeout):
+        print(json.dumps({
+            "metric": "dino_vit_s16_feature_extraction", "value": 0.0,
+            "unit": "frames/s/chip", "vs_baseline": 0.0,
+            "error": ("backend_init_timeout: jax device init did not "
+                      f"complete within {init_timeout:.0f}s (TPU tunnel "
+                      "down?)")}))
+        return
     budget = float(os.environ.get("SAIS_BENCH_BUDGET_SECS", "1500"))
 
     def over_budget():
