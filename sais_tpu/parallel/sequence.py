@@ -1,0 +1,296 @@
+"""Sequence (context) parallelism: ring attention over a mesh 'seq' axis.
+
+The reference handles long videos purely by SUBSAMPLING — a hard
+2000-frame cap (prepare_dataset.py:2437) matched to a 2000-slot learned
+pos-emb table (prepare_model.py:65-71) and O(F^2) vanilla attention in the
+4-layer temporal encoder; there is no sequence parallelism of any kind
+(SURVEY.md §5.7).  The single-chip Pallas flash path (kernels/
+flash_attention.py) already removes the (L, L) HBM materialization up to
+its ~24k-token VMEM ceiling.  This module removes the *single-chip*
+ceiling: the time axis is sharded over a mesh axis and attention runs as a
+RING — each device holds one K/V chunk, chunks rotate around the ring via
+`ppermute` (neighbor ICI hops, never DCN), and every device folds each
+visiting chunk into a running online-softmax state.  Per-device memory is
+O(L/n) activations + one O((L/n)^2) score block per step; no device ever
+sees the full sequence.
+
+Contracts preserved from the dense/flash paths (models/temporal.py):
+- math identical to torch nn.MultiheadAttention eval semantics (q scaled
+  by Dh**-0.5, key-padding mask -> -inf before softmax, f32 softmax);
+- the export artifact is the LAST layer's head-averaged CLS-query
+  attention row (prepare_model.py:213,221) — computed here with a
+  collective softmax (pmax/psum of the row stats), exactly matching
+  `kernels.flash_attention.cls_attention_row`;
+- fully differentiable: plain jax ops + ppermute, so the VJP is another
+  ring (reverse permutation), enabling sequence-parallel TRAINING.
+
+Layout: shard_map over a ('seq',) axis (composable with a leading data
+axis — see `seq_mesh`).  Inputs are global (B, L, D) arrays; L is padded
+to a multiple of the axis size with masked keys.  Position 0 (the CLS
+slot, never padded) lives on ring rank 0.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from sais_tpu.config import TemporalConfig
+
+Params = Dict[str, Any]
+
+SEQ_AXIS = "seq"
+
+_NEG_INF = -1e30
+
+
+def seq_mesh(n_seq: int, n_data: int = 1,
+             devices=None) -> Mesh:
+    """('data', 'seq') mesh: batch splits over 'data', time over 'seq'.
+
+    Sequence shards are ICI neighbors (innermost axis) so the ring's
+    ppermute hops ride the fastest links; with n_data=1 this is a pure
+    sequence-parallel mesh.
+    """
+    devices = list(devices if devices is not None else jax.devices())
+    if n_seq * n_data != len(devices):
+        raise ValueError(
+            f"mesh {n_data}x{n_seq} != {len(devices)} devices")
+    arr = np.asarray(devices).reshape(n_data, n_seq)
+    return Mesh(arr, ("data", SEQ_AXIS))
+
+
+def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+                          bias: jnp.ndarray, axis_name: str,
+                          axis_size: int) -> jnp.ndarray:
+    """Ring attention on local shards (inside shard_map).
+
+    q, k, v: (B, H, Lloc, Dh) — this device's query block and its CURRENT
+    K/V chunk; bias: (B, Lloc) f32 additive key bias (0 valid / -1e30 pad)
+    for the chunk, which travels around the ring WITH the chunk.
+    Returns (B, H, Lloc, Dh) in q's dtype.
+
+    Online-softmax merge (the flash recurrence, chunk granularity = one
+    device's shard): running max m, denominator l, rescaled accumulator.
+    The next chunk's ppermute is issued BEFORE the current chunk's math so
+    XLA's latency-hiding scheduler can overlap the ICI hop with compute.
+    """
+    b, h, lloc, dh = q.shape
+    qf = q.astype(jnp.float32) * (dh ** -0.5)
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+
+    m = jnp.full((b, h, lloc, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((b, h, lloc, 1), jnp.float32)
+    acc = jnp.zeros((b, h, lloc, dh), jnp.float32)
+    for step in range(axis_size):
+        if step + 1 < axis_size:
+            k_nxt = jax.lax.ppermute(k, axis_name, perm)
+            v_nxt = jax.lax.ppermute(v, axis_name, perm)
+            bias_nxt = jax.lax.ppermute(bias, axis_name, perm)
+        s = jnp.einsum("bhld,bhmd->bhlm", qf, k.astype(jnp.float32),
+                       preferred_element_type=jnp.float32)
+        s = s + bias[:, None, None, :]
+        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m - m_new)
+        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+        acc = acc * alpha + jnp.einsum(
+            "bhlm,bhmd->bhld", p, v.astype(jnp.float32),
+            preferred_element_type=jnp.float32)
+        m = m_new
+        if step + 1 < axis_size:
+            k, v, bias = k_nxt, v_nxt, bias_nxt
+
+    out = acc / jnp.maximum(l, 1e-30)
+    # a GLOBALLY all-masked batch row has s = -1e30 at every key, so the
+    # recurrence degenerates to an unmasked average (same hazard the flash
+    # kernel guards, flash_attention.py:356-364): define those rows as 0.
+    # Unreachable from the production model (CLS is never padded).
+    valid_local = jnp.any(bias > _NEG_INF * 0.5, axis=-1)        # (B,)
+    any_valid = jax.lax.psum(valid_local.astype(jnp.float32), axis_name) > 0
+    out = out * any_valid[:, None, None, None].astype(out.dtype)
+    return out.astype(q.dtype)
+
+
+def _ring_cls_row_local(q: jnp.ndarray, k: jnp.ndarray, bias: jnp.ndarray,
+                        axis_name: str) -> jnp.ndarray:
+    """Head-averaged CLS-query attention row, sequence-sharded.
+
+    The CLS query (global position 0) lives on ring rank 0; it is
+    broadcast with one psum, each device scores it against its LOCAL keys,
+    and the softmax normalizer is assembled with pmax/psum collectives.
+    Returns the (B, Lloc) local shard of the (B, L) row — identical math
+    to kernels.flash_attention.cls_attention_row.
+    """
+    dh = q.shape[-1]
+    idx = jax.lax.axis_index(axis_name)
+    q0 = jnp.where(idx == 0, q[:, :, 0, :], 0).astype(jnp.float32)
+    q0 = jax.lax.psum(q0, axis_name) * (dh ** -0.5)              # (B, H, Dh)
+    logits = jnp.einsum("bhd,bhmd->bhm", q0, k.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+    logits = logits + bias[:, None, :]                           # (B, H, Lloc)
+    # pmax has no differentiation rule, but the softmax max-subtraction is
+    # gradient-neutral (any constant shift cancels in p/denom), so a
+    # stop_gradient keeps the row exactly differentiable through psum
+    m = jax.lax.pmax(jax.lax.stop_gradient(jnp.max(logits, axis=-1)),
+                     axis_name)                                  # (B, H)
+    p = jnp.exp(logits - m[..., None])
+    denom = jax.lax.psum(jnp.sum(p, axis=-1), axis_name)         # (B, H)
+    return jnp.mean(p / denom[..., None], axis=1)                # (B, Lloc)
+
+
+def _qkv_heads(x: jnp.ndarray, p: Params, num_heads: int):
+    b, lloc, d = x.shape
+    dh = d // num_heads
+    qkv = jnp.dot(x, p["in_w"].astype(x.dtype),
+                  preferred_element_type=x.dtype) + p["in_b"].astype(x.dtype)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    to_heads = lambda a: a.reshape(b, lloc, num_heads, dh).transpose(0, 2, 1, 3)
+    return to_heads(q), to_heads(k), to_heads(v)
+
+
+def _encoder_local(params: Params, x: jnp.ndarray, bias: jnp.ndarray,
+                   cfg: TemporalConfig, axis_name: str, axis_size: int
+                   ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Post-norm encoder stack on local sequence shards.
+
+    Everything except attention is position-local (QKV/out projections,
+    LayerNorms, the ReLU FFN all act per-token), so only the ring runs
+    collectives.  x: (B, Lloc, D); bias: (B, Lloc) f32.
+    Returns (x (B, Lloc, D), last layer's CLS row shard (B, Lloc)).
+    """
+    from sais_tpu.models.vit import _layer_norm
+    n = len(params["layers"])
+    cls_row = None
+    for i, p in enumerate(params["layers"]):
+        q, k, v = _qkv_heads(x, p["mha"], cfg.num_heads)
+        y = _ring_attention_local(q, k, v, bias, axis_name, axis_size)
+        b, h, lloc, dh = y.shape
+        y = y.transpose(0, 2, 1, 3).reshape(b, lloc, h * dh)
+        y = jnp.dot(y, p["mha"]["out_w"].astype(x.dtype),
+                    preferred_element_type=x.dtype) \
+            + p["mha"]["out_b"].astype(x.dtype)
+        if i == n - 1:
+            cls_row = _ring_cls_row_local(q, k, bias, axis_name)
+        x = _layer_norm(x + y, p["ln1_s"], p["ln1_b"], cfg.layernorm_eps)
+        hdn = jnp.dot(x, p["ff1_w"].astype(x.dtype),
+                      preferred_element_type=x.dtype) \
+            + p["ff1_b"].astype(x.dtype)
+        hdn = jax.nn.relu(hdn)
+        hdn = jnp.dot(hdn, p["ff2_w"].astype(x.dtype),
+                      preferred_element_type=x.dtype) \
+            + p["ff2_b"].astype(x.dtype)
+        x = _layer_norm(x + hdn, p["ln2_s"], p["ln2_b"], cfg.layernorm_eps)
+    return x, cls_row
+
+
+def encoder_forward_seq_parallel(
+        params: Params, x: jnp.ndarray, cfg: TemporalConfig,
+        key_padding_mask: Optional[jnp.ndarray], mesh: Mesh,
+        axis_name: str = SEQ_AXIS) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Sequence-parallel twin of models.temporal.encoder_forward.
+
+    x: (B, L, D) global; key_padding_mask: (B, L) bool (True = pad).  The
+    time axis is padded to a multiple of mesh.shape[axis_name] (as masked
+    keys) and sharded; per-token math runs locally, attention as a ring.
+
+    Returns (output (B, L, D), last layer's head-averaged CLS attention
+    row (B, L)) — the flash-path export contract (the full (L, L) matrix
+    is exactly what sequence parallelism exists to never materialize).
+    """
+    b, l, d = x.shape
+    n = mesh.shape[axis_name]
+    if key_padding_mask is None:
+        key_padding_mask = jnp.zeros((b, l), bool)
+    pad = (-l) % n
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, pad), (0, 0)))
+        key_padding_mask = jnp.pad(key_padding_mask, ((0, 0), (0, pad)),
+                                   constant_values=True)
+    bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
+
+    fn = jax.shard_map(
+        functools.partial(_encoder_local, cfg=cfg, axis_name=axis_name,
+                          axis_size=n),
+        mesh=mesh,
+        in_specs=(P(), P(None, axis_name, None), P(None, axis_name)),
+        out_specs=(P(None, axis_name, None), P(None, axis_name)),
+    )
+    out, cls_row = fn(params, x, bias)
+    return out[:, :l], cls_row[:, :l]
+
+
+def seq_parallel_temporal_features(params: Params, reps: jnp.ndarray,
+                                   pad_mask: Optional[jnp.ndarray],
+                                   cfg, mesh: Mesh,
+                                   axis_name: str = SEQ_AXIS):
+    """Sequence-parallel twin of models.full_model.temporal_features.
+
+    reps: (B, S, F, D) padded frame features; pad_mask: (B, S, F+1) bool.
+    Pos-embedding add and CLS prepend are position-local and happen before
+    sharding (prepare_model.py:179-195 semantics).  The attention artifact
+    is the CLS row (B*S, F+1), matching the flash path's TemporalOutput
+    contract (full_model.py:41-48).
+    """
+    from sais_tpu.models.full_model import TemporalOutput
+    if not cfg.self_attention:
+        return TemporalOutput(None, jnp.mean(reps, axis=2),
+                              jnp.ones((1, 1), reps.dtype))
+    b, s, f, d = reps.shape
+    x = reps + params["frame_pos"][:f].astype(reps.dtype)[None, None]
+    cls = jnp.broadcast_to(params["frame_cls"].astype(reps.dtype),
+                           (b, s, 1, d))
+    x = jnp.concatenate([cls, x], axis=2).reshape(b * s, f + 1, d)
+    mask = (pad_mask.reshape(b * s, f + 1) if pad_mask is not None else None)
+    out, cls_row = encoder_forward_seq_parallel(
+        params["frame_encoder"], x, cfg.temporal, mask, mesh, axis_name)
+    out = jax.nn.relu(out)
+    full_seq = out.reshape(b, s, f + 1, d)
+    return TemporalOutput(full_seq, full_seq[:, :, 0, :], cls_row)
+
+
+def seq_parallel_prototypes_forward(params: Params, cfg,
+                                    rgb: Optional[jnp.ndarray] = None,
+                                    rgb_mask: Optional[jnp.ndarray] = None,
+                                    flow: Optional[jnp.ndarray] = None,
+                                    flow_mask: Optional[jnp.ndarray] = None,
+                                    *, mesh: Mesh,
+                                    axis_name: str = SEQ_AXIS):
+    """Prototypes-task forward with the frame encoder sequence-sharded.
+
+    Mirrors models.full_model.prototypes_forward (prepare_model.py:304-421
+    flow: per-modality encoder -> snippet-mean -> RGB+Flow sum -> ReLU ->
+    projection + aux logits + optional importance head) for windows too
+    long for one chip's attention.  attn in the output is the CLS row.
+    """
+    import sais_tpu.models.heads as heads
+    from sais_tpu.models.full_model import PrototypesOutput, _linear
+    use_rgb = cfg.modalities in ("RGB", "RGB-Flow")
+    use_flow = cfg.modalities in ("Flow", "RGB-Flow")
+
+    pooled = attn = full_seq = None
+    if use_rgb:
+        t = seq_parallel_temporal_features(params, rgb, rgb_mask, cfg,
+                                           mesh, axis_name)
+        pooled = jnp.mean(t.cls_seq, axis=1)
+        attn, full_seq = t.attn, t.full_seq
+    if use_flow:
+        tf = seq_parallel_temporal_features(params, flow, flow_mask, cfg,
+                                            mesh, axis_name)
+        fpooled = jnp.mean(tf.cls_seq, axis=1)
+        pooled = fpooled if pooled is None else pooled + fpooled
+        if attn is None:
+            attn, full_seq = tf.attn, tf.full_seq
+
+    act = jax.nn.relu(pooled)
+    video_rep = _linear(act, params["linear"])
+    aux_logits = _linear(jax.nn.relu(video_rep), params["linear2"])
+    importances = None
+    if cfg.importance_head and "importance" in params and full_seq is not None:
+        importances = heads.importance_scores(full_seq, params)
+    return PrototypesOutput(video_rep, aux_logits, attn, importances)

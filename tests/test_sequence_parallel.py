@@ -1,0 +1,216 @@
+"""Sequence (context) parallelism: the ring-attention encoder over a mesh
+'seq' axis must match the single-device dense encoder exactly (up to f32
+reduction order), including the CLS-row attention export and gradients.
+
+The reference has no sequence parallelism at all — long videos are
+subsampled to a 2000-frame cap (prepare_dataset.py:2437, SURVEY.md §5.7);
+this capability is TPU-native new ground, so the dense path is the oracle.
+"""
+
+import functools
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from sais_tpu.config import ModelConfig, TemporalConfig
+from sais_tpu.models.full_model import (full_model_init, prototypes_forward,
+                                        temporal_features)
+from sais_tpu.models.temporal import encoder_forward, encoder_init
+from sais_tpu.parallel.sequence import (SEQ_AXIS, _ring_attention_local,
+                                        encoder_forward_seq_parallel,
+                                        seq_mesh,
+                                        seq_parallel_prototypes_forward,
+                                        seq_parallel_temporal_features)
+
+DIM = 32
+
+
+def _tcfg(layers=2):
+    return TemporalConfig(rep_dim=DIM, num_layers=layers, num_heads=2,
+                          ffn_dim=64, max_positions=64)
+
+
+def _mcfg(**kw):
+    kw.setdefault("modalities", "RGB")
+    return ModelConfig(rep_dim=DIM, temporal=_tcfg(), **kw)
+
+
+def _ragged_mask(rng, b, l):
+    """(B, L) key-padding mask with ragged valid lengths; slot 0 (CLS)
+    never padded, matching the collator convention."""
+    mask = np.zeros((b, l), bool)
+    for i in range(b):
+        n = rng.integers(2, l + 1)
+        mask[i, n:] = True
+    return mask
+
+
+def test_seq_mesh_layout():
+    mesh = seq_mesh(8)
+    assert mesh.axis_names == ("data", SEQ_AXIS)
+    assert mesh.shape[SEQ_AXIS] == 8 and mesh.shape["data"] == 1
+    mesh2 = seq_mesh(4, n_data=2)
+    assert mesh2.shape == {"data": 2, SEQ_AXIS: 4}
+    with pytest.raises(ValueError):
+        seq_mesh(3)
+
+
+@pytest.mark.parametrize("l", [24, 37])  # divisible and ragged vs n=8
+def test_ring_encoder_matches_dense(rng, l):
+    cfg = _tcfg()
+    params = encoder_init(jax.random.key(0), cfg)
+    b = 3
+    x = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+    mask = jnp.asarray(_ragged_mask(rng, b, l))
+    mesh = seq_mesh(8)
+
+    dense_out, dense_attn = encoder_forward(params, x, cfg, mask)
+    out, cls_row = encoder_forward_seq_parallel(params, x, cfg, mask, mesh)
+
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense_out),
+                               atol=2e-5, rtol=2e-5)
+    # dense attn is the full (B, L, L) head-averaged matrix; the ring
+    # exports only the CLS-query row (row 0) — the artifact SAIS saves
+    np.testing.assert_allclose(np.asarray(cls_row),
+                               np.asarray(dense_attn[:, 0, :]),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_ring_encoder_no_mask_and_jit(rng):
+    cfg = _tcfg(layers=1)
+    params = encoder_init(jax.random.key(1), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 40, DIM)).astype(np.float32))
+    mesh = seq_mesh(8)
+    dense_out, dense_attn = encoder_forward(params, x, cfg, None)
+    fn = jax.jit(functools.partial(encoder_forward_seq_parallel, cfg=cfg,
+                                   mesh=mesh))
+    out, cls_row = fn(params, x, key_padding_mask=None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense_out),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(cls_row),
+                               np.asarray(dense_attn[:, 0, :]),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_ring_on_combined_data_seq_mesh(rng):
+    """The encoder shards time over 'seq' while staying replicated over a
+    coexisting 'data' axis (batch sharding composes outside)."""
+    cfg = _tcfg(layers=1)
+    params = encoder_init(jax.random.key(2), cfg)
+    x = jnp.asarray(rng.normal(size=(2, 20, DIM)).astype(np.float32))
+    mask = jnp.asarray(_ragged_mask(rng, 2, 20))
+    mesh = seq_mesh(4, n_data=2)
+    dense_out, _ = encoder_forward(params, x, cfg, mask)
+    out, _ = encoder_forward_seq_parallel(params, x, cfg, mask, mesh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense_out),
+                               atol=2e-5, rtol=2e-5)
+
+
+def test_ring_gradients_match_dense(rng):
+    """ppermute is linear, so autodiff through the ring is exact: encoder
+    parameter gradients must match the dense path's."""
+    cfg = _tcfg(layers=2)
+    params = encoder_init(jax.random.key(3), cfg)
+    b, l = 2, 21
+    x = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+    mask = jnp.asarray(_ragged_mask(rng, b, l))
+    mesh = seq_mesh(8)
+    w = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+
+    def loss_dense(p):
+        out, _ = encoder_forward(p, x, cfg, mask)
+        return jnp.sum(out * w)
+
+    def loss_ring(p):
+        out, _ = encoder_forward_seq_parallel(p, x, cfg, mask, mesh)
+        return jnp.sum(out * w)
+
+    gd = jax.grad(loss_dense)(params)
+    gr = jax.grad(loss_ring)(params)
+    for a, b_ in zip(jax.tree.leaves(gd), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
+
+
+def test_ring_all_masked_row_is_zero(rng):
+    """A globally all-masked batch row must return zeros (the flash
+    kernel's convention, flash_attention.py:356-364), not an unmasked
+    average."""
+    mesh = seq_mesh(8)
+    b, h, l, dh = 2, 2, 16, 8
+    q = jnp.asarray(rng.normal(size=(b, h, l, dh)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, h, l, dh)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, h, l, dh)).astype(np.float32))
+    bias = jnp.zeros((b, l), jnp.float32).at[1].set(-1e30)
+
+    fn = jax.shard_map(
+        functools.partial(_ring_attention_local, axis_name=SEQ_AXIS,
+                          axis_size=8),
+        mesh=mesh,
+        in_specs=(P(None, None, SEQ_AXIS, None),
+                  P(None, None, SEQ_AXIS, None),
+                  P(None, None, SEQ_AXIS, None), P(None, SEQ_AXIS)),
+        out_specs=P(None, None, SEQ_AXIS, None),
+    )
+    out = np.asarray(fn(q, k, v, bias))
+    assert np.all(out[1] == 0.0)
+    assert np.any(out[0] != 0.0)
+
+
+def test_seq_parallel_temporal_features_matches(rng):
+    cfg = _mcfg()
+    params = full_model_init(jax.random.key(4), cfg)
+    b, s, f = 2, 2, 19
+    reps = jnp.asarray(rng.normal(size=(b, s, f, DIM)).astype(np.float32))
+    mask = np.zeros((b, s, f + 1), bool)
+    for i in range(b):
+        for j in range(s):
+            n = rng.integers(3, f + 1)
+            mask[i, j, n + 1:] = True
+    mask = jnp.asarray(mask)
+    mesh = seq_mesh(8)
+
+    dense = temporal_features(params, reps, mask, cfg)
+    sp = seq_parallel_temporal_features(params, reps, mask, cfg, mesh)
+    np.testing.assert_allclose(np.asarray(sp.full_seq),
+                               np.asarray(dense.full_seq),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(sp.cls_seq),
+                               np.asarray(dense.cls_seq),
+                               atol=2e-5, rtol=2e-5)
+    # dense attn: (B*S, F+1, F+1); seq-parallel exports the CLS row
+    assert sp.attn.shape == (b * s, f + 1)
+    np.testing.assert_allclose(np.asarray(sp.attn),
+                               np.asarray(dense.attn[:, 0, :]),
+                               atol=1e-6, rtol=1e-5)
+
+
+def test_seq_parallel_prototypes_forward_matches(rng):
+    cfg = _mcfg(modalities="RGB-Flow", importance_head=True)
+    params = full_model_init(jax.random.key(5), cfg)
+    b, s, f = 2, 1, 26
+    rgb = jnp.asarray(rng.normal(size=(b, s, f, DIM)).astype(np.float32))
+    flow = jnp.asarray(rng.normal(size=(b, s, 9, DIM)).astype(np.float32))
+    rgb_mask = jnp.asarray(_ragged_mask(rng, b, f + 1)[:, None, :])
+    flow_mask = jnp.asarray(_ragged_mask(rng, b, 10)[:, None, :])
+    mesh = seq_mesh(8)
+
+    dense = prototypes_forward(params, cfg, rgb, rgb_mask, flow, flow_mask)
+    sp = seq_parallel_prototypes_forward(params, cfg, rgb, rgb_mask, flow,
+                                         flow_mask, mesh=mesh)
+    np.testing.assert_allclose(np.asarray(sp.video_rep),
+                               np.asarray(dense.video_rep),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(sp.aux_logits),
+                               np.asarray(dense.aux_logits),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(sp.importances),
+                               np.asarray(dense.importances),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(sp.attn),
+                               np.asarray(dense.attn[:, 0, :]),
+                               atol=1e-6, rtol=1e-5)
