@@ -278,6 +278,20 @@ def cmd_flow(args):
     print(f"extracted flow reps {reps.shape} in {dt:.1f}s")
 
 
+def _seq_mesh_from_args(args):
+    """--seq-parallel N -> an N-device ('data','seq') mesh, or None."""
+    n = getattr(args, "seq_parallel", 0) or 0
+    if n <= 0:
+        return None
+    import jax
+    from sais_tpu.parallel.sequence import seq_mesh
+    devs = jax.devices()
+    if n > len(devs):
+        raise SystemExit(
+            f"--seq-parallel {n} exceeds the {len(devs)} available devices")
+    return seq_mesh(n, devices=devs[:n])
+
+
 def cmd_decode(args):
     from sais_tpu.infer.pipeline import GestureDecoder
     from sais_tpu.io.feature_store import (FeatureStore, flow_store_path,
@@ -294,7 +308,8 @@ def cmd_decode(args):
     if cfg.model.modalities != "RGB" and os.path.exists(fpath):
         with FeatureStore(fpath) as fs:
             flow = fs.read_video(args.videoname)
-    dec = GestureDecoder(folds, cfg, device_batch=args.batch_size)
+    dec = GestureDecoder(folds, cfg, device_batch=args.batch_size,
+                         seq_mesh=_seq_mesh_from_args(args))
     df = dec.decode(args.videoname, rgb, flow)
     out = os.path.join(args.path, "results")
     os.makedirs(out, exist_ok=True)
@@ -426,7 +441,7 @@ def cmd_steps(args):
     if cfg.model.modalities != "RGB":
         with FeatureStore(flow_store_path(args.path)) as fs:
             flow = fs.read_video(args.videoname)
-    dec = GestureDecoder(folds, cfg)
+    dec = GestureDecoder(folds, cfg, seq_mesh=_seq_mesh_from_args(args))
     rec = StepRecognizer(dec, fps=args.fps)
     df = rec.recognize(args.videoname, rgb, flow)
     dest = os.path.join(args.path, "results",
@@ -1071,6 +1086,14 @@ def build_parser():
         sp.add_argument("-bs", "--batch-size", type=int, default=256)
         sp.add_argument("--dtype", default="bfloat16",
                         choices=["bfloat16", "float32"])
+        sp.add_argument("--seq-parallel", type=int, default=0,
+                        metavar="N",
+                        help="shard each window's time axis over an "
+                             "N-device 'seq' mesh (ring attention, "
+                             "parallel/sequence.py) for step windows "
+                             "beyond one chip's attention; 0 = off. "
+                             "Saved attention artifacts contain the "
+                             "CLS-query row (like --flash on)")
         sp.add_argument("--flash", default="auto",
                         choices=["auto", "on", "off"],
                         help="fused Pallas flash attention in the temporal "

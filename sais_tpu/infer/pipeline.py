@@ -583,23 +583,41 @@ class GestureDecoder:
     TAIL_BUCKETS = (32, 64, 128, 256)
 
     def __init__(self, fold_params: Sequence[Tuple[dict, jnp.ndarray]],
-                 cfg: PipelineConfig, device_batch: int = 512):
+                 cfg: PipelineConfig, device_batch: int = 512,
+                 seq_mesh=None):
         """fold_params: per fold, (full_model param pytree, (P, 256)
-        prototype matrix)."""
+        prototype matrix).
+
+        seq_mesh: optional mesh with a 'seq' axis — the temporal encoder
+        then runs SEQUENCE-PARALLEL ring attention (parallel/sequence.py),
+        sharding each window's time axis across the mesh for step windows
+        too long for one chip's attention (SURVEY §5.7).  The attention
+        artifact becomes the CLS row, same as the flash path.
+        """
         self.cfg = cfg
         self.folds = list(fold_params)
         self.device_batch = device_batch
 
         mcfg = cfg.model
+        if seq_mesh is not None:
+            from sais_tpu.parallel.sequence import \
+                seq_parallel_prototypes_forward
+
+            def _fwd(params, rgb, rgb_mask, flow, flow_mask):
+                return seq_parallel_prototypes_forward(
+                    params, mcfg, rgb, rgb_mask, flow, flow_mask,
+                    mesh=seq_mesh)
+        else:
+            def _fwd(params, rgb, rgb_mask, flow, flow_mask):
+                return prototypes_forward(params, mcfg, rgb, rgb_mask,
+                                          flow, flow_mask)
 
         def _fn(params, protos, rgb, rgb_mask, flow, flow_mask):
-            out = prototypes_forward(params, mcfg, rgb, rgb_mask, flow,
-                                     flow_mask)
+            out = _fwd(params, rgb, rgb_mask, flow, flow_mask)
             return prototype_probs(out.video_rep, protos), out.attn
 
         def _artifact_fn(params, protos, rgb, rgb_mask, flow, flow_mask):
-            out = prototypes_forward(params, mcfg, rgb, rgb_mask, flow,
-                                     flow_mask)
+            out = _fwd(params, rgb, rgb_mask, flow, flow_mask)
             return (out.video_rep, prototype_probs(out.video_rep, protos),
                     out.attn)
 

@@ -189,6 +189,38 @@ def test_seq_parallel_temporal_features_matches(rng):
                                atol=1e-6, rtol=1e-5)
 
 
+def test_gesture_decoder_seq_parallel_matches_dense(rng):
+    """Production wiring: GestureDecoder(seq_mesh=...) reproduces the dense
+    decoder's ensembled window probabilities, and the attention artifact is
+    the CLS row — the same contract as --flash on (the CLI exposes this as
+    --seq-parallel N on decode/steps)."""
+    from sais_tpu.config import PipelineConfig, WindowConfig
+    from sais_tpu.infer.pipeline import GestureDecoder
+
+    # 64-frame windows at stride 1 (full-length regime, scaled down)
+    wcfg = WindowConfig(duration_s=3.2, hop_s=3.2, fps=20.0,
+                        stride_divisor=4096, flow_jump_factor=15)
+    assert wcfg.duration_frames == 64
+    reps = rng.standard_normal((200, DIM)).astype(np.float32)
+    params = full_model_init(jax.random.key(7), _mcfg())
+    from sais_tpu.models.full_model import prototypes_init
+    _, protos = prototypes_init(jax.random.key(8), 2)
+    cfg = PipelineConfig(model=_mcfg(), window=wcfg)
+
+    dense = GestureDecoder([(params, protos)], cfg, device_batch=4)
+    sp = GestureDecoder([(params, protos)], cfg, device_batch=4,
+                        seq_mesh=seq_mesh(8))
+    p_dense = dense.window_probs("v", reps, None)
+    p_sp = sp.window_probs("v", reps, None)
+    np.testing.assert_allclose(p_sp, p_dense, rtol=5e-4, atol=5e-5)
+
+    a_dense = dense.inference_artifacts("v", reps, None)
+    a_sp = sp.inference_artifacts("v", reps, None)
+    att_d, att_s = a_dense["attention"], a_sp["attention"]
+    assert att_d.ndim == 3 and att_s.ndim == 2     # (W, L, L) vs (W, L)
+    np.testing.assert_allclose(att_s, att_d[:, 0, :], rtol=1e-4, atol=1e-6)
+
+
 def test_seq_parallel_prototypes_forward_matches(rng):
     cfg = _mcfg(modalities="RGB-Flow", importance_head=True)
     params = full_model_init(jax.random.key(5), cfg)
