@@ -110,6 +110,7 @@ def test_ring_on_combined_data_seq_mesh(rng):
                                atol=2e-5, rtol=2e-5)
 
 
+@pytest.mark.slow
 def test_ring_gradients_match_dense(rng):
     """ppermute is linear, so autodiff through the ring is exact: encoder
     parameter gradients must match the dense path's."""
@@ -189,6 +190,7 @@ def test_seq_parallel_temporal_features_matches(rng):
                                atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
 def test_gesture_decoder_seq_parallel_matches_dense(rng):
     """Production wiring: GestureDecoder(seq_mesh=...) reproduces the dense
     decoder's ensembled window probabilities, and the attention artifact is
@@ -221,6 +223,7 @@ def test_gesture_decoder_seq_parallel_matches_dense(rng):
     np.testing.assert_allclose(att_s, att_d[:, 0, :], rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_seq_parallel_prototypes_forward_matches(rng):
     cfg = _mcfg(modalities="RGB-Flow", importance_head=True)
     params = full_model_init(jax.random.key(5), cfg)
