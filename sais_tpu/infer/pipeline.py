@@ -600,6 +600,16 @@ class GestureDecoder:
 
         mcfg = cfg.model
         if seq_mesh is not None:
+            if mcfg.temporal.use_flash is False:
+                # --flash off promises the reference's FULL (L, L)
+                # attention-artifact layout (cli/main.py --flash help);
+                # sequence parallelism exists precisely to never
+                # materialize that matrix, so honor the contract loudly
+                raise ValueError(
+                    "seq_mesh with use_flash=False (--flash off): "
+                    "sequence parallelism only exports the CLS-row "
+                    "attention artifact, which --flash off promises not "
+                    "to do; drop --flash off or --seq-parallel")
             from sais_tpu.parallel.sequence import \
                 seq_parallel_prototypes_forward
 

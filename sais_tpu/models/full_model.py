@@ -75,7 +75,8 @@ def _linear(x, p):
 
 def temporal_features(params: Params, reps: jnp.ndarray,
                       pad_mask: Optional[jnp.ndarray],
-                      cfg: ModelConfig) -> TemporalOutput:
+                      cfg: ModelConfig,
+                      encoder_fn=None) -> TemporalOutput:
     """prepareInputForTransformer + aggregateInputs (prepare_model.py:179-221).
 
     reps: (B, S, F, D) padded frame features; pad_mask: (B, S, F+1) bool with
@@ -87,6 +88,10 @@ def temporal_features(params: Params, reps: jnp.ndarray,
     plain mean over the padded frame axis — INCLUDING zero pad rows, which
     is the reference's exact (quirky) torch.mean(x, 2) behavior — and the
     attention output is the reference's ones((1, 1)) placeholder.
+
+    encoder_fn: optional override `(frame_encoder_params, x (B*S, F+1, D),
+    mask (B*S, F+1)|None) -> (out, attn)` replacing the dense/flash
+    encoder — e.g. the sequence-parallel ring (parallel/sequence.py).
     """
     if not cfg.self_attention:
         return TemporalOutput(None, jnp.mean(reps, axis=2),
@@ -98,11 +103,14 @@ def temporal_features(params: Params, reps: jnp.ndarray,
     x = jnp.concatenate([cls, x], axis=2)                # (B, S, F+1, D)
     x = x.reshape(b * s, f + 1, d)
     mask = pad_mask.reshape(b * s, f + 1) if pad_mask is not None else None
-    use_flash = resolve_flash(cfg, f + 1)
-    out, attn = encoder_forward(params["frame_encoder"], x, cfg.temporal,
-                                mask, use_flash=use_flash,
-                                interpret=use_flash
-                                and jax.default_backend() != "tpu")
+    if encoder_fn is None:
+        use_flash = resolve_flash(cfg, f + 1)
+        out, attn = encoder_forward(params["frame_encoder"], x, cfg.temporal,
+                                    mask, use_flash=use_flash,
+                                    interpret=use_flash
+                                    and jax.default_backend() != "tpu")
+    else:
+        out, attn = encoder_fn(params["frame_encoder"], x, mask)
     out = jax.nn.relu(out)
     full_seq = out.reshape(b, s, f + 1, d)
     return TemporalOutput(full_seq, full_seq[:, :, 0, :], attn)
@@ -120,7 +128,8 @@ def prototypes_forward(params: Params, cfg: ModelConfig,
                        rgb_mask: Optional[jnp.ndarray] = None,
                        flow: Optional[jnp.ndarray] = None,
                        flow_mask: Optional[jnp.ndarray] = None,
-                       primary_domain: Optional[jnp.ndarray] = None
+                       primary_domain: Optional[jnp.ndarray] = None,
+                       encoder_fn=None
                        ) -> PrototypesOutput:
     """Prototypes-task forward for one (TTA) version of the inputs.
 
@@ -132,6 +141,8 @@ def prototypes_forward(params: Params, cfg: ModelConfig,
     primary_domain: optional (B,) bool for the multi-task setting ('+' in
     domain, prepare_model.py:406-416): True rows project through `linear`
     (the NH_02 head), False rows through `linearB`.
+
+    encoder_fn: optional frame-encoder override (see temporal_features).
     """
     use_rgb = cfg.modalities in ("RGB", "RGB-Flow")
     use_flow = cfg.modalities in ("Flow", "RGB-Flow")
@@ -140,11 +151,11 @@ def prototypes_forward(params: Params, cfg: ModelConfig,
     attn = None
     full_seq = None
     if use_rgb:
-        t = temporal_features(params, rgb, rgb_mask, cfg)
+        t = temporal_features(params, rgb, rgb_mask, cfg, encoder_fn)
         pooled = jnp.mean(t.cls_seq, axis=1)             # (B, D)
         attn, full_seq = t.attn, t.full_seq
     if use_flow:
-        tf = temporal_features(params, flow, flow_mask, cfg)
+        tf = temporal_features(params, flow, flow_mask, cfg, encoder_fn)
         fpooled = jnp.mean(tf.cls_seq, axis=1)
         pooled = fpooled if pooled is None else pooled + fpooled
         if attn is None:

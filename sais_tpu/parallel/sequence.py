@@ -225,33 +225,27 @@ def encoder_forward_seq_parallel(
     return out[:, :l], cls_row[:, :l]
 
 
+def _ring_encoder_fn(cfg, mesh: Mesh, axis_name: str):
+    """temporal_features-compatible encoder override (full_model.py's
+    `encoder_fn` hook) that runs the ring instead of the dense/flash
+    encoder — head/pooling logic stays in full_model, so the seq-parallel
+    path can never diverge from the dense one."""
+    return lambda ep, x, mask: encoder_forward_seq_parallel(
+        ep, x, cfg.temporal, mask, mesh, axis_name)
+
+
 def seq_parallel_temporal_features(params: Params, reps: jnp.ndarray,
                                    pad_mask: Optional[jnp.ndarray],
                                    cfg, mesh: Mesh,
                                    axis_name: str = SEQ_AXIS):
-    """Sequence-parallel twin of models.full_model.temporal_features.
-
-    reps: (B, S, F, D) padded frame features; pad_mask: (B, S, F+1) bool.
-    Pos-embedding add and CLS prepend are position-local and happen before
-    sharding (prepare_model.py:179-195 semantics).  The attention artifact
-    is the CLS row (B*S, F+1), matching the flash path's TemporalOutput
-    contract (full_model.py:41-48).
-    """
-    from sais_tpu.models.full_model import TemporalOutput
-    if not cfg.self_attention:
-        return TemporalOutput(None, jnp.mean(reps, axis=2),
-                              jnp.ones((1, 1), reps.dtype))
-    b, s, f, d = reps.shape
-    x = reps + params["frame_pos"][:f].astype(reps.dtype)[None, None]
-    cls = jnp.broadcast_to(params["frame_cls"].astype(reps.dtype),
-                           (b, s, 1, d))
-    x = jnp.concatenate([cls, x], axis=2).reshape(b * s, f + 1, d)
-    mask = (pad_mask.reshape(b * s, f + 1) if pad_mask is not None else None)
-    out, cls_row = encoder_forward_seq_parallel(
-        params["frame_encoder"], x, cfg.temporal, mask, mesh, axis_name)
-    out = jax.nn.relu(out)
-    full_seq = out.reshape(b, s, f + 1, d)
-    return TemporalOutput(full_seq, full_seq[:, :, 0, :], cls_row)
+    """Sequence-parallel twin of models.full_model.temporal_features:
+    same function, ring encoder.  The attention artifact is the CLS row
+    (B*S, F+1), matching the flash path's TemporalOutput contract
+    (full_model.py:41-48)."""
+    from sais_tpu.models.full_model import temporal_features
+    return temporal_features(params, reps, pad_mask, cfg,
+                             encoder_fn=_ring_encoder_fn(cfg, mesh,
+                                                         axis_name))
 
 
 def seq_parallel_prototypes_forward(params: Params, cfg,
@@ -259,38 +253,17 @@ def seq_parallel_prototypes_forward(params: Params, cfg,
                                     rgb_mask: Optional[jnp.ndarray] = None,
                                     flow: Optional[jnp.ndarray] = None,
                                     flow_mask: Optional[jnp.ndarray] = None,
+                                    primary_domain=None,
                                     *, mesh: Mesh,
                                     axis_name: str = SEQ_AXIS):
-    """Prototypes-task forward with the frame encoder sequence-sharded.
-
-    Mirrors models.full_model.prototypes_forward (prepare_model.py:304-421
-    flow: per-modality encoder -> snippet-mean -> RGB+Flow sum -> ReLU ->
-    projection + aux logits + optional importance head) for windows too
-    long for one chip's attention.  attn in the output is the CLS row.
+    """Prototypes-task forward with the frame encoder sequence-sharded:
+    delegates to models.full_model.prototypes_forward with the ring as
+    `encoder_fn`, so every head behavior (RGB+Flow sum, multi-task
+    linearB routing + its params-mismatch guard, importance head) is
+    inherited rather than duplicated.  attn in the output is the CLS row.
     """
-    import sais_tpu.models.heads as heads
-    from sais_tpu.models.full_model import PrototypesOutput, _linear
-    use_rgb = cfg.modalities in ("RGB", "RGB-Flow")
-    use_flow = cfg.modalities in ("Flow", "RGB-Flow")
-
-    pooled = attn = full_seq = None
-    if use_rgb:
-        t = seq_parallel_temporal_features(params, rgb, rgb_mask, cfg,
-                                           mesh, axis_name)
-        pooled = jnp.mean(t.cls_seq, axis=1)
-        attn, full_seq = t.attn, t.full_seq
-    if use_flow:
-        tf = seq_parallel_temporal_features(params, flow, flow_mask, cfg,
-                                            mesh, axis_name)
-        fpooled = jnp.mean(tf.cls_seq, axis=1)
-        pooled = fpooled if pooled is None else pooled + fpooled
-        if attn is None:
-            attn, full_seq = tf.attn, tf.full_seq
-
-    act = jax.nn.relu(pooled)
-    video_rep = _linear(act, params["linear"])
-    aux_logits = _linear(jax.nn.relu(video_rep), params["linear2"])
-    importances = None
-    if cfg.importance_head and "importance" in params and full_seq is not None:
-        importances = heads.importance_scores(full_seq, params)
-    return PrototypesOutput(video_rep, aux_logits, attn, importances)
+    from sais_tpu.models.full_model import prototypes_forward
+    return prototypes_forward(params, cfg, rgb, rgb_mask, flow, flow_mask,
+                              primary_domain=primary_domain,
+                              encoder_fn=_ring_encoder_fn(cfg, mesh,
+                                                          axis_name))

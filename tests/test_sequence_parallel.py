@@ -223,6 +223,39 @@ def test_gesture_decoder_seq_parallel_matches_dense(rng):
     np.testing.assert_allclose(att_s, att_d[:, 0, :], rtol=1e-4, atol=1e-6)
 
 
+def test_seq_parallel_inherits_multitask_guard(rng):
+    """The seq twin delegates to prototypes_forward, so the dense path's
+    params/config-mismatch guard (primary_domain without a linearB head)
+    fires identically."""
+    cfg = _mcfg()
+    params = full_model_init(jax.random.key(9), cfg)   # no multi_task
+    rgb = jnp.asarray(rng.normal(size=(2, 1, 7, DIM)).astype(np.float32))
+    mask = jnp.zeros((2, 1, 8), bool)
+    with pytest.raises(ValueError, match="linearB"):
+        seq_parallel_prototypes_forward(
+            params, cfg, rgb, mask, primary_domain=jnp.ones((2,), bool),
+            mesh=seq_mesh(8))
+
+
+def test_decoder_rejects_seq_mesh_with_flash_off(rng):
+    """--flash off promises full (L, L) attention artifacts; combining it
+    with --seq-parallel (CLS-row only) must fail loudly, not silently
+    emit the wrong layout."""
+    import dataclasses as dc
+
+    from sais_tpu.config import PipelineConfig
+    from sais_tpu.infer.pipeline import GestureDecoder
+    from sais_tpu.models.full_model import prototypes_init
+
+    m = _mcfg()
+    m = dc.replace(m, temporal=dc.replace(m.temporal, use_flash=False))
+    cfg = dc.replace(PipelineConfig(), model=m)
+    params = full_model_init(jax.random.key(10), m)
+    _, protos = prototypes_init(jax.random.key(11), 2)
+    with pytest.raises(ValueError, match="flash off"):
+        GestureDecoder([(params, protos)], cfg, seq_mesh=seq_mesh(8))
+
+
 @pytest.mark.slow
 def test_seq_parallel_prototypes_forward_matches(rng):
     cfg = _mcfg(modalities="RGB-Flow", importance_head=True)
