@@ -644,7 +644,8 @@ def cmd_train(args):
                 freeze_encoder=not args.unfreeze_encoder)
         elif args.task == "Prototypes":
             trainer = PrototypeTrainer(mcfg, tcfg, params, keys, protos,
-                                       mesh=mesh)
+                                       mesh=mesh,
+                                       seq_mesh=_seq_mesh_from_args(args))
         else:
             from sais_tpu.train.classification import ClassificationTrainer
             trainer = ClassificationTrainer(mcfg, tcfg, params,

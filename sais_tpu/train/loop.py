@@ -50,7 +50,19 @@ class PrototypeTrainer:
                  model_params: Any, prototype_keys: Sequence[str],
                  prototypes: jnp.ndarray,
                  mesh: Optional["jax.sharding.Mesh"] = None,
-                 use_importance: Optional[bool] = None):
+                 use_importance: Optional[bool] = None,
+                 seq_mesh: Optional["jax.sharding.Mesh"] = None):
+        """seq_mesh: optional ('data','seq') mesh — the frame encoder then
+        trains SEQUENCE-PARALLEL (ring attention, parallel/sequence.py):
+        each window's time axis is sharded across the mesh and the VJP is
+        the reverse ring, for segment windows beyond one chip's attention.
+        Mutually exclusive with the data-parallel `mesh` (use seq_mesh's
+        own 'data' axis to combine both in one mesh)."""
+        if mesh is not None and seq_mesh is not None:
+            raise ValueError(
+                "pass either mesh (data parallel) or seq_mesh (sequence "
+                "parallel); for both at once build one seq_mesh(n_seq, "
+                "n_data) and shard batches on its 'data' axis")
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.prototype_keys = list(prototype_keys)
@@ -64,13 +76,18 @@ class PrototypeTrainer:
 
         mcfg = self.model_cfg
         use_imp = self.use_importance
+        encoder_fn = None
+        if seq_mesh is not None:
+            from sais_tpu.parallel.sequence import SEQ_AXIS, _ring_encoder_fn
+            encoder_fn = _ring_encoder_fn(mcfg, seq_mesh, SEQ_AXIS)
 
         def loss_fn(trainable, batch, with_importance):
             out = prototypes_forward(trainable["model"], mcfg,
                                      batch.get("rgb"), batch.get("rgb_mask"),
                                      batch.get("flow"), batch.get("flow_mask"),
                                      primary_domain=batch.get(
-                                         "primary_domain"))
+                                         "primary_domain"),
+                                     encoder_fn=encoder_fn)
             weight = batch.get("weight")
             if weight is None:
                 loss = nce_loss(out.video_rep, trainable["prototypes"],

@@ -257,6 +257,47 @@ def test_decoder_rejects_seq_mesh_with_flash_off(rng):
 
 
 @pytest.mark.slow
+def test_seq_parallel_training_matches_dense(rng):
+    """PrototypeTrainer(seq_mesh=...) trains through the ring: losses over
+    several SGD steps match the dense trainer's (the ring VJP is exact)."""
+    from sais_tpu.config import TrainConfig
+    from sais_tpu.models.full_model import prototypes_init
+    from sais_tpu.train.loop import PrototypeTrainer
+
+    cfg = _mcfg()
+    params = jax.tree.map(np.asarray, full_model_init(jax.random.key(12), cfg))
+    keys, protos = prototypes_init(jax.random.key(13), 2)
+    protos = np.asarray(protos)
+
+    def batches():
+        out = []
+        for i in range(3):
+            r = np.random.default_rng(i)
+            out.append({
+                "rgb": r.normal(size=(4, 1, 11, DIM)).astype(np.float32),
+                "rgb_mask": np.zeros((4, 1, 12), bool),
+                "label_cols": (np.arange(4) % 2).astype(np.int32),
+            })
+        return out
+
+    dense = PrototypeTrainer(cfg, TrainConfig(lr=0.1),
+                             jax.tree.map(np.copy, params), keys,
+                             jnp.asarray(protos))
+    ring = PrototypeTrainer(cfg, TrainConfig(lr=0.1),
+                            jax.tree.map(np.copy, params), keys,
+                            jnp.asarray(protos), seq_mesh=seq_mesh(8))
+    for _ in range(2):
+        ld, _ = dense.run_epoch(iter(batches()), train=True)
+        lr_, _ = ring.run_epoch(iter(batches()), train=True)
+        np.testing.assert_allclose(lr_, ld, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="either mesh"):
+        PrototypeTrainer(cfg, TrainConfig(lr=0.1), params, keys,
+                         jnp.asarray(protos), mesh=seq_mesh(8),
+                         seq_mesh=seq_mesh(8))
+
+
+@pytest.mark.slow
 def test_seq_parallel_prototypes_forward_matches(rng):
     cfg = _mcfg(modalities="RGB-Flow", importance_head=True)
     params = full_model_init(jax.random.key(5), cfg)
