@@ -67,7 +67,8 @@ def seq_mesh(n_seq: int, n_data: int = 1,
 
 def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray, axis_name: str,
-                          axis_size: int) -> jnp.ndarray:
+                          axis_size: int, chunk_flash: bool = False,
+                          interpret: bool = False) -> jnp.ndarray:
     """Ring attention on local shards (inside shard_map).
 
     q, k, v: (B, H, Lloc, Dh) — this device's query block and its CURRENT
@@ -79,34 +80,79 @@ def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     device's shard): running max m, denominator l, rescaled accumulator.
     The next chunk's ppermute is issued BEFORE the current chunk's math so
     XLA's latency-hiding scheduler can overlap the ICI hop with compute.
+
+    chunk_flash: run each chunk through the fused Pallas flash forward
+    (kernels/flash_attention._run_fwd) instead of an explicit score
+    einsum.  The kernel's row logsumexp makes the merge exact:
+    unnormalized chunk sums are o_i*exp(lse_i) with denominator
+    exp(lse_i), so acc += o_i*exp(lse_i - M), l += exp(lse_i - M).  This
+    avoids materializing the (B, H, Lloc, Lloc) score block per ring step
+    — at the beyond-VMEM lengths sequence parallelism targets, that block
+    is the dominant HBM cost.  Forward-only (the Pallas call has no VJP
+    here); training uses the einsum form, whose autodiff is exact.
     """
     b, h, lloc, dh = q.shape
-    qf = q.astype(jnp.float32) * (dh ** -0.5)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
-    m = jnp.full((b, h, lloc, 1), _NEG_INF, jnp.float32)
-    l = jnp.zeros((b, h, lloc, 1), jnp.float32)
-    acc = jnp.zeros((b, h, lloc, dh), jnp.float32)
-    for step in range(axis_size):
-        if step + 1 < axis_size:
-            k_nxt = jax.lax.ppermute(k, axis_name, perm)
-            v_nxt = jax.lax.ppermute(v, axis_name, perm)
-            bias_nxt = jax.lax.ppermute(bias, axis_name, perm)
-        s = jnp.einsum("bhld,bhmd->bhlm", qf, k.astype(jnp.float32),
-                       preferred_element_type=jnp.float32)
-        s = s + bias[:, None, None, :]
-        m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
-        p = jnp.exp(s - m_new)
-        alpha = jnp.exp(m - m_new)
-        l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
-        acc = acc * alpha + jnp.einsum(
-            "bhlm,bhmd->bhld", p, v.astype(jnp.float32),
-            preferred_element_type=jnp.float32)
-        m = m_new
-        if step + 1 < axis_size:
-            k, v, bias = k_nxt, v_nxt, bias_nxt
+    if chunk_flash:
+        from sais_tpu.kernels.flash_attention import _pad_to, _run_fwd
+        blk = min(512, max(128, lloc + ((-lloc) % 128)))
+        lp = lloc + ((-lloc) % blk)
+        qp = _pad_to(q, 2, blk)
+        kp = _pad_to(k, 2, blk)
+        vp = _pad_to(v, 2, blk)
+        biasp = _pad_to(bias, 1, blk, value=_NEG_INF)
+        dhp = dh + ((-dh) % 128)
+        qp = _pad_to(qp, 3, 128)
+        kp = _pad_to(kp, 3, 128)
+        vp = _pad_to(vp, 3, 128)
 
-    out = acc / jnp.maximum(l, 1e-30)
+        m = jnp.full((b, h, lp, 1), _NEG_INF, jnp.float32)
+        l = jnp.zeros((b, h, lp, 1), jnp.float32)
+        acc = jnp.zeros((b, h, lp, dhp), jnp.float32)
+        kc, vc, bc = kp, vp, biasp
+        for step in range(axis_size):
+            if step + 1 < axis_size:
+                k_nxt = jax.lax.ppermute(kc, axis_name, perm)
+                v_nxt = jax.lax.ppermute(vc, axis_name, perm)
+                bias_nxt = jax.lax.ppermute(bc, axis_name, perm)
+            o_c, lse_c = _run_fwd(qp, kc, vc, bc, dh ** -0.5, blk, blk,
+                                  interpret)
+            lse_c = lse_c[..., None]                      # (B, H, Lp, 1)
+            m_new = jnp.maximum(m, lse_c)
+            alpha = jnp.exp(m - m_new)
+            w_c = jnp.exp(lse_c - m_new)
+            l = l * alpha + w_c
+            acc = acc * alpha + o_c.astype(jnp.float32) * w_c
+            m = m_new
+            if step + 1 < axis_size:
+                kc, vc, bc = k_nxt, v_nxt, bias_nxt
+        out = (acc / jnp.maximum(l, 1e-30))[:, :, :lloc, :dh]
+    else:
+        qf = q.astype(jnp.float32) * (dh ** -0.5)
+        m = jnp.full((b, h, lloc, 1), _NEG_INF, jnp.float32)
+        l = jnp.zeros((b, h, lloc, 1), jnp.float32)
+        acc = jnp.zeros((b, h, lloc, dh), jnp.float32)
+        for step in range(axis_size):
+            if step + 1 < axis_size:
+                k_nxt = jax.lax.ppermute(k, axis_name, perm)
+                v_nxt = jax.lax.ppermute(v, axis_name, perm)
+                bias_nxt = jax.lax.ppermute(bias, axis_name, perm)
+            s = jnp.einsum("bhld,bhmd->bhlm", qf, k.astype(jnp.float32),
+                           preferred_element_type=jnp.float32)
+            s = s + bias[:, None, None, :]
+            m_new = jnp.maximum(m, jnp.max(s, axis=-1, keepdims=True))
+            p = jnp.exp(s - m_new)
+            alpha = jnp.exp(m - m_new)
+            l = l * alpha + jnp.sum(p, axis=-1, keepdims=True)
+            acc = acc * alpha + jnp.einsum(
+                "bhlm,bhmd->bhld", p, v.astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+            m = m_new
+            if step + 1 < axis_size:
+                k, v, bias = k_nxt, v_nxt, bias_nxt
+        out = acc / jnp.maximum(l, 1e-30)
+
     # a GLOBALLY all-masked batch row has s = -1e30 at every key, so the
     # recurrence degenerates to an unmasked average (same hazard the flash
     # kernel guards, flash_attention.py:356-364): define those rows as 0.
@@ -155,7 +201,8 @@ def _qkv_heads(x: jnp.ndarray, p: Params, num_heads: int):
 
 
 def _encoder_local(params: Params, x: jnp.ndarray, bias: jnp.ndarray,
-                   cfg: TemporalConfig, axis_name: str, axis_size: int
+                   cfg: TemporalConfig, axis_name: str, axis_size: int,
+                   chunk_flash: bool = False, interpret: bool = False
                    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Post-norm encoder stack on local sequence shards.
 
@@ -169,7 +216,9 @@ def _encoder_local(params: Params, x: jnp.ndarray, bias: jnp.ndarray,
     cls_row = None
     for i, p in enumerate(params["layers"]):
         q, k, v = _qkv_heads(x, p["mha"], cfg.num_heads)
-        y = _ring_attention_local(q, k, v, bias, axis_name, axis_size)
+        y = _ring_attention_local(q, k, v, bias, axis_name, axis_size,
+                                  chunk_flash=chunk_flash,
+                                  interpret=interpret)
         b, h, lloc, dh = y.shape
         y = y.transpose(0, 2, 1, 3).reshape(b, lloc, h * dh)
         y = jnp.dot(y, p["mha"]["out_w"].astype(x.dtype),
@@ -192,17 +241,25 @@ def _encoder_local(params: Params, x: jnp.ndarray, bias: jnp.ndarray,
 def encoder_forward_seq_parallel(
         params: Params, x: jnp.ndarray, cfg: TemporalConfig,
         key_padding_mask: Optional[jnp.ndarray], mesh: Mesh,
-        axis_name: str = SEQ_AXIS) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        axis_name: str = SEQ_AXIS, chunk_flash: Optional[bool] = None,
+        interpret: bool = False) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Sequence-parallel twin of models.temporal.encoder_forward.
 
     x: (B, L, D) global; key_padding_mask: (B, L) bool (True = pad).  The
     time axis is padded to a multiple of mesh.shape[axis_name] (as masked
     keys) and sharded; per-token math runs locally, attention as a ring.
 
+    chunk_flash: per-chunk fused Pallas flash attention inside the ring
+    (no O((L/n)^2) score block per step).  None = auto: on for TPU (the
+    kernel is TPU-only unless interpret=True).  FORWARD-ONLY — pass False
+    (the exactly-differentiable einsum form) when taking gradients.
+
     Returns (output (B, L, D), last layer's head-averaged CLS attention
     row (B, L)) — the flash-path export contract (the full (L, L) matrix
     is exactly what sequence parallelism exists to never materialize).
     """
+    if chunk_flash is None:
+        chunk_flash = jax.default_backend() == "tpu" or interpret
     b, l, d = x.shape
     n = mesh.shape[axis_name]
     if key_padding_mask is None:
@@ -216,22 +273,30 @@ def encoder_forward_seq_parallel(
 
     fn = jax.shard_map(
         functools.partial(_encoder_local, cfg=cfg, axis_name=axis_name,
-                          axis_size=n),
+                          axis_size=n, chunk_flash=chunk_flash,
+                          interpret=interpret),
         mesh=mesh,
         in_specs=(P(), P(None, axis_name, None), P(None, axis_name)),
         out_specs=(P(None, axis_name, None), P(None, axis_name)),
+        # pallas_call (the flash-chunk path) has no varying-mesh-axes
+        # annotations; skip the vma check like the pipeline's other
+        # shard_map+Pallas programs (infer/pipeline.py check_rep=False)
+        check_vma=False,
     )
     out, cls_row = fn(params, x, bias)
     return out[:, :l], cls_row[:, :l]
 
 
-def _ring_encoder_fn(cfg, mesh: Mesh, axis_name: str):
+def _ring_encoder_fn(cfg, mesh: Mesh, axis_name: str,
+                     chunk_flash: Optional[bool] = None):
     """temporal_features-compatible encoder override (full_model.py's
     `encoder_fn` hook) that runs the ring instead of the dense/flash
     encoder — head/pooling logic stays in full_model, so the seq-parallel
-    path can never diverge from the dense one."""
+    path can never diverge from the dense one.  chunk_flash=False for
+    trainers (the Pallas chunk path has no VJP)."""
     return lambda ep, x, mask: encoder_forward_seq_parallel(
-        ep, x, cfg.temporal, mask, mesh, axis_name)
+        ep, x, cfg.temporal, mask, mesh, axis_name,
+        chunk_flash=chunk_flash)
 
 
 def seq_parallel_temporal_features(params: Params, reps: jnp.ndarray,

@@ -96,6 +96,28 @@ def test_ring_encoder_no_mask_and_jit(rng):
                                atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.parametrize("l", [24, 37])
+def test_ring_flash_chunks_match_dense(rng, l):
+    """chunk_flash=True runs each ring step through the fused Pallas flash
+    forward and merges chunks by logsumexp — must match the dense encoder
+    like the einsum form (CPU: interpret mode)."""
+    cfg = _tcfg()
+    params = encoder_init(jax.random.key(6), cfg)
+    b = 2
+    x = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+    mask = jnp.asarray(_ragged_mask(rng, b, l))
+    mesh = seq_mesh(8)
+    dense_out, dense_attn = encoder_forward(params, x, cfg, mask)
+    out, cls_row = encoder_forward_seq_parallel(params, x, cfg, mask, mesh,
+                                                chunk_flash=True,
+                                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense_out),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(cls_row),
+                               np.asarray(dense_attn[:, 0, :]),
+                               atol=1e-6, rtol=1e-5)
+
+
 def test_ring_on_combined_data_seq_mesh(rng):
     """The encoder shards time over 'seq' while staying replicated over a
     coexisting 'data' axis (batch sharding composes outside)."""
