@@ -65,6 +65,97 @@ def seq_mesh(n_seq: int, n_data: int = 1,
     return Mesh(arr, ("data", SEQ_AXIS))
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_ring_core(q, k, v, bias, axis_name, axis_size, scale, blk,
+                     interpret):
+    """Ring attention over flash-kernel chunks, differentiable.
+
+    q/k/v: (B, H, Lp, Dhp) padded local shards; bias: (B, Lp) f32 additive
+    key bias for THIS device's chunk.  Lp is a multiple of `blk`, Dhp of
+    128 (the caller pads).  Returns (B, H, Lp, Dhp) in q's dtype.
+
+    Forward: each visiting K/V chunk runs through the Pallas flash forward
+    (`_run_fwd`); chunks merge by logsumexp (see _ring_attention_local).
+    Backward: a second ring.  With the GLOBAL row logsumexp saved from the
+    forward, the per-chunk probabilities p_c = exp(s_c - lse) are the true
+    softmax values, so the standard two-kernel flash backward applies
+    chunkwise: ds_c = p_c*(do v_c^T - delta), dq += ds_c k_c * scale,
+    dk_c = ds_c^T q * scale, dv_c = p_c^T do.  dk_c/dv_c accumulate in f32
+    carried WITH the chunk around the ring; after axis_size
+    process+permute steps every chunk (and its gradient) is back on its
+    home device.  No (Lloc, Lloc) block is ever materialized in HBM in
+    either direction.
+    """
+    out, _ = _flash_ring_fwd_impl(q, k, v, bias, axis_name, axis_size,
+                                  scale, blk, interpret)
+    return out
+
+
+def _flash_ring_fwd_impl(q, k, v, bias, axis_name, axis_size, scale, blk,
+                         interpret):
+    from sais_tpu.kernels.flash_attention import _run_fwd
+    b, h, lp, dhp = q.shape
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    m = jnp.full((b, h, lp, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((b, h, lp, 1), jnp.float32)
+    acc = jnp.zeros((b, h, lp, dhp), jnp.float32)
+    kc, vc, bc = k, v, bias
+    for step in range(axis_size):
+        if step + 1 < axis_size:
+            k_nxt = jax.lax.ppermute(kc, axis_name, perm)
+            v_nxt = jax.lax.ppermute(vc, axis_name, perm)
+            bias_nxt = jax.lax.ppermute(bc, axis_name, perm)
+        o_c, lse_c = _run_fwd(q, kc, vc, bc, scale, blk, blk, interpret)
+        lse_c = lse_c[..., None]                          # (B, H, Lp, 1)
+        m_new = jnp.maximum(m, lse_c)
+        alpha = jnp.exp(m - m_new)
+        w_c = jnp.exp(lse_c - m_new)
+        l = l * alpha + w_c
+        acc = acc * alpha + o_c.astype(jnp.float32) * w_c
+        m = m_new
+        if step + 1 < axis_size:
+            kc, vc, bc = k_nxt, v_nxt, bias_nxt
+    l_safe = jnp.maximum(l, 1e-30)
+    out = (acc / l_safe).astype(q.dtype)
+    lse = (m + jnp.log(l_safe))[..., 0]                   # (B, H, Lp) global
+    return out, lse
+
+
+def _flash_ring_fwd(q, k, v, bias, axis_name, axis_size, scale, blk,
+                    interpret):
+    out, lse = _flash_ring_fwd_impl(q, k, v, bias, axis_name, axis_size,
+                                    scale, blk, interpret)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_ring_bwd(axis_name, axis_size, scale, blk, interpret, res, do):
+    from sais_tpu.kernels.flash_attention import _run_bwd
+    q, k, v, bias, out, lse = res
+    perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
+    dq = jnp.zeros(q.shape, jnp.float32)
+    # the chunk's gradients ride the ring with it (f32 accumulators);
+    # after axis_size process+permute rounds they land back home
+    kc, vc, bc = k, v, bias
+    dkc = jnp.zeros(k.shape, jnp.float32)
+    dvc = jnp.zeros(v.shape, jnp.float32)
+    for _ in range(axis_size):
+        dq_c, dk_c, dv_c = _run_bwd(q, kc, vc, bc, out, lse, do, scale,
+                                    blk, blk, interpret)
+        dq = dq + dq_c.astype(jnp.float32)
+        dkc = dkc + dk_c.astype(jnp.float32)
+        dvc = dvc + dv_c.astype(jnp.float32)
+        kc = jax.lax.ppermute(kc, axis_name, perm)
+        vc = jax.lax.ppermute(vc, axis_name, perm)
+        bc = jax.lax.ppermute(bc, axis_name, perm)
+        dkc = jax.lax.ppermute(dkc, axis_name, perm)
+        dvc = jax.lax.ppermute(dvc, axis_name, perm)
+    return (dq.astype(q.dtype), dkc.astype(k.dtype), dvc.astype(v.dtype),
+            jnp.zeros_like(bias))
+
+
+_flash_ring_core.defvjp(_flash_ring_fwd, _flash_ring_bwd)
+
+
 def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                           bias: jnp.ndarray, axis_name: str,
                           axis_size: int, chunk_flash: bool = False,
@@ -81,53 +172,33 @@ def _ring_attention_local(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     The next chunk's ppermute is issued BEFORE the current chunk's math so
     XLA's latency-hiding scheduler can overlap the ICI hop with compute.
 
-    chunk_flash: run each chunk through the fused Pallas flash forward
-    (kernels/flash_attention._run_fwd) instead of an explicit score
-    einsum.  The kernel's row logsumexp makes the merge exact:
-    unnormalized chunk sums are o_i*exp(lse_i) with denominator
-    exp(lse_i), so acc += o_i*exp(lse_i - M), l += exp(lse_i - M).  This
-    avoids materializing the (B, H, Lloc, Lloc) score block per ring step
-    — at the beyond-VMEM lengths sequence parallelism targets, that block
-    is the dominant HBM cost.  Forward-only (the Pallas call has no VJP
-    here); training uses the einsum form, whose autodiff is exact.
+    chunk_flash: run each chunk through the fused Pallas flash kernels
+    (kernels/flash_attention) instead of an explicit score einsum.  The
+    kernel's row logsumexp makes the merge exact: unnormalized chunk sums
+    are o_i*exp(lse_i) with denominator exp(lse_i), so acc +=
+    o_i*exp(lse_i - M), l += exp(lse_i - M).  This avoids materializing
+    the (B, H, Lloc, Lloc) score block per ring step — at the beyond-VMEM
+    lengths sequence parallelism targets, that block is the dominant HBM
+    cost.  Differentiable: `_flash_ring_core` carries a custom VJP whose
+    backward is a second ring (see its docstring), so training takes this
+    path too.
     """
     b, h, lloc, dh = q.shape
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
 
     if chunk_flash:
-        from sais_tpu.kernels.flash_attention import _pad_to, _run_fwd
+        from sais_tpu.kernels.flash_attention import _pad_to
         blk = min(512, max(128, lloc + ((-lloc) % 128)))
-        lp = lloc + ((-lloc) % blk)
         qp = _pad_to(q, 2, blk)
         kp = _pad_to(k, 2, blk)
         vp = _pad_to(v, 2, blk)
         biasp = _pad_to(bias, 1, blk, value=_NEG_INF)
-        dhp = dh + ((-dh) % 128)
         qp = _pad_to(qp, 3, 128)
         kp = _pad_to(kp, 3, 128)
         vp = _pad_to(vp, 3, 128)
-
-        m = jnp.full((b, h, lp, 1), _NEG_INF, jnp.float32)
-        l = jnp.zeros((b, h, lp, 1), jnp.float32)
-        acc = jnp.zeros((b, h, lp, dhp), jnp.float32)
-        kc, vc, bc = kp, vp, biasp
-        for step in range(axis_size):
-            if step + 1 < axis_size:
-                k_nxt = jax.lax.ppermute(kc, axis_name, perm)
-                v_nxt = jax.lax.ppermute(vc, axis_name, perm)
-                bias_nxt = jax.lax.ppermute(bc, axis_name, perm)
-            o_c, lse_c = _run_fwd(qp, kc, vc, bc, dh ** -0.5, blk, blk,
-                                  interpret)
-            lse_c = lse_c[..., None]                      # (B, H, Lp, 1)
-            m_new = jnp.maximum(m, lse_c)
-            alpha = jnp.exp(m - m_new)
-            w_c = jnp.exp(lse_c - m_new)
-            l = l * alpha + w_c
-            acc = acc * alpha + o_c.astype(jnp.float32) * w_c
-            m = m_new
-            if step + 1 < axis_size:
-                kc, vc, bc = k_nxt, v_nxt, bias_nxt
-        out = (acc / jnp.maximum(l, 1e-30))[:, :, :lloc, :dh]
+        out = _flash_ring_core(qp, kp, vp, biasp, axis_name, axis_size,
+                               dh ** -0.5, blk, interpret)
+        out = out[:, :, :lloc, :dh]
     else:
         qf = q.astype(jnp.float32) * (dh ** -0.5)
         m = jnp.full((b, h, lloc, 1), _NEG_INF, jnp.float32)
@@ -250,9 +321,9 @@ def encoder_forward_seq_parallel(
     keys) and sharded; per-token math runs locally, attention as a ring.
 
     chunk_flash: per-chunk fused Pallas flash attention inside the ring
-    (no O((L/n)^2) score block per step).  None = auto: on for TPU (the
-    kernel is TPU-only unless interpret=True).  FORWARD-ONLY — pass False
-    (the exactly-differentiable einsum form) when taking gradients.
+    (no O((L/n)^2) score block per step, forward OR backward — the custom
+    VJP runs a second ring over the flash backward kernels).  None =
+    auto: on for TPU (the kernel is TPU-only unless interpret=True).
 
     Returns (output (B, L, D), last layer's head-averaged CLS attention
     row (B, L)) — the flash-path export contract (the full (L, L) matrix
@@ -292,8 +363,7 @@ def _ring_encoder_fn(cfg, mesh: Mesh, axis_name: str,
     """temporal_features-compatible encoder override (full_model.py's
     `encoder_fn` hook) that runs the ring instead of the dense/flash
     encoder — head/pooling logic stays in full_model, so the seq-parallel
-    path can never diverge from the dense one.  chunk_flash=False for
-    trainers (the Pallas chunk path has no VJP)."""
+    path can never diverge from the dense one."""
     return lambda ep, x, mask: encoder_forward_seq_parallel(
         ep, x, cfg.temporal, mask, mesh, axis_name,
         chunk_flash=chunk_flash)

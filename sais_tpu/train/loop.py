@@ -79,10 +79,9 @@ class PrototypeTrainer:
         encoder_fn = None
         if seq_mesh is not None:
             from sais_tpu.parallel.sequence import SEQ_AXIS, _ring_encoder_fn
-            # chunk_flash=False: the Pallas per-chunk path has no VJP; the
-            # einsum ring differentiates exactly
-            encoder_fn = _ring_encoder_fn(mcfg, seq_mesh, SEQ_AXIS,
-                                          chunk_flash=False)
+            # auto chunk_flash: on TPU the ring runs the Pallas flash
+            # kernels fwd+bwd (custom VJP, no per-step score block)
+            encoder_fn = _ring_encoder_fn(mcfg, seq_mesh, SEQ_AXIS)
 
         def loss_fn(trainable, batch, with_importance):
             out = prototypes_forward(trainable["model"], mcfg,

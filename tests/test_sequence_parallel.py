@@ -118,6 +118,36 @@ def test_ring_flash_chunks_match_dense(rng, l):
                                atol=1e-6, rtol=1e-5)
 
 
+@pytest.mark.slow
+def test_ring_flash_chunk_gradients_match_dense(rng):
+    """The flash-chunk ring's custom VJP (a second ring over the Pallas
+    flash backward kernels, dk/dv riding with each chunk) must give the
+    same parameter gradients as the dense encoder (CPU: interpret mode)."""
+    cfg = _tcfg(layers=2)
+    params = encoder_init(jax.random.key(14), cfg)
+    b, l = 2, 21
+    x = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+    mask = jnp.asarray(_ragged_mask(rng, b, l))
+    mesh = seq_mesh(8)
+    w = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+
+    def loss_dense(p):
+        out, _ = encoder_forward(p, x, cfg, mask)
+        return jnp.sum(out * w)
+
+    def loss_ring(p):
+        out, _ = encoder_forward_seq_parallel(p, x, cfg, mask, mesh,
+                                              chunk_flash=True,
+                                              interpret=True)
+        return jnp.sum(out * w)
+
+    gd = jax.grad(loss_dense)(params)
+    gr = jax.grad(loss_ring)(params)
+    for a, b_ in zip(jax.tree.leaves(gd), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
+
+
 def test_ring_on_combined_data_seq_mesh(rng):
     """The encoder shards time over 'seq' while staying replicated over a
     coexisting 'data' axis (batch sharding composes outside)."""
