@@ -292,7 +292,13 @@ class DINOTrainer:
             if locals_ is not None and cfg.n_local_crops:
                 lfeat = bb(params["backbone"], locals_, rl)
                 feats = jnp.concatenate([gfeat, lfeat], 0)
-            head_out = dino_head_forward(params["head"], feats,
+            # the backbone hands back f32 CLS features; the head runs at
+            # the pipeline's precision (the reference autocast covers the
+            # head too, main_dino.py:543) — casting here is what engages
+            # dino_head_forward's bf16-operand last matmul, the 1.91x
+            # component win at the (B, 256) x (256, 64k) shapes.
+            head_out = dino_head_forward(params["head"],
+                                         feats.astype(jnp.bfloat16),
                                          cfg.norm_last_layer)
 
             def regroup(out, n):
