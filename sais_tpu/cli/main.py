@@ -118,14 +118,28 @@ def cmd_paths(args):
     print(f"wrote manifests under {os.path.join(args.path, 'paths')}")
 
 
-def _extract_mesh(args):
-    """Device mesh for data-parallel extraction (--data-parallel on
-    extract/flow/pipeline shards frame/pair batches over all chips)."""
-    if not getattr(args, "data_parallel", False):
-        return None
+def _dp_mesh(dp):
+    """--data-parallel value -> data mesh: -1 (bare flag) = all devices,
+    N = the first N devices."""
+    import jax
     from sais_tpu.config import MeshConfig
     from sais_tpu.parallel.mesh import make_mesh
-    return make_mesh(MeshConfig())
+    devs = jax.devices()
+    if dp > 0:
+        if dp > len(devs):
+            raise SystemExit(f"--data-parallel {dp} exceeds the "
+                             f"{len(devs)} available devices")
+        devs = devs[:dp]
+    return make_mesh(MeshConfig(), devices=devs)
+
+
+def _extract_mesh(args):
+    """Device mesh for data-parallel extraction (--data-parallel on
+    extract/flow/pipeline shards frame/pair batches over the chips)."""
+    dp = getattr(args, "data_parallel", 0) or 0
+    if not dp:
+        return None
+    return _dp_mesh(dp)
 
 
 def _pipeline_config(args):
@@ -145,6 +159,15 @@ def _pipeline_config(args):
         # extract_representations.py:152-156)
         cfg = dataclasses.replace(cfg, preprocess=dataclasses.replace(
             cfg.preprocess, mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)))
+    maxpos = getattr(args, "max_positions", 0) or 0
+    if maxpos:
+        # beyond the reference's 2000-slot pos-emb table
+        # (prepare_model.py:67): full-length windows past the subsample
+        # cap need a bigger table (flash/ring attention carries the
+        # compute; the table size is the remaining configured limit)
+        cfg = dataclasses.replace(cfg, model=dataclasses.replace(
+            cfg.model, temporal=dataclasses.replace(
+                cfg.model.temporal, max_positions=maxpos)))
     return cfg
 
 
@@ -278,18 +301,29 @@ def cmd_flow(args):
     print(f"extracted flow reps {reps.shape} in {dt:.1f}s")
 
 
-def _seq_mesh_from_args(args):
-    """--seq-parallel N -> an N-device ('data','seq') mesh, or None."""
+def _seq_mesh_from_args(args, with_data: bool = False):
+    """--seq-parallel N -> an N-device ('data','seq') mesh, or None.
+
+    with_data (train only): combine with --data-parallel into one
+    (n_data, n_seq) mesh — batches shard over 'data', each window's time
+    axis over 'seq' (`sais train --seq-parallel 4 --data-parallel 2` on a
+    v5e-8).  Bare --data-parallel means "all remaining devices"."""
     n = getattr(args, "seq_parallel", 0) or 0
     if n <= 0:
         return None
     import jax
     from sais_tpu.parallel.sequence import seq_mesh
     devs = jax.devices()
-    if n > len(devs):
+    n_data = 1
+    if with_data:
+        dp = getattr(args, "data_parallel", 0) or 0
+        if dp:
+            n_data = dp if dp > 0 else max(len(devs) // n, 1)
+    if n * n_data > len(devs):
         raise SystemExit(
-            f"--seq-parallel {n} exceeds the {len(devs)} available devices")
-    return seq_mesh(n, devices=devs[:n])
+            f"--seq-parallel {n} x --data-parallel {n_data} exceeds the "
+            f"{len(devs)} available devices")
+    return seq_mesh(n, n_data=n_data, devices=devs[:n * n_data])
 
 
 def cmd_decode(args):
@@ -493,11 +527,16 @@ def cmd_train(args):
         # process-group equivalent, auto-detected on TPU pods
         from sais_tpu.parallel.distributed import initialize
         initialize()
+    seq_n = getattr(args, "seq_parallel", 0) or 0
     if args.num_slices > 1:
         from sais_tpu.parallel.distributed import multislice_mesh
         mesh = multislice_mesh(args.num_slices)
+    elif args.data_parallel and not seq_n:
+        mesh = _dp_mesh(args.data_parallel)
     else:
-        mesh = make_mesh(MeshConfig()) if args.data_parallel else None
+        # with --seq-parallel, --data-parallel folds into the seq mesh's
+        # 'data' axis (one mesh owns the devices; see _seq_mesh_from_args)
+        mesh = None
 
     skill_mode = args.dataset == "vua-ease"
     stitch_mode = args.dataset == "vua-ease-stitch"
@@ -643,9 +682,9 @@ def cmd_train(args):
                 mesh=mesh, vit_cfg=vit_cfg,
                 freeze_encoder=not args.unfreeze_encoder)
         elif args.task == "Prototypes":
-            trainer = PrototypeTrainer(mcfg, tcfg, params, keys, protos,
-                                       mesh=mesh,
-                                       seq_mesh=_seq_mesh_from_args(args))
+            trainer = PrototypeTrainer(
+                mcfg, tcfg, params, keys, protos, mesh=mesh,
+                seq_mesh=_seq_mesh_from_args(args, with_data=True))
         else:
             from sais_tpu.train.classification import ClassificationTrainer
             trainer = ClassificationTrainer(mcfg, tcfg, params,
@@ -774,9 +813,7 @@ def cmd_pretrain(args):
     niter = max(total // bs, 1)
     mesh = None
     if args.data_parallel:
-        from sais_tpu.config import MeshConfig
-        from sais_tpu.parallel.mesh import make_mesh
-        mesh = make_mesh(MeshConfig())
+        mesh = _dp_mesh(args.data_parallel)
         ndev = mesh.devices.size
         if bs % ndev:
             # fail at the CLI instead of a mid-epoch shard error: every
@@ -940,7 +977,34 @@ def cmd_port(args):
     """Convert checkpoints between reference torch naming and native pkl.
 
     --params-dir with params.zip/prototypes.zip -> params.pkl/prototypes.pkl
-    (and the reverse when only .pkl files exist)."""
+    (and the reverse when only .pkl files exist).
+
+    --verify CKPT --kind vit|raft|full: load + convert a REAL reference
+    checkpoint, run a fixed probe batch, and assert <=1e-3 agreement with
+    the committed golden digest (port/golden/<kind>.npz) — the one-file-
+    drop evidence path for pretrained-weight numerics.  --record CKPT
+    writes the digest instead (run once where the verified checkpoint
+    exists).  See sais_tpu/port/verify.py.
+    """
+    if args.verify or args.record:
+        from sais_tpu.port import verify as verify_lib
+        ckpt = args.verify or args.record
+        if not args.kind:
+            sys.exit("sais port --verify/--record needs --kind "
+                     "{vit,raft,full}")
+        if args.record:
+            dest = verify_lib.record(ckpt, args.kind,
+                                     golden_dir=args.golden_dir)
+            print(f"recorded golden digest {dest} "
+                  f"(sha256 {verify_lib.file_sha256(ckpt)[:16]}…)")
+        else:
+            errs = verify_lib.verify(ckpt, args.kind,
+                                     golden_dir=args.golden_dir)
+            for name, err in errs.items():
+                print(f"{args.kind}/{name}: max|Δ| = {err:.3e} "
+                      f"(tol {verify_lib.ATOL})")
+            print(f"port verified: {ckpt}")
+        return
     import pickle
     import jax
     import numpy as np
@@ -1079,6 +1143,19 @@ def build_parser():
                              "240x320) so the first flow request pays no "
                              "compile")
         sp.add_argument("--params-dir")
+        sp.add_argument("--verify", default=None, metavar="CKPT",
+                        help="port: probe a real reference checkpoint "
+                             "against the committed golden digest "
+                             "(needs --kind)")
+        sp.add_argument("--record", default=None, metavar="CKPT",
+                        help="port: record the golden digest from a "
+                             "verified checkpoint (needs --kind)")
+        sp.add_argument("--kind", choices=["vit", "raft", "full"],
+                        default=None,
+                        help="port --verify/--record: checkpoint family")
+        sp.add_argument("--golden-dir", default=None,
+                        help="port: override the golden digest directory "
+                             "(default sais_tpu/port/golden)")
         sp.add_argument("--random-init", action="store_true")
         sp.add_argument("--nfolds", type=int, default=1)
         sp.add_argument("--nclasses", type=int, default=2)
@@ -1208,6 +1285,13 @@ def build_parser():
         sp.add_argument("--fps", type=float, default=20.0,
                         help="steps: video fps for the 10 s / 5 s windows "
                              "(prepare_dataset.py:471-473)")
+        sp.add_argument("--max-positions", type=int, default=0,
+                        metavar="N",
+                        help="temporal pos-emb table size (default: the "
+                             "reference's 2000, prepare_model.py:67).  "
+                             "Raise for full-length windows past the "
+                             "2000-frame subsample cap, e.g. `sais steps "
+                             "--stride-divisor 4096 --max-positions 4096`")
         sp.add_argument("--norm", default="imagenet",
                         choices=["imagenet", "half"],
                         help="feature-extraction normalization: imagenet "
@@ -1215,8 +1299,15 @@ def build_parser():
                              "half = 0.5/0.5 for the timm "
                              "ViT_Supervised_ImageNet variant "
                              "(extract_representations.py:145-162)")
-        sp.add_argument("--data-parallel", action="store_true",
-                        help="shard batches over all visible devices")
+        sp.add_argument("--data-parallel", type=int, nargs="?", const=-1,
+                        default=0, metavar="M",
+                        help="shard batches over devices: bare flag = all "
+                             "visible devices, M = an M-way data axis. "
+                             "With train --seq-parallel N the two compose "
+                             "into one (M, N) mesh — batches shard over "
+                             "'data', each window's time axis rings over "
+                             "'seq' (e.g. --seq-parallel 4 "
+                             "--data-parallel 2 on a v5e-8)")
         sp.add_argument("--num-slices", type=int, default=1,
                         help="train over N TPU slices with a "
                              "('dcn','data','model') mesh (DCN crosses "

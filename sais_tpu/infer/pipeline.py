@@ -134,14 +134,13 @@ class FeatureExtractor:
         def _jit(fn):
             if mesh is None:
                 return jax.jit(fn)
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
             # batch dim sharded over EVERY mesh axis jointly (a tuple in
             # one PartitionSpec slot = joint sharding of that dim)
             spec = P(tuple(mesh.axis_names))
-            return jax.jit(shard_map(fn, mesh=mesh,
-                                     in_specs=(P(), spec),
-                                     out_specs=spec, check_rep=False))
+            return jax.jit(jax.shard_map(fn, mesh=mesh,
+                                         in_specs=(P(), spec),
+                                         out_specs=spec, check_vma=False))
 
         self._fn_device = _jit(_fn_device)
         self._fn_pre = _jit(_fn_pre)
@@ -307,12 +306,11 @@ class FlowExtractor:
         if mesh is None:
             self._flow_fn = jax.jit(_flow)
         else:
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
             spec = P(tuple(mesh.axis_names))
-            self._flow_fn = jax.jit(shard_map(
+            self._flow_fn = jax.jit(jax.shard_map(
                 _flow, mesh=mesh, in_specs=(P(), spec, spec),
-                out_specs=spec, check_rep=False))
+                out_specs=spec, check_vma=False))
         self._raft_params = raft_params
         self._features = FeatureExtractor(vit_params, cfg, batch_size=64,
                                           mesh=mesh)
@@ -345,12 +343,11 @@ class FlowExtractor:
         if mesh is None:
             self._fused_fn = jax.jit(_fused)
         else:
-            from jax.experimental.shard_map import shard_map
             from jax.sharding import PartitionSpec as P
             spec = P(tuple(mesh.axis_names))
-            self._fused_fn = jax.jit(shard_map(
+            self._fused_fn = jax.jit(jax.shard_map(
                 _fused, mesh=mesh, in_specs=(P(), P(), spec, spec),
-                out_specs=spec, check_rep=False))
+                out_specs=spec, check_vma=False))
 
     def auto_pair_batch(self, height: int, width: int) -> int:
         """Resolution/mesh-aware RAFT pair batch (the caller's explicit

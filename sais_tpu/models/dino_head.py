@@ -45,10 +45,11 @@ def dino_head_forward(params: Params, x: jnp.ndarray,
         # the head runs at the pipeline's precision: under the reference's
         # fp16 autocast the weight-normed last linear ALSO runs at reduced
         # precision (main_dino.py:543 autocast covers the whole forward).
-        # bf16 operands + f32 accumulation halve the (B, 256) x (256, 64k)
-        # MXU time — measured 1.91x on the head fwd+bwd at the production
-        # shapes, parameter-grad rounding ~2e-3 rel (bf16 mantissa).
-        # Normalization above stays f32; only the big matmul drops down.
+        # With bf16 input the MLP matmuls above likewise ran in bf16 (they
+        # use h.dtype) — the whole head is at the input's precision, with
+        # the weight NORMALIZATION and accumulation kept in f32.
+        # Parameter-grad rounding ~2e-3 rel (bf16 mantissa); at step level
+        # this is precision parity, not a speedup (PERFORMANCE.md item 6).
         return jnp.dot(h.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
                        preferred_element_type=jnp.float32)
     return jnp.dot(h.astype(jnp.float32), w)

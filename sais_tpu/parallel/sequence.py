@@ -328,6 +328,13 @@ def encoder_forward_seq_parallel(
     Returns (output (B, L, D), last layer's head-averaged CLS attention
     row (B, L)) — the flash-path export contract (the full (L, L) matrix
     is exactly what sequence parallelism exists to never materialize).
+
+    seq x data composition: when the mesh carries a 'data' axis of size
+    > 1 and B divides by it, the batch dim is sharded over 'data' while
+    time shards over 'seq' — each data group runs an independent ring
+    over its batch shard (all ring collectives are seq-axis-only), which
+    is how PrototypeTrainer trains 2x4 / 4x2 on a v5e-8.  A non-divisible
+    B falls back to a replicated batch (correct, just not data-parallel).
     """
     if chunk_flash is None:
         chunk_flash = jax.default_backend() == "tpu" or interpret
@@ -342,16 +349,20 @@ def encoder_forward_seq_parallel(
                                    constant_values=True)
     bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
 
+    n_data = dict(mesh.shape).get("data", 1)
+    batch_axis = "data" if (n_data > 1 and b % n_data == 0) else None
+
     fn = jax.shard_map(
         functools.partial(_encoder_local, cfg=cfg, axis_name=axis_name,
                           axis_size=n, chunk_flash=chunk_flash,
                           interpret=interpret),
         mesh=mesh,
-        in_specs=(P(), P(None, axis_name, None), P(None, axis_name)),
-        out_specs=(P(None, axis_name, None), P(None, axis_name)),
+        in_specs=(P(), P(batch_axis, axis_name, None),
+                  P(batch_axis, axis_name)),
+        out_specs=(P(batch_axis, axis_name, None), P(batch_axis, axis_name)),
         # pallas_call (the flash-chunk path) has no varying-mesh-axes
         # annotations; skip the vma check like the pipeline's other
-        # shard_map+Pallas programs (infer/pipeline.py check_rep=False)
+        # shard_map+Pallas programs (infer/pipeline.py check_vma=False)
         check_vma=False,
     )
     out, cls_row = fn(params, x, bias)

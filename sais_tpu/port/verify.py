@@ -1,0 +1,208 @@
+"""Checkpoint-port verification: prove a real reference checkpoint loads
+and reproduces fixed probe outputs (`sais port --verify`).
+
+The reference loads three pretrained artifacts
+(extract_representations.py:181-203, 267; prepare_model.py:521-530):
+
+- ``dino_deitsmall16_pretrain.pth`` — DINO ViT-S/16 backbone, published at
+  https://dl.fbaipublicfiles.com/dino/dino_deitsmall16_pretrain/dino_deitsmall16_pretrain.pth
+- a ptlflow ``raft`` / ``things`` checkpoint (RAFT-large trained on
+  FlyingThings), resolved by ptlflow's model zoo;
+- per-fold SAIS ``params.zip`` + ``prototypes.zip`` training outputs.
+
+None of those files exist in the build environment, so ViT parity is
+fuzz-tested against the *imported reference module at random weights*
+(tests/test_reference_parity.py) and RAFT against a transcribed oracle.
+This module closes the remaining evidence gap the moment real weights are
+available, with zero new code (VERDICT r3 "Next #3"):
+
+1. ``sais port CKPT --kind vit --verify`` loads + converts the checkpoint,
+   runs a DETERMINISTIC probe batch through the JAX model, and compares
+   the outputs against a golden digest file next to this module
+   (``golden/<kind>.npz``).
+2. ``--record`` writes that digest file instead — run it once on a machine
+   that has the published checkpoint (after confirming the torch model
+   reproduces the reference outputs there), commit the ~KB .npz, and every
+   subsequent verify anywhere asserts end-to-end <=1e-3 agreement.
+3. The file's SHA256 is printed and stored in the digest so a corrupted or
+   wrong download fails loudly before any numerics run.
+
+tests/test_port_verify.py exercises the whole harness with synthetic
+checkpoints (record -> verify -> perturb -> must fail), and carries a
+skipped-until-weights-exist test wired to ``SAIS_CHECKPOINT_DIR``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+# Published origins of the reference checkpoints (for provenance; the
+# build environment has no network, so hashes are pinned by --record on
+# the machine that first verifies a download, not hardcoded here).
+CHECKPOINT_URLS = {
+    "vit": ("https://dl.fbaipublicfiles.com/dino/"
+            "dino_deitsmall16_pretrain/dino_deitsmall16_pretrain.pth"),
+    "raft": "ptlflow model zoo: model='raft', ckpt='things'",
+    "full": "SAIS training output params.zip (per fold)",
+}
+
+ATOL = 1e-3  # end-to-end port tolerance (f32 probe, torch-vs-jax)
+
+
+def file_sha256(path: str) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _probe_rng() -> np.random.Generator:
+    return np.random.default_rng(20260819)
+
+
+def probe_images(n: int = 2, size: int = 224) -> np.ndarray:
+    """Deterministic ImageNet-normalized probe batch for the ViT."""
+    r = _probe_rng()
+    u8 = (r.uniform(size=(n, size, size, 3)) * 255).astype(np.uint8)
+    x = u8.astype(np.float32) / 255.0
+    mean = np.array([0.485, 0.456, 0.406], np.float32)
+    std = np.array([0.229, 0.224, 0.225], np.float32)
+    return (x - mean) / std
+
+
+def probe_frame_pair(h: int = 224, w: int = 224) -> Tuple[np.ndarray, np.ndarray]:
+    """Deterministic uint8 frame pair for RAFT (smooth, so flow is sane)."""
+    r = _probe_rng()
+    base = r.uniform(0, 255, size=(1, h + 8, w + 8, 3))
+    # blur crudely so the pair has structure RAFT's pyramid can correlate
+    k = np.ones((5, 5)) / 25.0
+    from numpy.lib.stride_tricks import sliding_window_view
+    sm = sliding_window_view(base[0], (5, 5), axis=(0, 1)).mean(axis=(-2, -1))
+    img1 = sm[:h, :w]
+    img2 = sm[4:4 + h, 2:2 + w]  # a (dy=4, dx=2) global shift
+    return (img1[None].astype(np.uint8), img2[None].astype(np.uint8))
+
+
+def probe_window(dim: int = 384, frames: int = 15) -> Dict[str, np.ndarray]:
+    """Deterministic temporal-model probe: one 2-window batch of frame reps."""
+    r = _probe_rng()
+    return {
+        "rgb": r.normal(size=(2, 1, frames, dim)).astype(np.float32),
+        "rgb_mask": np.zeros((2, 1, frames + 1), bool),
+    }
+
+
+# ---------------------------------------------------------------------------
+# per-kind probe runners: checkpoint path -> probe outputs (dict of arrays)
+# ---------------------------------------------------------------------------
+
+def _run_vit(path: str) -> Dict[str, np.ndarray]:
+    from sais_tpu.config import ViTConfig
+    from sais_tpu.models.vit import vit_features
+    from sais_tpu.port.torch_port import (load_torch_pickle,
+                                          strip_dino_student_prefix,
+                                          vit_params_from_torch)
+    sd = load_torch_pickle(path)
+    if isinstance(sd, dict) and any(
+            str(k).startswith(("student", "teacher")) for k in sd):
+        sd = strip_dino_student_prefix(sd)
+    params = vit_params_from_torch(sd)
+    feats = vit_features(params, probe_images(), ViTConfig())
+    return {"features": np.asarray(feats, np.float32)}
+
+
+def _run_raft(path: str) -> Dict[str, np.ndarray]:
+    from sais_tpu.models.raft import raft_forward, raft_params_from_torch
+    from sais_tpu.port.torch_port import load_torch_pickle
+    sd = load_torch_pickle(path)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    params = raft_params_from_torch(sd)
+    img1, img2 = probe_frame_pair()
+    flow = raft_forward(params, img1, img2, iters=12)
+    return {"flow": np.asarray(flow, np.float32)}
+
+
+def _run_full(path: str) -> Dict[str, np.ndarray]:
+    """SAIS fullModel params.zip; a sibling prototypes.zip adds the
+    prototype-probability probe."""
+    from sais_tpu.config import ModelConfig
+    from sais_tpu.models.full_model import prototypes_forward
+    from sais_tpu.port.torch_port import (full_model_params_from_torch,
+                                          load_torch_pickle,
+                                          prototypes_from_torch)
+    params = full_model_params_from_torch(load_torch_pickle(path))
+    cfg = ModelConfig(modalities="RGB",
+                      importance_head="importance" in params)
+    batch = probe_window()
+    out = prototypes_forward(params, cfg, batch["rgb"], batch["rgb_mask"])
+    res = {"video_rep": np.asarray(out.video_rep, np.float32)}
+    proto_path = os.path.join(os.path.dirname(path), "prototypes.zip")
+    if os.path.exists(proto_path):
+        from sais_tpu.models.heads import prototype_probs
+        _, protos = prototypes_from_torch(load_torch_pickle(proto_path))
+        res["probs"] = np.asarray(
+            prototype_probs(out.video_rep, protos), np.float32)
+    return res
+
+
+_RUNNERS = {"vit": _run_vit, "raft": _run_raft, "full": _run_full}
+
+
+def golden_path(kind: str, golden_dir: Optional[str] = None) -> str:
+    return os.path.join(golden_dir or GOLDEN_DIR, f"{kind}.npz")
+
+
+def record(path: str, kind: str, golden_dir: Optional[str] = None) -> str:
+    """Run the probe and write the golden digest (returns its path)."""
+    if kind not in _RUNNERS:
+        raise ValueError(f"unknown kind {kind!r}; use one of {list(_RUNNERS)}")
+    outputs = _RUNNERS[kind](path)
+    dest = golden_path(kind, golden_dir)
+    os.makedirs(os.path.dirname(dest), exist_ok=True)
+    np.savez_compressed(
+        dest, __sha256__=np.array(file_sha256(path)),
+        __source__=np.array(os.path.basename(path)), **outputs)
+    return dest
+
+
+def verify(path: str, kind: str, golden_dir: Optional[str] = None,
+           atol: float = ATOL) -> Dict[str, float]:
+    """Probe the checkpoint and assert agreement with the recorded golden.
+
+    Returns {output_name: max_abs_err}.  Raises FileNotFoundError when no
+    golden has been recorded yet, ValueError on SHA mismatch (wrong or
+    corrupted file — numerics never run), AssertionError on numeric drift.
+    """
+    if kind not in _RUNNERS:
+        raise ValueError(f"unknown kind {kind!r}; use one of {list(_RUNNERS)}")
+    gpath = golden_path(kind, golden_dir)
+    if not os.path.exists(gpath):
+        raise FileNotFoundError(
+            f"no golden digest at {gpath}; run `sais port {path} "
+            f"--kind {kind} --record` on a machine with the verified "
+            f"checkpoint first ({CHECKPOINT_URLS[kind]})")
+    golden = np.load(gpath, allow_pickle=False)
+    want_sha = str(golden["__sha256__"])
+    got_sha = file_sha256(path)
+    if got_sha != want_sha:
+        raise ValueError(
+            f"checkpoint SHA256 mismatch: golden was recorded from "
+            f"{golden['__source__']} ({want_sha[:16]}…), this file is "
+            f"{got_sha[:16]}… — wrong or corrupted download")
+    outputs = _RUNNERS[kind](path)
+    errs: Dict[str, float] = {}
+    for name in outputs:
+        err = float(np.max(np.abs(outputs[name] - golden[name])))
+        errs[name] = err
+        if not err <= atol:
+            raise AssertionError(
+                f"port drift on {kind}/{name}: max|Δ|={err:.3e} > {atol}")
+    return errs

@@ -292,11 +292,13 @@ class DINOTrainer:
             if locals_ is not None and cfg.n_local_crops:
                 lfeat = bb(params["backbone"], locals_, rl)
                 feats = jnp.concatenate([gfeat, lfeat], 0)
-            # the backbone hands back f32 CLS features; the head runs at
-            # the pipeline's precision (the reference autocast covers the
-            # head too, main_dino.py:543) — casting here is what engages
-            # dino_head_forward's bf16-operand last matmul, the 1.91x
-            # component win at the (B, 256) x (256, 64k) shapes.
+            # the backbone hands back f32 CLS features; the cast exists
+            # for REFERENCE PRECISION PARITY — the fp16 autocast covers
+            # the head too (main_dino.py:543), so the head must see
+            # reduced-precision inputs like the reference's does.  It is
+            # NOT a perf optimization: the standalone head A/B showed
+            # 1.91x but the step-level win is nil (PERFORMANCE.md item 6
+            # — the head grad hides behind the same HBM traffic).
             head_out = dino_head_forward(params["head"],
                                          feats.astype(jnp.bfloat16),
                                          cfg.norm_last_layer)

@@ -56,17 +56,29 @@ class PrototypeTrainer:
         trains SEQUENCE-PARALLEL (ring attention, parallel/sequence.py):
         each window's time axis is sharded across the mesh and the VJP is
         the reverse ring, for segment windows beyond one chip's attention.
-        Mutually exclusive with the data-parallel `mesh` (use seq_mesh's
-        own 'data' axis to combine both in one mesh)."""
+        seq x data COMPOSES: seq_mesh(n_seq, n_data>1) additionally shards
+        batches over the mesh's 'data' axis (each data group runs an
+        independent ring over its batch shard; the gradient all-reduce
+        over 'data' is inserted by jit) — on a v5e-8 train 2x4 or 4x2 via
+        `sais train --seq-parallel N --data-parallel M`.  Mutually
+        exclusive with the separate data-parallel `mesh` argument (one
+        mesh must own the devices)."""
         if mesh is not None and seq_mesh is not None:
             raise ValueError(
                 "pass either mesh (data parallel) or seq_mesh (sequence "
                 "parallel); for both at once build one seq_mesh(n_seq, "
-                "n_data) and shard batches on its 'data' axis")
+                "n_data) — its 'data' axis shards the batches")
         self.model_cfg = model_cfg
         self.train_cfg = train_cfg
         self.prototype_keys = list(prototype_keys)
         self.mesh = mesh
+        self.seq_mesh = seq_mesh
+        # seq x data composition: the seq_mesh's own 'data' axis shards
+        # batches exactly like a pure data mesh would (mesh_lib helpers
+        # only key on the axis name)
+        self._batch_mesh = mesh
+        if seq_mesh is not None and dict(seq_mesh.shape).get("data", 1) > 1:
+            self._batch_mesh = seq_mesh
         self.use_importance = (train_cfg.importance_loss
                                if use_importance is None else use_importance)
         self.optimizer = optax.sgd(train_cfg.lr)
@@ -137,21 +149,24 @@ class PrototypeTrainer:
             probs = prototype_probs(reps, state.prototypes)
             return loss, reps, probs
 
-        if mesh is not None:
+        if self._batch_mesh is not None:
             # params/opt-state replicated, batches arrive data-sharded via
             # _device_batch; jit respects the argument shardings and inserts
             # the gradient all-reduce over the data axis (DDP equivalent).
-            self.state = mesh_lib.replicate(self.state, mesh)
+            self.state = mesh_lib.replicate(self.state, self._batch_mesh)
+        elif seq_mesh is not None:
+            # pure sequence parallelism: state still lives on the mesh
+            self.state = mesh_lib.replicate(self.state, seq_mesh)
         self._train_step = jax.jit(train_step, donate_argnums=(0,))
         self._eval_step = jax.jit(eval_step)
 
     # -- batch prep ---------------------------------------------------------
 
     def _device_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
-        if self.mesh is not None:
+        if self._batch_mesh is not None:
             batch = mesh_lib.pad_batch_with_weight(
-                batch, mesh_lib.data_parallel_size(self.mesh))
-            return mesh_lib.shard_batch(batch, self.mesh)
+                batch, mesh_lib.data_parallel_size(self._batch_mesh))
+            return mesh_lib.shard_batch(batch, self._batch_mesh)
         return {k: jnp.asarray(v) for k, v in batch.items()}
 
     # -- epochs -------------------------------------------------------------

