@@ -23,6 +23,14 @@ fully differentiable (the bias cotangent is zero).
 
 Head dim is zero-padded to the 128-lane boundary outside the kernels;
 sequence length to lcm(block_q, block_k).
+
+Long sequences: the plain kernels keep full-length K/V (forward) and Q/dO
+(backward) VMEM-resident, which caps one program near 4k tokens at
+f32/Dh<=128 (measured Lp=8704 overflow on v5e with double buffering).
+flash_attention transparently switches to a CHUNKED core past that: K/V
+split into VMEM-sized slices merged by the online-softmax recurrence, the
+backward tiled over (query chunk, key chunk) pairs from the global row
+logsumexp — no length ceiling, K/V still read once forward.
 """
 
 from __future__ import annotations
@@ -161,25 +169,29 @@ def _pad_to(x, axis, mult, value=0.0):
 
 
 def _run_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
-    b, h, lp, dhp = q.shape
+    """q: (B, H, Lq, Dhp); k/v: (B, H, Lk, Dhp); bias: (B, Lk).  Lq and Lk
+    may differ (the chunked long-sequence path feeds K/V slices against
+    the full query)."""
+    b, h, lq, dhp = q.shape
+    lk = k.shape[2]
     bh = b * h
-    qf = q.reshape(bh, lp, dhp)
-    kf = k.reshape(bh, lp, dhp)
-    vf = v.reshape(bh, lp, dhp)
-    bias3 = bias.reshape(b, 1, lp)
+    qf = q.reshape(bh, lq, dhp)
+    kf = k.reshape(bh, lk, dhp)
+    vf = v.reshape(bh, lk, dhp)
+    bias3 = bias.reshape(b, 1, lk)
     hpb = bh // b                                   # heads per batch row
-    grid = (bh, lp // block_q)
+    grid = (bh, lq // block_q)
     o, lse = pl.pallas_call(
         functools.partial(_flash_fwd_kernel, block_k=block_k, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, block_q, dhp), lambda i, j: (i, j, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lp, dhp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, lk, dhp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lp, dhp), lambda i, j: (i, 0, 0),
+            pl.BlockSpec((None, lk, dhp), lambda i, j: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, lp), lambda i, j: (i // hpb, 0, 0),
+            pl.BlockSpec((None, 1, lk), lambda i, j: (i // hpb, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -189,26 +201,31 @@ def _run_fwd(q, k, v, bias, scale, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, lp, dhp), q.dtype),
-            jax.ShapeDtypeStruct((bh, 1, lp), jnp.float32),
+            jax.ShapeDtypeStruct((bh, lq, dhp), q.dtype),
+            jax.ShapeDtypeStruct((bh, 1, lq), jnp.float32),
         ],
         interpret=interpret,
     )(qf, kf, vf, bias3)
-    return o.reshape(b, h, lp, dhp), lse.reshape(b, h, lp)
+    return o.reshape(b, h, lq, dhp), lse.reshape(b, h, lq)
 
 
 def _run_bwd(q, k, v, bias, o, lse, do, scale, block_q, block_k, interpret):
-    b, h, lp, dhp = q.shape
+    """Backward over one (Lq query x Lk key) tile pair; lse must be the
+    GLOBAL row logsumexp so p = exp(s + bias - lse) is the true softmax
+    even when k/v are a chunk of a longer sequence (the chunked path sums
+    dq over key chunks and dk/dv over query chunks — each term here)."""
+    b, h, lq, dhp = q.shape
+    lk = k.shape[2]
     bh = b * h
     delta = jnp.sum(do.astype(jnp.float32) * o.astype(jnp.float32),
-                    axis=-1)                                    # (B, H, Lp)
-    qf = q.reshape(bh, lp, dhp)
-    kf = k.reshape(bh, lp, dhp)
-    vf = v.reshape(bh, lp, dhp)
-    dof = do.reshape(bh, lp, dhp)
-    lsef = lse.reshape(bh, 1, lp)
-    deltaf = delta.reshape(bh, 1, lp)
-    bias3 = bias.reshape(b, 1, lp)
+                    axis=-1)                                    # (B, H, Lq)
+    qf = q.reshape(bh, lq, dhp)
+    kf = k.reshape(bh, lk, dhp)
+    vf = v.reshape(bh, lk, dhp)
+    dof = do.reshape(bh, lq, dhp)
+    lsef = lse.reshape(bh, 1, lq)
+    deltaf = delta.reshape(bh, 1, lq)
+    bias3 = bias.reshape(b, 1, lk)
     hpb = bh // b                                    # heads per batch row
 
     full = lambda i, j: (i, 0, 0)
@@ -219,24 +236,24 @@ def _run_bwd(q, k, v, bias, o, lse, do, scale, block_q, block_k, interpret):
     dq = pl.pallas_call(
         functools.partial(_flash_bwd_dq_kernel, block_k=block_k,
                           scale=scale),
-        grid=(bh, lp // block_q),
+        grid=(bh, lq // block_q),
         in_specs=[
             pl.BlockSpec((None, block_q, dhp), blocked_q,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lp, dhp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lp, dhp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lk, dhp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lk, dhp), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_q, dhp), blocked_q,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, block_q), row_q,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, block_q), row_q,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, lp), bias_full,
+            pl.BlockSpec((None, 1, lk), bias_full,
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((None, block_q, dhp), blocked_q,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((bh, lp, dhp), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((bh, lq, dhp), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, dof, lsef, deltaf, bias3)
 
@@ -245,16 +262,16 @@ def _run_bwd(q, k, v, bias, o, lse, do, scale, block_q, block_k, interpret):
     dk, dv = pl.pallas_call(
         functools.partial(_flash_bwd_dkv_kernel, block_q=block_q,
                           scale=scale),
-        grid=(bh, lp // block_k),
+        grid=(bh, lk // block_k),
         in_specs=[
-            pl.BlockSpec((None, lp, dhp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lq, dhp), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_k, dhp), blocked_k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, block_k, dhp), blocked_k,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, lp, dhp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, lp), full, memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, 1, lp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, lq, dhp), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, lq), full, memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, 1, lq), full, memory_space=pltpu.VMEM),
             pl.BlockSpec((None, 1, block_k), bias_k,
                          memory_space=pltpu.VMEM),
         ],
@@ -265,13 +282,13 @@ def _run_bwd(q, k, v, bias, o, lse, do, scale, block_q, block_k, interpret):
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh, lp, dhp), k.dtype),
-            jax.ShapeDtypeStruct((bh, lp, dhp), v.dtype),
+            jax.ShapeDtypeStruct((bh, lk, dhp), k.dtype),
+            jax.ShapeDtypeStruct((bh, lk, dhp), v.dtype),
         ],
         interpret=interpret,
     )(qf, kf, vf, dof, lsef, deltaf, bias3)
-    return (dq.reshape(b, h, lp, dhp), dk.reshape(b, h, lp, dhp),
-            dv.reshape(b, h, lp, dhp))
+    return (dq.reshape(b, h, lq, dhp), dk.reshape(b, h, lk, dhp),
+            dv.reshape(b, h, lk, dhp))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -297,6 +314,116 @@ def _flash_core_bwd(scale, block_q, block_k, interpret, res, do):
 _flash_core.defvjp(_flash_core_fwd, _flash_core_bwd)
 
 
+# ---------------------------------------------------------------------------
+# Chunked long-sequence path: lifts the single-program VMEM ceiling.
+#
+# The plain kernels hold the FULL (Lp, Dhp) K/V (forward, double-buffered
+# across grid rows) and the full Q/dO (backward dkv program) in VMEM, which
+# caps Lp around 8k at f32/Dh<=128 on a 16 MB-VMEM v5e (measured: Lp=8704
+# overflows by 1.5 MB).  For longer sequences the sequence axis is split
+# into VMEM-sized chunks OUTSIDE the kernels:
+#   forward:  one _run_fwd per K/V chunk against the full (grid-blocked)
+#             query, merged by the online-softmax/logsumexp recurrence —
+#             the same math the ring uses across devices
+#             (parallel/sequence._flash_ring_fwd_impl), here across local
+#             HBM slices.  K/V are still read exactly once.
+#   backward: one _run_bwd per (query chunk, key chunk) tile pair; with
+#             the GLOBAL row logsumexp saved from the forward, chunkwise
+#             p = exp(s + bias - lse) is the true softmax, so dq sums over
+#             key chunks and dk/dv over query chunks exactly.
+# HBM overhead vs the unchunked path: the (B, H, Lp, Dhp) f32 merge
+# accumulators forward (read+write per chunk) and re-reading Q/dO once per
+# key chunk backward — O(L * nchunks * Dh), negligible next to the O(L^2)
+# score work the kernels do.
+# ---------------------------------------------------------------------------
+
+def _chunk_slices(lp: int, chunk: int):
+    """Sequence split points: full chunks plus a ragged tail (the tail is
+    still a block multiple because the caller pads lp to one)."""
+    return [slice(s, min(s + chunk, lp)) for s in range(0, lp, chunk)]
+
+
+def _chunked_fwd_impl(q, k, v, bias, scale, block_q, block_k, interpret,
+                      chunk):
+    b, h, lp, dhp = q.shape
+    m = jnp.full((b, h, lp, 1), _NEG_INF, jnp.float32)
+    l = jnp.zeros((b, h, lp, 1), jnp.float32)
+    acc = jnp.zeros((b, h, lp, dhp), jnp.float32)
+    for sl in _chunk_slices(lp, chunk):
+        o_c, lse_c = _run_fwd(q, k[:, :, sl], v[:, :, sl], bias[:, sl],
+                              scale, block_q, block_k, interpret)
+        lse_c = lse_c[..., None]                          # (B, H, Lp, 1)
+        m_new = jnp.maximum(m, lse_c)
+        alpha = jnp.exp(m - m_new)
+        w_c = jnp.exp(lse_c - m_new)
+        l = l * alpha + w_c
+        acc = acc * alpha + o_c.astype(jnp.float32) * w_c
+        m = m_new
+    l_safe = jnp.maximum(l, 1e-30)
+    out = (acc / l_safe).astype(q.dtype)
+    lse = (m + jnp.log(l_safe))[..., 0]                   # (B, H, Lp) global
+    return out, lse
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash_core_chunked(q, k, v, bias, scale, block_q, block_k, interpret,
+                        chunk):
+    out, _ = _chunked_fwd_impl(q, k, v, bias, scale, block_q, block_k,
+                               interpret, chunk)
+    return out
+
+
+def _flash_core_chunked_fwd(q, k, v, bias, scale, block_q, block_k,
+                            interpret, chunk):
+    out, lse = _chunked_fwd_impl(q, k, v, bias, scale, block_q, block_k,
+                                 interpret, chunk)
+    return out, (q, k, v, bias, out, lse)
+
+
+def _flash_core_chunked_bwd(scale, block_q, block_k, interpret, chunk, res,
+                            do):
+    q, k, v, bias, o, lse = res
+    b, h, lp, dhp = q.shape
+    slices = _chunk_slices(lp, chunk)
+    nc = len(slices)
+    dq_parts = []
+    dk_parts = [None] * nc
+    dv_parts = [None] * nc
+    for sq in slices:                                     # query chunks
+        dq_c = None
+        for ci, sk in enumerate(slices):                  # key chunks
+            dq_p, dk_p, dv_p = _run_bwd(
+                q[:, :, sq], k[:, :, sk], v[:, :, sk], bias[:, sk],
+                o[:, :, sq], lse[:, :, sq], do[:, :, sq],
+                scale, block_q, block_k, interpret)
+            dq_c = (dq_p.astype(jnp.float32) if dq_c is None
+                    else dq_c + dq_p.astype(jnp.float32))
+            dk_parts[ci] = (dk_p.astype(jnp.float32) if dk_parts[ci] is None
+                            else dk_parts[ci] + dk_p.astype(jnp.float32))
+            dv_parts[ci] = (dv_p.astype(jnp.float32) if dv_parts[ci] is None
+                            else dv_parts[ci] + dv_p.astype(jnp.float32))
+        dq_parts.append(dq_c)
+    dq = jnp.concatenate(dq_parts, axis=2).astype(q.dtype)
+    dk = jnp.concatenate(dk_parts, axis=2).astype(k.dtype)
+    dv = jnp.concatenate(dv_parts, axis=2).astype(v.dtype)
+    return dq, dk, dv, jnp.zeros_like(bias)
+
+
+_flash_core_chunked.defvjp(_flash_core_chunked_fwd, _flash_core_chunked_bwd)
+
+
+def _vmem_chunk_tokens(dhp: int, itemsize: int, block_step: int) -> int:
+    """Largest per-chunk token count whose kernel working set fits VMEM.
+
+    The binding buffers are the forward's double-buffered K+V (4 x chunk x
+    dhp x itemsize) and the backward dkv program's full Q+dO at the same
+    chunk length; budget ~8 MB of the 16 MB VMEM for them, leaving room
+    for score blocks, bias rows and the output pipeline."""
+    budget = 8 * 1024 * 1024
+    tokens = budget // (4 * dhp * itemsize)
+    return max((tokens // block_step) * block_step, block_step)
+
+
 @functools.partial(jax.jit, static_argnames=("block_q", "block_k",
                                              "interpret"))
 def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
@@ -317,21 +444,6 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
         key_padding_mask = jnp.zeros((b, l), bool)
     bias = jnp.where(key_padding_mask, _NEG_INF, 0.0).astype(jnp.float32)
 
-    # VMEM ceiling: the backward's dkv program holds full (Lp, Dhp) q and
-    # do refs (plus k/v blocks and f32 score temporaries) in VMEM, so the
-    # kernels cap out around ~24k tokens at Dh<=128 bf16 — still 12x the
-    # reference's 2000-frame subsampling cap.  Fail with a actionable
-    # message instead of an opaque Mosaic scoped-allocation error.
-    dhp_est = dh + ((-dh) % 128)
-    lp_est = l + ((-l) % 128)
-    vmem_est = 2 * lp_est * dhp_est * q.dtype.itemsize + 3 * lp_est * 4
-    if not interpret and vmem_est > 12 * 1024 * 1024:
-        raise ValueError(
-            f"flash_attention sequence too long for VMEM: L={l}, Dh={dh} "
-            f"needs ~{vmem_est / 2**20:.0f} MB per program (limit ~12). "
-            "Subsample the window (the reference caps at 2000 frames, "
-            "prepare_dataset.py:2437) or split the sequence.")
-
     # clamp blocks to the (128-aligned) sequence so a forced-flash SHORT
     # sequence doesn't pad all the way to the default 512-block
     lmax = max(l + ((-l) % 128), 128)
@@ -342,17 +454,28 @@ def flash_attention(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
     # block_k would silently drop trailing keys otherwise) and Dh to the
     # 128-lane boundary
     step = math.lcm(block_q, block_k)
-    lp = l + ((-l) % step)
+    dhp = dh + ((-dh) % 128)
+
+    # VMEM ceiling: the plain kernels hold full (Lp, Dhp) K/V (forward,
+    # double-buffered) and full Q/dO (backward dkv program) in VMEM —
+    # measured overflow at Lp=8704 f32/Dhp=128 on v5e.  Past the fitting
+    # length, split the sequence into VMEM-sized chunks and merge by the
+    # online-softmax recurrence (_flash_core_chunked) — same math, no
+    # length ceiling, K/V still read once.
+    chunk = _vmem_chunk_tokens(dhp, q.dtype.itemsize, step)
     q = _pad_to(q, 2, step)
     k = _pad_to(k, 2, step)
     v = _pad_to(v, 2, step)
     bias = _pad_to(bias, 1, step, value=_NEG_INF)
-    dhp = dh + ((-dh) % 128)
     q = _pad_to(q, 3, 128)
     k = _pad_to(k, 3, 128)
     v = _pad_to(v, 3, 128)
 
-    out = _flash_core(q, k, v, bias, scale, block_q, block_k, interpret)
+    if q.shape[2] <= chunk:
+        out = _flash_core(q, k, v, bias, scale, block_q, block_k, interpret)
+    else:
+        out = _flash_core_chunked(q, k, v, bias, scale, block_q, block_k,
+                                  interpret, chunk)
     # A batch element whose keys are ALL masked has no valid softmax: the
     # additive -1e30 bias cancels inside exp(s + bias - lse) and the
     # kernels would return an unmasked-softmax average (and the backward

@@ -5,9 +5,10 @@ The reference handles long videos purely by SUBSAMPLING — a hard
 pos-emb table (prepare_model.py:65-71) and O(F^2) vanilla attention in the
 4-layer temporal encoder; there is no sequence parallelism of any kind
 (SURVEY.md §5.7).  The single-chip Pallas flash path (kernels/
-flash_attention.py) already removes the (L, L) HBM materialization up to
-its ~24k-token VMEM ceiling.  This module removes the *single-chip*
-ceiling: the time axis is sharded over a mesh axis and attention runs as a
+flash_attention.py) already removes the (L, L) HBM materialization at any
+length (VMEM-chunked past ~4k f32 tokens).  This module removes the
+*single-chip* FLOP/HBM ceiling: the time axis is sharded over a mesh axis
+and attention runs as a
 RING — each device holds one K/V chunk, chunks rotate around the ring via
 `ppermute` (neighbor ICI hops, never DCN), and every device folds each
 visiting chunk into a running online-softmax state.  Per-device memory is

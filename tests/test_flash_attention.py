@@ -199,10 +199,65 @@ def test_flash_mixed_dtype_grad():
     assert np.isfinite(np.asarray(dk)).all()
 
 
-def test_flash_vmem_guard_raises_informative():
-    """Sequences past the ~24k-token VMEM ceiling must fail with an
-    actionable message, not an opaque Mosaic allocation error."""
+def test_flash_chunked_matches_reference():
+    """Past the per-program VMEM ceiling (~4k tokens f32/Dh<=128 for the
+    double-buffered K/V) flash_attention switches to the chunked core —
+    K/V slices against the full query, merged by the online-softmax
+    recurrence.  Forced small chunk here so CPU interpret stays cheap;
+    ragged tail (320 -> 128+128+64) and masking included."""
+    from sais_tpu.kernels.flash_attention import (_NEG_INF,
+                                                  _flash_core_chunked,
+                                                  _pad_to)
+
+    key = jax.random.key(3)
+    b, h, l, dh = 2, 2, 300, 64
+    q, k, v = (jax.random.normal(jax.random.fold_in(key, i), (b, h, l, dh))
+               for i in range(3))
+    mask = jax.random.bernoulli(jax.random.fold_in(key, 9), 0.3, (b, l))
+    mask = mask.at[:, 0].set(False)
+    ref, _ = _ref_attention(q, k, v, mask)
+
+    bias = jnp.where(mask, _NEG_INF, 0.0).astype(jnp.float32)
+    pad = lambda x: _pad_to(_pad_to(x, 2, 64), 3, 128)
+    bp = _pad_to(bias, 1, 64, value=_NEG_INF)
+    out = _flash_core_chunked(pad(q), pad(k), pad(v), bp, dh ** -0.5,
+                              64, 64, True, 128)[:, :, :l, :dh]
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    # gradients: dq sums over key chunks, dk/dv over query chunks, all
+    # from the GLOBAL logsumexp — must match dense autodiff
+    w = jax.random.normal(jax.random.fold_in(key, 20), (b, h, l, dh))
+
+    def loss_chunk(q, k, v):
+        o = _flash_core_chunked(pad(q), pad(k), pad(v), bp, dh ** -0.5,
+                                64, 64, True, 128)
+        return jnp.sum(o[:, :, :l, :dh] * w)
+
+    def loss_dense(q, k, v):
+        return jnp.sum(_ref_attention(q, k, v, mask)[0] * w)
+
+    gc = jax.grad(loss_chunk, argnums=(0, 1, 2))(q, k, v)
+    gd = jax.grad(loss_dense, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(gc, gd):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_),
+                                    rtol=5e-4, atol=5e-4)
+
+
+def test_flash_no_length_ceiling():
+    """The old ~8k f32 VMEM ceiling is gone: a 40k-token call traces to
+    the chunked core instead of raising (abstract eval only — no CPU
+    compute)."""
     b, h, l, dh = 1, 1, 40_000, 64
-    q = jnp.zeros((b, h, l, dh), jnp.bfloat16)
-    with pytest.raises(ValueError, match="sequence too long"):
-        flash_attention(q, q, q, interpret=False)
+    q = jax.ShapeDtypeStruct((b, h, l, dh), jnp.bfloat16)
+    out = jax.eval_shape(lambda x: flash_attention(x, x, x), q)
+    assert out.shape == (b, h, l, dh)
+
+
+def test_vmem_chunk_tokens_selection():
+    from sais_tpu.kernels.flash_attention import _vmem_chunk_tokens
+
+    assert _vmem_chunk_tokens(128, 4, 512) == 4096     # f32, Dh<=128
+    assert _vmem_chunk_tokens(128, 2, 512) == 8192     # bf16
+    assert _vmem_chunk_tokens(256, 4, 512) == 2048     # wide heads
+    assert _vmem_chunk_tokens(128, 4, 512) % 512 == 0
