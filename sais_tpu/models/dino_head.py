@@ -22,9 +22,12 @@ import numpy as np
 Params = Dict[str, Any]
 
 
-def dino_head_forward(params: Params, x: jnp.ndarray,
-                      norm_last_layer: bool = True) -> jnp.ndarray:
-    """x: (B, in_dim) -> (B, out_dim) prototype logits."""
+def dino_head_bottleneck(params: Params, x: jnp.ndarray) -> jnp.ndarray:
+    """MLP (in -> hidden -> hidden -> bottleneck) + L2 row normalization —
+    DINOHead.forward up to (but not including) the weight-normed last
+    linear (vision_transformer.py:283-287).  Split out so the fused
+    last-layer+loss kernel (kernels/dino_head_loss.py) can consume the
+    normalized bottleneck directly."""
     h = x
     n = len(params["mlp"])
     for i, layer in enumerate(params["mlp"]):
@@ -34,8 +37,14 @@ def dino_head_forward(params: Params, x: jnp.ndarray,
                             approximate=False).astype(h.dtype)
     # F.normalize clamps the denominator (eps=1e-12): a collapsed row
     # yields zeros, not NaNs
-    h = h / jnp.maximum(jnp.linalg.norm(h.astype(jnp.float32), axis=-1,
-                                        keepdims=True), 1e-12)
+    return h / jnp.maximum(jnp.linalg.norm(h.astype(jnp.float32), axis=-1,
+                                           keepdims=True), 1e-12)
+
+
+def dino_head_forward(params: Params, x: jnp.ndarray,
+                      norm_last_layer: bool = True) -> jnp.ndarray:
+    """x: (B, in_dim) -> (B, out_dim) prototype logits."""
+    h = dino_head_bottleneck(params, x)
     v = params["last_v"]            # (bottleneck, out) column-per-prototype
     g = params["last_g"]            # (out,)
     w = v / jnp.linalg.norm(v, axis=0, keepdims=True)

@@ -184,7 +184,8 @@ class DINOTrainer:
     def __init__(self, vit_cfg: ViTConfig, cfg: DINOConfig,
                  niter_per_ep: int, key: jax.Array,
                  optimizer: str = "adamw", mesh=None,
-                 fused_blocks: Optional[bool] = None):
+                 fused_blocks: Optional[bool] = None,
+                 fused_loss: Optional[bool] = None):
         """mesh: optional jax.sharding.Mesh for data-parallel steps — crops
         shard on the data axis, params replicate, and the jit-inserted
         gradient/center reductions replace the reference's DDP allreduce +
@@ -198,7 +199,13 @@ class DINOTrainer:
         inside the VMEM-resident backward kernels.  Measured on v5e at
         batch 64 (8 locals): mixed routing 592 img/s vs 471 pure-XLA.
         Default (None): auto — fused on TPU when cfg.batch_size >= 32,
-        XLA otherwise."""
+        XLA otherwise.
+
+        fused_loss: fused last-layer + DINO-loss Pallas kernels
+        (kernels/dino_head_loss.py) — the (rows, out_dim) logits tensor
+        never touches HBM.  Default (None): auto — on for single-device
+        TPU steps when out_dim is a lane multiple; the dp-mesh path keeps
+        the XLA loss (jit inserts its gradient/center collectives)."""
         if fused_blocks is None:
             fused_blocks = (cfg.batch_size >= 32
                             and jax.default_backend() == "tpu")
@@ -275,23 +282,28 @@ class DINOTrainer:
             return vit_features(params, crops, vcfg,
                                 compute_dtype=jnp.bfloat16)
 
-        def forward(params, globals_, locals_, rng=None, infer=False):
-            """Backbone over the two resolution groups, head over ALL rows
-            in one call — MultiCropWrapper semantics (utils.py:595-631).
-            A per-crop head would re-read the 256 x out_dim weight-normed
-            last layer (67 MB at out_dim 65536) once per crop list entry.
-            rng (student only) drives stochastic depth; the teacher runs
-            deterministically like the reference's (infer=True also
-            selects the gradient-free fused kernel)."""
+        def features(params, globals_, locals_, rng=None, infer=False):
+            """Backbone over the two resolution groups -> concatenated
+            (rows, D) CLS features, rows image-major.  rng (student only)
+            drives stochastic depth; the teacher runs deterministically
+            like the reference's (infer=True also selects the
+            gradient-free fused kernel)."""
             rg, rl = (jax.random.split(rng) if rng is not None
                       else (None, None))
             bb = ((lambda p, c, _r: backbone_infer(p, c)) if infer
                   else backbone)
             gfeat = bb(params["backbone"], globals_, rg)
-            feats = gfeat
             if locals_ is not None and cfg.n_local_crops:
                 lfeat = bb(params["backbone"], locals_, rl)
-                feats = jnp.concatenate([gfeat, lfeat], 0)
+                return jnp.concatenate([gfeat, lfeat], 0), gfeat.shape[0]
+            return gfeat, gfeat.shape[0]
+
+        def forward(params, globals_, locals_, rng=None, infer=False):
+            """Backbone + head over ALL rows in one call — MultiCropWrapper
+            semantics (utils.py:595-631).  A per-crop head would re-read
+            the 256 x out_dim weight-normed last layer (67 MB at out_dim
+            65536) once per crop list entry."""
+            feats, n_gr = features(params, globals_, locals_, rng, infer)
             # the backbone hands back f32 CLS features; the cast exists
             # for REFERENCE PRECISION PARITY — the fp16 autocast covers
             # the head too (main_dino.py:543), so the head must see
@@ -315,16 +327,62 @@ class DINOTrainer:
                             .transpose(1, 0, 2))
 
             ng = cfg.n_global_crops
-            outs = regroup(head_out[:gfeat.shape[0]], ng)
+            outs = regroup(head_out[:n_gr], ng)
             if locals_ is not None and cfg.n_local_crops:
-                outs += regroup(head_out[gfeat.shape[0]:],
-                                cfg.n_local_crops)
+                outs += regroup(head_out[n_gr:], cfg.n_local_crops)
             return outs
+
+        # fused last-layer+loss (kernels/dino_head_loss.py): the (rows,
+        # out_dim) logits never touch HBM — measured 8.5 -> ~2 ms of the
+        # 89 ms step at out_dim 65536.  Single-device jit only: under a
+        # dp mesh the kernel would force an all-gather of the sharded
+        # rows, so the mesh path keeps the XLA loss (whose collectives
+        # jit inserts for free).
+        use_fused_loss = (fused_loss if fused_loss is not None
+                          else (jax.default_backend() == "tpu"
+                                and mesh is None
+                                and cfg.out_dim % 128 == 0))
+        self.fused_loss = use_fused_loss
+        if use_fused_loss:
+            from sais_tpu.kernels.dino_head_loss import (
+                build_pair_structure, make_fused_dino_loss)
+            n_crops = cfg.n_global_crops + cfg.n_local_crops
+            sel_np, c_np = build_pair_structure(
+                cfg.batch_size, cfg.n_global_crops, cfg.n_local_crops)
+            sel_c, cnt_c = jnp.asarray(sel_np), jnp.asarray(c_np)
+            fused_op = make_fused_dino_loss(
+                cfg.student_temp, cfg.batch_size, cfg.n_global_crops,
+                n_crops, norm_last_layer=cfg.norm_last_layer)
+
+        def fused_loss_fn(student, teacher, center, globals_, locals_,
+                          teacher_temp, rng):
+            from sais_tpu.models.dino_head import dino_head_bottleneck
+            sfeats, _ = features(student, globals_, locals_, rng)
+            if sfeats.shape[0] != sel_c.shape[0]:
+                raise ValueError(
+                    f"fused DINO loss compiled for batch {cfg.batch_size} "
+                    f"({sel_c.shape[0]} student rows) but the step got "
+                    f"{sfeats.shape[0]} rows; pass crops of the configured "
+                    "batch size or construct with fused_loss=False")
+            tfeats, _ = features(teacher, globals_, None, infer=True)
+            hs = dino_head_bottleneck(student["head"],
+                                      sfeats.astype(jnp.bfloat16))
+            ht = dino_head_bottleneck(teacher["head"],
+                                      tfeats.astype(jnp.bfloat16))
+            return fused_op(hs, student["head"]["last_v"],
+                            student["head"]["last_g"], ht,
+                            teacher["head"]["last_v"],
+                            teacher["head"]["last_g"], center,
+                            teacher_temp, sel_c, cnt_c)
 
         def train_step(student, teacher, center, opt_state, globals_,
                        locals_, lr, teacher_temp, momentum, wd, cancel_last,
                        rng):
             def loss_fn(student):
+                if use_fused_loss:
+                    return fused_loss_fn(student, teacher, center,
+                                         globals_, locals_, teacher_temp,
+                                         rng)
                 s_out = forward(student, globals_, locals_, rng)
                 t_out = forward(teacher, globals_, None,
                                 infer=True)[:cfg.n_global_crops]
