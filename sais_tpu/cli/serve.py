@@ -89,14 +89,35 @@ class DecodeService:
         self.flow._fused_fn(self.flow._raft_params, self.extractor._params,
                             z, z)
 
-    def decode_video(self, video: str, use_flow: bool = False) -> dict:
-        t0 = time.time()
+    def _video_path(self, video: str) -> str:
         # the name comes off the socket; reject anything that could escape
         # <root>/videos or <root>/results via path separators / '..'
         if os.path.basename(video) != video or video in ("", ".", ".."):
             raise ValueError(f"invalid video name: {video!r}")
-        path = os.path.join(self.root, "videos", video + ".mp4")
-        rgb = self.extractor.extract_video(path)
+        return os.path.join(self.root, "videos", video + ".mp4")
+
+    def start_prefetch(self, video: str):
+        """Begin HOST decode for a queued request while another request
+        still owns the device: the producer thread fills its bounded
+        buffer during the in-flight decode's device compute, so the
+        queued request's device pass starts against hot frames.  Returns
+        None instead of raising — a bad name/path surfaces its real error
+        from decode_video, which this merely front-runs."""
+        try:
+            return self.extractor.open_stream(self._video_path(video))
+        except Exception:
+            return None
+
+    def decode_video(self, video: str, use_flow: bool = False,
+                     rgb_stream=None) -> dict:
+        t0 = time.time()
+        try:
+            path = self._video_path(video)
+        except Exception:
+            if rgb_stream is not None:   # don't leak the producer thread
+                rgb_stream.close()
+            raise
+        rgb = self.extractor.extract_video(path, stream=rgb_stream)
         flow_reps = None
         if use_flow and self.flow is not None:
             flow_reps = self.flow.extract_video(path)  # streaming, O(batch)
@@ -125,7 +146,10 @@ def serve(service: DecodeService, socket_path: str,
     Decode requests serialize behind a lock (one video pipeline on the
     chip at a time — concurrent decodes would interleave device batches
     without making anything faster), but `ping`/`stats`/`shutdown` answer
-    immediately from any connection even while a decode is in flight.
+    immediately from any connection even while a decode is in flight,
+    and ONE queued decode request pre-runs its HOST decode while waiting
+    (bounded buffer), so back-to-back requests overlap B's CPU decode
+    with A's device compute instead of paying the decodes serially.
     """
     import threading
     if os.path.exists(socket_path):
@@ -136,6 +160,10 @@ def serve(service: DecodeService, socket_path: str,
     log(f"sais serve: listening on {socket_path}")
     stop = threading.Event()
     decode_lock = threading.Lock()
+    # ONE queued request may pre-decode frames while the in-flight decode
+    # owns the device (host decode ∥ device compute across requests);
+    # bounding the slots caps the buffered-frame memory at one pump queue
+    prefetch_slot = threading.Semaphore(1)
     # in-flight request accounting: shutdown must let a running decode
     # finish AND flush its response before the process exits (daemon
     # worker threads die with the process otherwise)
@@ -170,10 +198,27 @@ def serve(service: DecodeService, socket_path: str,
                                 "p95_s": round(_percentile(lat, 0.95), 3),
                                 "busy": decode_lock.locked()}
                         else:
-                            with decode_lock:
-                                resp = service.decode_video(
-                                    req["video"],
-                                    bool(req.get("flow", False)))
+                            # another decode in flight? start THIS
+                            # request's host decode now — it buffers
+                            # frames while the device is busy
+                            stream = None
+                            if (decode_lock.locked()
+                                    and prefetch_slot.acquire(
+                                        blocking=False)):
+                                stream = service.start_prefetch(
+                                    str(req.get("video", "")))
+                                if stream is None:
+                                    prefetch_slot.release()
+                            kw = ({"rgb_stream": stream}
+                                  if stream is not None else {})
+                            try:
+                                with decode_lock:
+                                    resp = service.decode_video(
+                                        req["video"],
+                                        bool(req.get("flow", False)), **kw)
+                            finally:
+                                if stream is not None:
+                                    prefetch_slot.release()
                             with lat_lock:
                                 latencies.append(resp["seconds"])
                     except Exception as e:  # report, keep serving

@@ -86,6 +86,30 @@ def _put_stoppable(q: "queue.Queue", item,
     return False
 
 
+class _HostStream:
+    """A RUNNING host decode of one video: the producer (C++ pump or
+    python OpenCV thread) is already filling its bounded buffer.
+
+    Decouples starting the host decode from running the device pass so
+    the serve daemon can overlap request B's decode with request A's
+    device compute (the reference's DataLoader worker prefetch analogue,
+    generate_datasets.py-era CPU pipeline; SURVEY §2.2 PP row).  Always
+    close(): it reaps the producer thread and its decoder handle."""
+
+    def __init__(self, batches, fn, close, error: Optional[List] = None):
+        self.batches = batches        # iterator of uint8 frame batches
+        self.fn = fn                  # device fn matching the layout
+        self._close = close
+        self._error = error           # producer exception, surfaced late
+
+    def close(self) -> None:
+        self._close()
+
+    def raise_if_failed(self) -> None:
+        if self._error:
+            raise self._error[0]
+
+
 class FeatureExtractor:
     """Batched DINO feature extraction on device — the reference's hot loop
     (extract_representations.py:351-378) redesigned for TPU throughput."""
@@ -177,14 +201,16 @@ class FeatureExtractor:
         hosts = fetch_all([f for f, _ in out])
         return np.concatenate([h[:k] for h, (_, k) in zip(hosts, out)])
 
-    def extract_video(self, video_path: str,
-                      prefetch: int = 4) -> np.ndarray:
-        """Stream a video file: decode on a producer thread, compute on
-        device, overlap via a bounded queue.
+    def open_stream(self, video_path: str, prefetch: int = 4):
+        """Start host decode NOW and return the running stream.
 
-        Prefers the native frame_pump loader (C++ decode + crop/resize on a
-        background thread, 224x224 uint8 over PCIe); falls back to python
-        OpenCV decode with on-device crop/resize.
+        The producer (C++ pump thread or python OpenCV thread) begins
+        filling its bounded buffer immediately, so a caller that cannot
+        use the device yet — e.g. the serve daemon holding request B
+        while request A owns the decode lock — still makes host-side
+        progress; when the device frees up, extract_video(stream=...)
+        consumes the already-buffered frames.  Memory stays bounded by
+        the pump's queue_cap / the python queue's `prefetch` batches.
         """
         import os
         if not os.path.exists(video_path):
@@ -195,7 +221,6 @@ class FeatureExtractor:
             # propagate like the python path's producer_error — silently
             # re-decoding a corrupt video with OpenCV could return
             # truncated features and quietly shorter gesture CSVs
-            pump = None
             try:
                 from sais_tpu.io.native_loader import NativeFramePump
                 pump = NativeFramePump(
@@ -204,11 +229,10 @@ class FeatureExtractor:
                     crop_w_frac=self.cfg.preprocess.crop_width_frac,
                     queue_cap=4 * self.batch_size)
             except RuntimeError:
-                pass  # python decode path below
+                pump = None  # python decode path below
             if pump is not None:
-                with pump:
-                    return self._drain(pump.batches(self.batch_size),
-                                       self._fn_pre)
+                return _HostStream(pump.batches(self.batch_size),
+                                   self._fn_pre, pump.close)
 
         q: "queue.Queue[Optional[np.ndarray]]" = queue.Queue(maxsize=prefetch)
         producer_error: List[BaseException] = []
@@ -236,12 +260,28 @@ class FeatureExtractor:
                     return
                 yield batch
 
+        return _HostStream(gen(), self._fn,
+                           lambda: _reap_producer(t, q, stop),
+                           producer_error)
+
+    def extract_video(self, video_path: str, prefetch: int = 4,
+                      stream=None) -> np.ndarray:
+        """Stream a video file: decode on a producer thread, compute on
+        device, overlap via a bounded queue.
+
+        Prefers the native frame_pump loader (C++ decode + crop/resize on a
+        background thread, 224x224 uint8 over PCIe); falls back to python
+        OpenCV decode with on-device crop/resize.  `stream`: a handle from
+        open_stream(video_path) whose host decode is already running; the
+        stream is consumed and closed either way.
+        """
+        if stream is None:
+            stream = self.open_stream(video_path, prefetch)
         try:
-            out = self._drain(gen(), self._fn)
+            out = self._drain(stream.batches, stream.fn)
         finally:
-            _reap_producer(t, q, stop)
-        if producer_error:
-            raise producer_error[0]
+            stream.close()
+        stream.raise_if_failed()
         return out
 
     def _drain(self, batches, fn) -> np.ndarray:
