@@ -73,18 +73,40 @@ def _norm(x, p, kind):
     return x  # 'none'
 
 
+def _fold_bn(conv_p, bn_p, eps=1e-5):
+    """Fold eval-mode BatchNorm2d into the preceding conv.
+
+    BN(conv(x, w) + b) == conv(x, w*s) + (b - rm)*s + beta with
+    s = gamma * rsqrt(rv + eps): running statistics are constants at
+    inference, so the whole norm collapses into the conv's weights —
+    the context encoder's norm passes disappear entirely.  Exact up to
+    float reassociation (folding happens in the params' f32)."""
+    s = bn_p["w"] * jax.lax.rsqrt(bn_p["rv"] + eps)
+    w = conv_p["w"] * s
+    b = conv_p["b"] if conv_p.get("b") is not None else jnp.zeros_like(s)
+    return {"w": w, "b": (b - bn_p["rm"]) * s + bn_p["b"]}
+
+
+def _conv_norm(x, conv_p, norm_p, kind, stride=1):
+    """conv followed by norm, with eval-mode BatchNorm folded into the
+    conv's weights instead of running as separate HBM passes."""
+    if kind == "batch" and norm_p is not None:
+        return _conv(x, _fold_bn(conv_p, norm_p), stride)
+    return _norm(_conv(x, conv_p, stride), norm_p, kind)
+
+
 def _residual_block(x, p, kind, stride):
-    y = jax.nn.relu(_norm(_conv(x, p["conv1"], stride), p.get("norm1"), kind))
-    y = jax.nn.relu(_norm(_conv(y, p["conv2"]), p.get("norm2"), kind))
+    y = jax.nn.relu(_conv_norm(x, p["conv1"], p.get("norm1"), kind, stride))
+    y = jax.nn.relu(_conv_norm(y, p["conv2"], p.get("norm2"), kind))
     if "down" in p:
-        x = _norm(_conv(x, p["down"], stride), p.get("norm3"), kind)
+        x = _conv_norm(x, p["down"], p.get("norm3"), kind, stride)
     return jax.nn.relu(x + y)
 
 
 def basic_encoder(x, p, kind):
     """BasicEncoder: conv7x7/2 + 3 residual stages + 1x1 projection.
     x: (B, H, W, 3) in [-1, 1] -> (B, H/8, W/8, out)."""
-    x = jax.nn.relu(_norm(_conv(x, p["conv1"], 2), p.get("norm1"), kind))
+    x = jax.nn.relu(_conv_norm(x, p["conv1"], p.get("norm1"), kind, 2))
     for i, stride in ((1, 1), (2, 2), (3, 2)):
         blocks = p[f"layer{i}"]
         x = _residual_block(x, blocks[0], kind, stride)
