@@ -59,7 +59,8 @@ def test_seq_mesh_layout():
         seq_mesh(3)
 
 
-@pytest.mark.parametrize("l", [24, 37])  # divisible and ragged vs n=8
+@pytest.mark.parametrize("l", [pytest.param(24, marks=pytest.mark.slow),
+                               37])  # divisible (slow tier) and ragged vs n=8
 def test_ring_encoder_matches_dense(rng, l):
     cfg = _tcfg()
     params = encoder_init(jax.random.key(0), cfg)
@@ -96,7 +97,8 @@ def test_ring_encoder_no_mask_and_jit(rng):
                                atol=1e-6, rtol=1e-5)
 
 
-@pytest.mark.parametrize("l", [24, 37])
+@pytest.mark.parametrize("l", [pytest.param(24, marks=pytest.mark.slow),
+                               37])
 def test_ring_flash_chunks_match_dense(rng, l):
     """chunk_flash=True runs each ring step through the fused Pallas flash
     forward and merges chunks by logsumexp — must match the dense encoder
@@ -214,6 +216,7 @@ def test_ring_all_masked_row_is_zero(rng):
     assert np.any(out[0] != 0.0)
 
 
+@pytest.mark.slow
 def test_seq_parallel_temporal_features_matches(rng):
     cfg = _mcfg()
     params = full_model_init(jax.random.key(4), cfg)
@@ -275,6 +278,7 @@ def test_gesture_decoder_seq_parallel_matches_dense(rng):
     np.testing.assert_allclose(att_s, att_d[:, 0, :], rtol=1e-4, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_seq_parallel_inherits_multitask_guard(rng):
     """The seq twin delegates to prototypes_forward, so the dense path's
     params/config-mismatch guard (primary_domain without a linearB head)

@@ -8,6 +8,7 @@ TransformerEncoder) to <=1e-3; we hold f32 to ~1e-4.
 import dataclasses
 
 import numpy as np
+import pytest
 import torch
 
 import jax.numpy as jnp
@@ -245,6 +246,7 @@ def test_prototypes_forward_multitask_params_mismatch_raises():
                            primary_domain=jnp.array([True, False]))
 
 
+@pytest.mark.slow
 def test_prototypes_forward_shape_fuzz_vs_torch():
     """Parity across random (batch, snippets, frames, pad lengths, seeds):
     the fixed-geometry tests above pin one shape; this sweeps the shape

@@ -237,6 +237,7 @@ def test_importance_loss_ignores_padded_rows():
     np.testing.assert_array_equal(np.asarray(g[-1]), 0.0)
 
 
+@pytest.mark.slow
 def test_importance_loss_fuzz_vs_reference():
     """calcImportanceLoss quirk across random shapes, pad patterns, and
     label mixes (incl. the all-high-skill empty-selection edge, where the
