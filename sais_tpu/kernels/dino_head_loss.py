@@ -330,4 +330,95 @@ def make_fused_dino_loss(student_temp: float, batch: int, n_global: int,
     return op
 
 
-__all__ = ["build_pair_structure", "make_fused_dino_loss"]
+def make_fused_dino_loss_dp(student_temp: float, local_batch: int,
+                            n_global: int, n_crops: int, mesh,
+                            axes: Tuple[str, ...] = ("data",),
+                            norm_last_layer: bool = True, interpret=None):
+    """Data-parallel fused last-layer + DINO loss over a device mesh.
+
+    The loss is a sum over student rows and rows are batch-sharded, so
+    the kernel runs PER SHARD under shard_map and three psums over the
+    data axes stitch the shards together — exactly the reference's own
+    distributed pattern (DDP gradient all-reduce + the DINOLoss center
+    dist.all_reduce, main_dino.py:630-631), moved inside one jit step:
+
+      loss   = psum(local pair-CE sums) / (global_B * n_terms)
+      center = psum(local teacher-logit column means) / n_shards
+      dv, dg = psum(local last-layer grad contributions)
+
+    dh_s stays sharded (each row's gradient lives on its own shard).
+    The per-shard pair structure is IDENTICAL on every shard (pairing is
+    per-image and shards hold whole images), so sel/c are baked in as
+    constants for local_batch images instead of being sharded on both
+    axes of one global matrix.
+
+    Returns fn(hs_g, hs_l, vs, gs, ht, vt, gt, center, temp_t)
+    -> (loss, batch_center): hs_g (n_global*B, db) and hs_l
+    (n_local*B, db) are the student bottleneck rows per resolution group
+    (kept separate so a contiguous row shard = one image subset's
+    image-major rows; the concatenated layout happens inside the body),
+    ht the teacher rows, all batch-sharded on `axes`; vs/gs/vt/gt/center
+    replicated.  Gradients flow to hs_g, hs_l, vs (and gs when
+    norm_last_layer=False) only.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    n_local = n_crops - n_global
+    n_terms = n_global * (n_crops - 1)
+    n_shards = 1
+    for a in axes:
+        n_shards *= mesh.shape[a]
+    global_batch = local_batch * n_shards
+    inv_norm = 1.0 / (global_batch * n_terms)
+    use_g = not norm_last_layer
+    if interpret is None:       # auto: interpret off-TPU (CPU tests)
+        interpret = jax.default_backend() != "tpu"
+    sel_np, c_np = build_pair_structure(local_batch, n_global, n_local)
+    sel_c, cnt_c = jnp.asarray(sel_np), jnp.asarray(c_np)
+    n_gr = n_global * local_batch   # local global-crop student rows
+
+    def body(hs_g, hs_l, vs, gs, ht, vt, gt, center, temp_t):
+        hs = (jnp.concatenate([hs_g, hs_l], 0) if hs_l.shape[0]
+              else hs_g)
+        loss, bc, dhs, dvs, dgs = _fused_loss_and_grads(
+            hs, ht, vs, vt, gs, gt, center, temp_t, sel_c, cnt_c,
+            student_temp=student_temp, inv_norm=inv_norm, use_g=use_g,
+            interpret=interpret)
+        loss = jax.lax.psum(loss, axes)
+        bc = jax.lax.psum(bc, axes) / n_shards  # mean of equal-size shards
+        dvs = jax.lax.psum(dvs, axes)
+        dgs = jax.lax.psum(dgs, axes)
+        return loss, bc, dhs[:n_gr], dhs[n_gr:], dvs, dgs
+
+    pd, pr = P(axes), P()
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(pd, pd, pr, pr, pd, pr, pr, pr, pr),
+        out_specs=(pr, pr, pd, pd, pr, pr), check_vma=False)
+
+    @jax.custom_vjp
+    def op(hs_g, hs_l, vs, gs, ht, vt, gt, center, temp_t):
+        loss, bc, *_ = sharded(hs_g, hs_l, vs, gs, ht, vt, gt, center,
+                               temp_t)
+        return loss, bc
+
+    def fwd(hs_g, hs_l, vs, gs, ht, vt, gt, center, temp_t):
+        loss, bc, dhs_g, dhs_l, dvs, dgs = sharded(
+            hs_g, hs_l, vs, gs, ht, vt, gt, center, temp_t)
+        res = (dhs_g.astype(hs_g.dtype), dhs_l.astype(hs_l.dtype),
+               dvs.astype(vs.dtype), dgs.astype(gs.dtype),
+               (ht, vt, gt, center, temp_t))
+        return (loss, bc), res
+
+    def bwd(res, cts):
+        gl, _ = cts       # batch_center is consumed via has_aux: no grad
+        dhs_g, dhs_l, dvs, dgs, others = res
+        zs = tuple(jnp.zeros_like(x) for x in others)
+        return (gl * dhs_g, gl * dhs_l, gl * dvs, gl * dgs) + zs
+
+    op.defvjp(fwd, bwd)
+    return op
+
+
+__all__ = ["build_pair_structure", "make_fused_dino_loss",
+           "make_fused_dino_loss_dp"]

@@ -203,9 +203,11 @@ class DINOTrainer:
 
         fused_loss: fused last-layer + DINO-loss Pallas kernels
         (kernels/dino_head_loss.py) — the (rows, out_dim) logits tensor
-        never touches HBM.  Default (None): auto — on for single-device
-        TPU steps when out_dim is a lane multiple; the dp-mesh path keeps
-        the XLA loss (jit inserts its gradient/center collectives)."""
+        never touches HBM.  Under a dp mesh the kernel runs per shard
+        with psum'd loss/center/last-layer grads (the reference's
+        all-reduce pattern, main_dino.py:630-631).  Default (None):
+        auto — on for TPU steps when out_dim is a lane multiple and the
+        batch divides the data-parallel shard count."""
         if fused_blocks is None:
             fused_blocks = (cfg.batch_size >= 32
                             and jax.default_backend() == "tpu")
@@ -334,41 +336,88 @@ class DINOTrainer:
 
         # fused last-layer+loss (kernels/dino_head_loss.py): the (rows,
         # out_dim) logits never touch HBM — measured 8.5 -> ~2 ms of the
-        # 89 ms step at out_dim 65536.  Single-device jit only: under a
-        # dp mesh the kernel would force an all-gather of the sharded
-        # rows, so the mesh path keeps the XLA loss (whose collectives
-        # jit inserts for free).
+        # 89 ms step at out_dim 65536.  Under a dp mesh the kernel runs
+        # PER SHARD via make_fused_dino_loss_dp, which psums the loss
+        # scalar, batch center, and last-layer grads — the reference's
+        # own all-reduce pattern (main_dino.py:630-631) — so the mesh
+        # path gets the kernel's benefit too (VERDICT r4 #3).
+        if mesh is not None:
+            from sais_tpu.parallel import mesh as mesh_lib
+            dp_size = mesh_lib.data_parallel_size(mesh)
+        else:
+            dp_size = 1
         use_fused_loss = (fused_loss if fused_loss is not None
                           else (jax.default_backend() == "tpu"
-                                and mesh is None
-                                and cfg.out_dim % 128 == 0))
+                                and cfg.out_dim % 128 == 0
+                                and cfg.batch_size % dp_size == 0))
         self.fused_loss = use_fused_loss
         if use_fused_loss:
-            from sais_tpu.kernels.dino_head_loss import (
-                build_pair_structure, make_fused_dino_loss)
             n_crops = cfg.n_global_crops + cfg.n_local_crops
-            sel_np, c_np = build_pair_structure(
-                cfg.batch_size, cfg.n_global_crops, cfg.n_local_crops)
-            sel_c, cnt_c = jnp.asarray(sel_np), jnp.asarray(c_np)
-            fused_op = make_fused_dino_loss(
-                cfg.student_temp, cfg.batch_size, cfg.n_global_crops,
-                n_crops, norm_last_layer=cfg.norm_last_layer)
+            if mesh is not None:
+                from sais_tpu.kernels.dino_head_loss import (
+                    make_fused_dino_loss_dp)
+                from sais_tpu.parallel.distributed import DCN_AXIS
+                if cfg.batch_size % dp_size:
+                    raise ValueError(
+                        f"fused DINO loss under a {dp_size}-shard mesh "
+                        f"needs batch_size % {dp_size} == 0, got "
+                        f"{cfg.batch_size}; pass fused_loss=False")
+                axes = ((DCN_AXIS, mesh_lib.DATA_AXIS)
+                        if DCN_AXIS in mesh.axis_names
+                        else (mesh_lib.DATA_AXIS,))
+                fused_op_dp = make_fused_dino_loss_dp(
+                    cfg.student_temp, cfg.batch_size // dp_size,
+                    cfg.n_global_crops, n_crops, mesh, axes=axes,
+                    norm_last_layer=cfg.norm_last_layer)
+            else:
+                from sais_tpu.kernels.dino_head_loss import (
+                    build_pair_structure, make_fused_dino_loss)
+                sel_np, c_np = build_pair_structure(
+                    cfg.batch_size, cfg.n_global_crops, cfg.n_local_crops)
+                sel_c, cnt_c = jnp.asarray(sel_np), jnp.asarray(c_np)
+                fused_op = make_fused_dino_loss(
+                    cfg.student_temp, cfg.batch_size, cfg.n_global_crops,
+                    n_crops, norm_last_layer=cfg.norm_last_layer)
 
         def fused_loss_fn(student, teacher, center, globals_, locals_,
                           teacher_temp, rng):
             from sais_tpu.models.dino_head import dino_head_bottleneck
-            sfeats, _ = features(student, globals_, locals_, rng)
-            if sfeats.shape[0] != sel_c.shape[0]:
+            # per-resolution-group features, bottlenecked SEPARATELY (the
+            # bottleneck is row-wise, so this equals bottleneck(concat))
+            # — the dp op needs the groups apart so a contiguous row
+            # shard is one image subset's image-major rows
+            rg, rl = (jax.random.split(rng) if rng is not None
+                      else (None, None))
+            gfeat = backbone(student["backbone"], globals_, rg)
+            lfeat = (backbone(student["backbone"], locals_, rl)
+                     if locals_ is not None and cfg.n_local_crops else None)
+            n_rows = gfeat.shape[0] + (lfeat.shape[0] if lfeat is not None
+                                       else 0)
+            exp_rows = (cfg.n_global_crops + cfg.n_local_crops
+                        ) * cfg.batch_size
+            if n_rows != exp_rows:
                 raise ValueError(
                     f"fused DINO loss compiled for batch {cfg.batch_size} "
-                    f"({sel_c.shape[0]} student rows) but the step got "
-                    f"{sfeats.shape[0]} rows; pass crops of the configured "
+                    f"({exp_rows} student rows) but the step got "
+                    f"{n_rows} rows; pass crops of the configured "
                     "batch size or construct with fused_loss=False")
-            tfeats, _ = features(teacher, globals_, None, infer=True)
-            hs = dino_head_bottleneck(student["head"],
-                                      sfeats.astype(jnp.bfloat16))
+            tfeats = backbone_infer(teacher["backbone"], globals_)
+            hs_g = dino_head_bottleneck(student["head"],
+                                        gfeat.astype(jnp.bfloat16))
+            hs_l = (dino_head_bottleneck(student["head"],
+                                         lfeat.astype(jnp.bfloat16))
+                    if lfeat is not None
+                    else jnp.zeros((0, hs_g.shape[1]), hs_g.dtype))
             ht = dino_head_bottleneck(teacher["head"],
                                       tfeats.astype(jnp.bfloat16))
+            if mesh is not None:
+                return fused_op_dp(hs_g, hs_l, student["head"]["last_v"],
+                                   student["head"]["last_g"], ht,
+                                   teacher["head"]["last_v"],
+                                   teacher["head"]["last_g"], center,
+                                   teacher_temp)
+            hs = (jnp.concatenate([hs_g, hs_l], 0) if hs_l.shape[0]
+                  else hs_g)
             return fused_op(hs, student["head"]["last_v"],
                             student["head"]["last_g"], ht,
                             teacher["head"]["last_v"],

@@ -168,6 +168,88 @@ def test_trainer_fused_loss_matches_xla_path():
                                    rtol=0.05, atol=5e-5)
 
 
+def _dp_mesh(n):
+    from sais_tpu.config import MeshConfig
+    from sais_tpu.parallel import mesh as mesh_lib
+    return mesh_lib.make_mesh(MeshConfig(), devices=jax.devices()[:n])
+
+
+@pytest.mark.parametrize("norm_last", [True, False])
+def test_fused_loss_dp_matches_single_device(norm_last):
+    """The dp op (per-shard kernel + psum of loss/center/last-layer grads,
+    VERDICT r4 #3) must equal the single-device fused op on the gathered
+    arrays — value AND gradients."""
+    from sais_tpu.kernels.dino_head_loss import make_fused_dino_loss_dp
+
+    nsh = 4
+    mesh = _dp_mesh(nsh)
+    hs, ht, vs, vt, gs, gt, center = _make_inputs(seed=3)
+    hs_g, hs_l = hs[:NG * B], hs[NG * B:]
+    sel, c = build_pair_structure(B, NG, NL)
+    sel, c = jnp.asarray(sel), jnp.asarray(c)
+    op1 = make_fused_dino_loss(TEMP_S, B, NG, NG + NL,
+                               norm_last_layer=norm_last, interpret=True)
+    opd = make_fused_dino_loss_dp(TEMP_S, B // nsh, NG, NG + NL, mesh,
+                                  norm_last_layer=norm_last,
+                                  interpret=True)
+    tt = jnp.float32(TEMP_T)
+
+    def loss1(hs_g, hs_l, vs, gs):
+        return op1(jnp.concatenate([hs_g, hs_l], 0), vs, gs, ht, vt, gt,
+                   center, tt, sel, c)
+
+    def lossd(hs_g, hs_l, vs, gs):
+        return opd(hs_g, hs_l, vs, gs, ht, vt, gt, center, tt)
+
+    (l1, bc1) = loss1(hs_g, hs_l, vs, gs)
+    (ld, bcd) = lossd(hs_g, hs_l, vs, gs)
+    np.testing.assert_allclose(float(ld), float(l1), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(bcd), np.asarray(bc1),
+                               rtol=1e-5, atol=1e-6)
+    g1 = jax.grad(lambda *a: loss1(*a)[0], argnums=(0, 1, 2, 3))(
+        hs_g, hs_l, vs, gs)
+    gd = jax.grad(lambda *a: lossd(*a)[0], argnums=(0, 1, 2, 3))(
+        hs_g, hs_l, vs, gs)
+    for a, b in zip(gd, g1):
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=1e-4, atol=1e-6)
+
+
+def test_trainer_fused_loss_dp_matches_xla_dp():
+    """DINOTrainer(mesh=..., fused_loss=True) must track the XLA dp loss
+    path — the configuration that matters at scale (the reference's only
+    real distributed workload, main_dino.py:630)."""
+    from sais_tpu.config import ViTConfig
+    from sais_tpu.train.dino import DINOConfig, DINOTrainer
+
+    mesh = _dp_mesh(4)
+    cfg = DINOConfig(out_dim=256, n_global_crops=2, n_local_crops=2,
+                     epochs=2, batch_size=8, warmup_epochs=0,
+                     freeze_last_layer_epochs=0, drop_path_rate=0.0)
+    vit_cfg = ViTConfig(image_size=16, patch_size=8, embed_dim=32, depth=1,
+                        num_heads=2)
+    g = jax.random.uniform(jax.random.key(1), (2 * 8, 16, 16, 3))
+    l = jax.random.uniform(jax.random.key(2), (2 * 8, 16, 16, 3))
+
+    def run(fused):
+        tr = DINOTrainer(vit_cfg, cfg, niter_per_ep=2,
+                         key=jax.random.key(0), mesh=mesh,
+                         fused_loss=fused)
+        assert tr.fused_loss is fused
+        losses = [tr.step(g, l) for _ in range(3)]
+        return losses, tr.student
+
+    lf, sf = run(True)
+    lx, sx = run(False)
+    np.testing.assert_allclose(lf, lx, rtol=5e-3)
+    # adam sign-flip bound (see test_trainer_fused_loss_matches_xla_path):
+    # 3 steps * 2 * (lr = 5e-4 * 8/256) ~ 1e-4 for the zero-init biases
+    for a, b in zip(jax.tree.leaves(sf), jax.tree.leaves(sx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=0.05, atol=1e-4)
+
+
 def test_trainer_fused_loss_rejects_wrong_batch():
     from sais_tpu.config import ViTConfig
     from sais_tpu.train.dino import DINOConfig, DINOTrainer
