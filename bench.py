@@ -268,7 +268,80 @@ def bench_ring_overhead(b: int = 8, l: int = 2000, n: int = 20):
     return flash_ms, ring_ms, ring_ms / flash_ms
 
 
-def bench_e2e_compute_dual(seconds_of_video: int = 60, fps: int = 30):
+def _median_runs(run, n: int):
+    """Median-of-n timing for the composite e2e paths.
+
+    These paths chain dozens of dispatches and host fetches through a
+    remote-TPU tunnel with ~33 ms/dispatch variance, so a single timed
+    run cannot distinguish a real regression from noise (VERDICT r4
+    weak #2: BENCH_r04's apparent 22% e2e drop was a 1-sample reading).
+    Returns (median, min, max, n) of per-run video-min/s."""
+    import statistics
+    vals = []
+    for _ in range(n):
+        vals.append(run())
+    return (statistics.median(vals), min(vals), max(vals), n)
+
+
+def bench_seq_train(b: int = 2, l: int = 8192, n: int = 10):
+    """Sequence-parallel TRAINING step cost at L=8192 (VERDICT r4 #4):
+    the composed seq-parallel trainer had parity evidence but no perf
+    line.  Times one full PrototypeTrainer train step (fwd+bwd+SGD) with
+    the ring encoder on a 1-DEVICE 'seq' mesh vs the plain chunked-flash
+    single-device step at identical shapes — the ring's measurable
+    single-chip overhead (shard_map + reverse-ring VJP + collective CLS
+    row), extending ring_vs_flash_overhead from forward-only to fwd+bwd.
+    Returns (flash_ms, ring_ms, ring/flash)."""
+    import dataclasses
+
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from sais_tpu.config import ModelConfig, TrainConfig
+    from sais_tpu.models.full_model import full_model_init, prototypes_init
+    from sais_tpu.parallel.sequence import seq_mesh
+    from sais_tpu.train.loop import PrototypeTrainer
+
+    m = ModelConfig(modalities="RGB")
+    cfg = dataclasses.replace(
+        m, temporal=dataclasses.replace(m.temporal, use_flash=True,
+                                        max_positions=l))
+    keys, protos = prototypes_init(jax.random.key(2), 2)
+    protos_np = np.asarray(protos)   # train steps donate state buffers
+    batch = {
+        "rgb": np.asarray(jax.random.normal(
+            jax.random.key(1), (b, 1, l, 384), jnp.float32)),
+        "rgb_mask": np.zeros((b, 1, l + 1), bool),
+        "label_cols": np.arange(b, dtype=np.int32) % 2,
+        "labels": np.arange(b, dtype=np.int32) % 2,
+    }
+
+    def timed(trainer):
+        db = trainer._device_batch(batch)
+        state, loss, _ = trainer._train_step(trainer.state, db)  # compile
+        np.asarray(loss)
+        t0 = time.time()
+        for _ in range(n):
+            state, loss, _ = trainer._train_step(state, db)
+        np.asarray(loss)
+        return (time.time() - t0) / n * 1e3
+
+    def make(seq):
+        params = full_model_init(jax.random.key(0), cfg)
+        kw = ({"seq_mesh": seq_mesh(1, devices=jax.devices()[:1])}
+              if seq else {})
+        return PrototypeTrainer(cfg, TrainConfig(lr=0.1), params, keys,
+                                jnp.asarray(protos_np),
+                                use_importance=False, **kw)
+
+    flash_ms = timed(make(False))
+    ring_ms = timed(make(True))
+    return flash_ms, ring_ms, ring_ms / flash_ms
+
+
+def bench_e2e_compute_dual(seconds_of_video: int = 60, fps: int = 30,
+                           n_runs: int = 5):
     """Compute-only DUAL-STREAM e2e (BASELINE config 2): device-staged
     frames -> RGB reps (preprocess+ViT) AND flow reps (fused RAFT ->
     device flow viz -> preprocess -> ViT) -> windows -> temporal ->
@@ -331,13 +404,17 @@ def bench_e2e_compute_dual(seconds_of_video: int = 60, fps: int = 30):
         return dec.decode("clip", rgb, flow)
 
     run()                                 # warm all programs
-    t0 = time.time()
-    run()
-    dt = time.time() - t0
-    return (seconds_of_video / 60.0) / dt
+
+    def timed():
+        t0 = time.time()
+        run()
+        return (seconds_of_video / 60.0) / (time.time() - t0)
+
+    return _median_runs(timed, n_runs)
 
 
-def bench_e2e_compute(seconds_of_video: int = 60, fps: int = 30):
+def bench_e2e_compute(seconds_of_video: int = 60, fps: int = 30,
+                      n_runs: int = 7):
     """Compute-only end-to-end: synthetic frames PRE-STAGED ON DEVICE ->
     preprocess+ViT -> windows -> temporal+prototypes -> intervals.  Unlike
     bench_e2e this excludes host video decode and the host->device frame
@@ -381,13 +458,16 @@ def bench_e2e_compute(seconds_of_video: int = 60, fps: int = 30):
         return dec.decode("clip", reps, None)
 
     run()                                 # warm both programs
-    t0 = time.time()
-    run()
-    dt = time.time() - t0
-    return (seconds_of_video / 60.0) / dt
+
+    def timed():
+        t0 = time.time()
+        run()
+        return (seconds_of_video / 60.0) / (time.time() - t0)
+
+    return _median_runs(timed, n_runs)
 
 
-def bench_e2e(seconds_of_video: int = 20):
+def bench_e2e(seconds_of_video: int = 20, n_runs: int = 5):
     """Full pipeline on a synthetic clip: decode -> features -> windows ->
     temporal+prototypes -> CSV.  Returns video-minutes per wall second."""
     import cv2
@@ -422,11 +502,73 @@ def bench_e2e(seconds_of_video: int = 20):
         # warm both programs
         reps = fx.extract_video(path)
         dec.decode("clip", reps, None)
-        t0 = time.time()
-        reps = fx.extract_video(path)
-        dec.decode("clip", reps, None)
-        dt = time.time() - t0
-    return (seconds_of_video / 60.0) / dt
+
+        def timed():
+            t0 = time.time()
+            r = fx.extract_video(path)
+            dec.decode("clip", r, None)
+            return (seconds_of_video / 60.0) / (time.time() - t0)
+
+        result = _median_runs(timed, n_runs)
+    return result
+
+
+def bench_host_decode(seconds_of_video: int = 40, fps: int = 30):
+    """Host decode throughput — the numerator of the co-located-host
+    projection (VERDICT r4 #6).  The tunnel-bound e2e_video_min_per_s is
+    decode-limited; the <1 min north star assumes a co-located host can
+    feed 8 chips (~8 x 14.2k f/s demand).  Measures, on a synthetic
+    240x320@30fps mp4 (the e2e bench's clip geometry):
+
+      native: frame_pump C++ decode + center-crop + PIL-exact resize to
+              224x224 uint8 (the production loader, video_to_frames.sh:23
+              replacement), frames/s consumed through its batch queue;
+      cv2:    raw python OpenCV decode at 240x320, no resize (the
+              fallback path's decode floor).
+
+    Returns dict of frames/s (0.0 for a path that's unavailable)."""
+    import cv2
+    import numpy as np
+
+    nframes = seconds_of_video * fps
+    out = {}
+    with tempfile.TemporaryDirectory() as td:
+        path = os.path.join(td, "clip.mp4")
+        w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), fps,
+                            (320, 240))
+        rng = np.random.default_rng(0)
+        for _ in range(nframes):
+            w.write(rng.integers(0, 255, (240, 320, 3), dtype=np.uint8))
+        w.release()
+
+        try:
+            from sais_tpu.io.native_loader import NativeFramePump
+            # warm (file cache + thread spin-up) then timed
+            for _ in range(2):
+                t0 = time.time()
+                n = 0
+                with NativeFramePump(path, out_size=224,
+                                     queue_cap=1024) as pump:
+                    for b in pump.batches(256):
+                        n += len(b)
+                dt = time.time() - t0
+            out["native_224_fps"] = n / dt
+        except Exception as e:
+            out["native_error"] = f"{type(e).__name__}: {e}"
+
+        for _ in range(2):
+            cap = cv2.VideoCapture(path)
+            t0 = time.time()
+            n = 0
+            while True:
+                ok, _f = cap.read()
+                if not ok:
+                    break
+                n += 1
+            dt = time.time() - t0
+            cap.release()
+        out["cv2_240x320_fps"] = n / dt
+    return out
 
 
 def backend_alive(timeout_s: float) -> bool:
@@ -482,22 +624,41 @@ def main():
     except Exception as e:   # keep reporting the other metrics
         out["features_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("SAIS_BENCH_E2E", "1") != "0":
+        # every e2e line is a median-of-N with recorded spread so a
+        # regression is decidable from the artifact alone (VERDICT r4 #1)
+        def put_spread(key, res):
+            med, lo, hi, n = res
+            out[key] = round(med, 3)
+            out[key + "_spread"] = {"min": round(lo, 3),
+                                    "max": round(hi, 3), "n": n}
+
         try:
-            out["e2e_video_min_per_s"] = round(bench_e2e(), 3)
+            put_spread("e2e_video_min_per_s", bench_e2e())
         except Exception as e:  # e2e is best-effort; keep the headline
             out["e2e_error"] = f"{type(e).__name__}: {e}"
         try:
             # tunnel-independent twin of the line above (device-staged
             # frames; the north-star <1 min claim is measured, not
             # projected, from this number)
-            out["e2e_compute_video_min_per_s"] = round(bench_e2e_compute(), 3)
+            put_spread("e2e_compute_video_min_per_s", bench_e2e_compute())
         except Exception as e:
             out["e2e_compute_error"] = f"{type(e).__name__}: {e}"
         try:
-            out["e2e_compute_dual_video_min_per_s"] = round(
-                bench_e2e_compute_dual(), 3)
+            put_spread("e2e_compute_dual_video_min_per_s",
+                       bench_e2e_compute_dual())
         except Exception as e:
             out["e2e_compute_dual_error"] = f"{type(e).__name__}: {e}"
+    if os.environ.get("SAIS_BENCH_DECODE", "1") != "0":
+        try:
+            dec = bench_host_decode()
+            if "native_224_fps" in dec:
+                out["host_decode_fps"] = round(dec["native_224_fps"], 1)
+            if "native_error" in dec:
+                out["host_decode_error"] = dec["native_error"]
+            out["host_decode_cv2_fps"] = round(
+                dec.get("cv2_240x320_fps", 0.0), 1)
+        except Exception as e:
+            out["host_decode_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("SAIS_BENCH_RAFT", "1") != "0":
         try:
             out["raft_ms_per_pair"] = round(bench_raft(), 2)
@@ -524,6 +685,13 @@ def main():
             out["ring_vs_flash_overhead"] = round(ratio, 3)
         except Exception as e:
             out["ring_error"] = f"{type(e).__name__}: {e}"
+        try:
+            fms, rms, ratio = bench_seq_train()
+            out["seq_train_l8192_flash_ms"] = round(fms, 2)
+            out["seq_train_l8192_ms"] = round(rms, 2)
+            out["seq_train_vs_flash_overhead"] = round(ratio, 3)
+        except Exception as e:
+            out["seq_train_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("SAIS_BENCH_TRAIN", "1") != "0":
         try:
             img_s, mfu = bench_dino_train()

@@ -986,6 +986,31 @@ def cmd_port(args):
     writes the digest instead (run once where the verified checkpoint
     exists).  See sais_tpu/port/verify.py.
     """
+    if getattr(args, "record_all", None):
+        # one-command golden-digest recipe (VERDICT r4 #7): point at a
+        # directory holding any of the three published artifacts and
+        # record every digest in one run; missing kinds print their
+        # published origin so the operator knows what to fetch.
+        from sais_tpu.port import verify as verify_lib
+        found = verify_lib.discover_checkpoints(args.record_all)
+        if not found:
+            sys.exit(f"no checkpoints discovered under {args.record_all}; "
+                     "expected dino_deitsmall16_pretrain.pth, a "
+                     "*raft*.ckpt, and/or Fold_*/params.zip")
+        for kind in ("vit", "raft", "full"):
+            if kind in found:
+                dest = verify_lib.record(found[kind], kind,
+                                         golden_dir=args.golden_dir)
+                sha = verify_lib.file_sha256(found[kind])[:16]
+                print(f"{kind}: recorded {dest} from {found[kind]} "
+                      f"(sha256 {sha}…)")
+            else:
+                print(f"{kind}: NOT FOUND — fetch from "
+                      f"{verify_lib.CHECKPOINT_URLS[kind]}")
+        print("commit the recorded .npz digests; `sais port --verify "
+              "<ckpt> --kind <kind>` then asserts <=1e-3 agreement "
+              "anywhere")
+        return
     if args.verify or args.record:
         from sais_tpu.port import verify as verify_lib
         ckpt = args.verify or args.record
@@ -1150,6 +1175,10 @@ def build_parser():
         sp.add_argument("--record", default=None, metavar="CKPT",
                         help="port: record the golden digest from a "
                              "verified checkpoint (needs --kind)")
+        sp.add_argument("--record-all", default=None, metavar="DIR",
+                        help="port: discover the three published "
+                             "checkpoints under DIR by name and record "
+                             "every golden digest in one run")
         sp.add_argument("--kind", choices=["vit", "raft", "full"],
                         default=None,
                         help="port --verify/--record: checkpoint family")

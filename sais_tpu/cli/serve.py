@@ -221,6 +221,13 @@ def serve(service: DecodeService, socket_path: str,
                                     prefetch_slot.release()
                             with lat_lock:
                                 latencies.append(resp["seconds"])
+                                lat = list(latencies)
+                            # per-request latency line with running
+                            # percentiles — the daemon's own SLO record
+                            log(f"decode {req.get('video')}: "
+                                f"{resp['seconds']:.2f}s (n={len(lat)} "
+                                f"p50={_percentile(lat, 0.5):.2f}s "
+                                f"p95={_percentile(lat, 0.95):.2f}s)")
                     except Exception as e:  # report, keep serving
                         resp = {"ok": False,
                                 "error": f"{type(e).__name__}: {e}"}

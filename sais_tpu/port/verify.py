@@ -156,6 +156,26 @@ def _run_full(path: str) -> Dict[str, np.ndarray]:
 _RUNNERS = {"vit": _run_vit, "raft": _run_raft, "full": _run_full}
 
 
+def discover_checkpoints(root: str) -> Dict[str, str]:
+    """Map checkpoint kinds to files under `root` by their published names
+    (`sais port --record-all`): vit = dino_deitsmall16_pretrain.pth (any
+    *.pth with 'dino' in the name), raft = *raft*.{ckpt,pth}, full =
+    params.zip (searched at root and under Fold_*/)."""
+    found: Dict[str, str] = {}
+    for dirpath, _dirs, files in sorted(os.walk(root)):
+        for f in sorted(files):
+            p = os.path.join(dirpath, f)
+            low = f.lower()
+            if "vit" not in found and low.endswith(".pth") and "dino" in low:
+                found["vit"] = p
+            elif ("raft" not in found and "raft" in low
+                    and low.endswith((".ckpt", ".pth", ".pt"))):
+                found["raft"] = p
+            elif "full" not in found and low == "params.zip":
+                found["full"] = p
+    return found
+
+
 def golden_path(kind: str, golden_dir: Optional[str] = None) -> str:
     return os.path.join(golden_dir or GOLDEN_DIR, f"{kind}.npz")
 
