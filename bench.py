@@ -116,8 +116,16 @@ def dino_train_step_flops(batch: int, n_global: int = 2, n_local: int = 8,
     return 2.0 * (3 * student_fwd + teacher_fwd)
 
 
-def bench_dino_train(batch: int = 64, n_steps: int = 20):
-    """DINO SSL training-step throughput (img/s) and MFU on one chip."""
+def bench_dino_train(batch: int = 64, n_steps: int = 20, n_windows: int = 3):
+    """DINO SSL training-step throughput (img/s) and MFU on one chip.
+
+    Times n_windows pipelined windows over ONE trainer (init + compile
+    once) and reports the MEDIAN window with min/max spread — the tunnel
+    environment's dispatch throughput drifts >15% between windows (the
+    same compiled step measured 84 and 108 ms half an hour apart), so a
+    1-window reading cannot be compared across rounds.  Returns
+    (img_s, mfu, img_s_min, img_s_max)."""
+    import statistics
     import numpy as np
     import jax
     import jax.numpy as jnp
@@ -126,7 +134,8 @@ def bench_dino_train(batch: int = 64, n_steps: int = 20):
     from sais_tpu.train.dino import DINOConfig, DINOTrainer
 
     cfg = DINOConfig(batch_size=batch)
-    tr = DINOTrainer(ViTConfig(), cfg, niter_per_ep=n_steps + 5,
+    tr = DINOTrainer(ViTConfig(), cfg,
+                     niter_per_ep=n_steps * n_windows + 5,
                      key=jax.random.key(0))
     key = jax.random.key(1)
     g = jax.random.normal(key, (cfg.n_global_crops * batch, 224, 224, 3),
@@ -138,19 +147,21 @@ def bench_dino_train(batch: int = 64, n_steps: int = 20):
     # pipelined like `sais pretrain`: fetch step k-1's loss while step k
     # computes (a per-step synchronous fetch would add the tunnel's
     # ~33 ms RTT to every step and understate device throughput)
-    t0 = time.time()
-    pending = None
-    for _ in range(n_steps):
-        loss = tr.step_async(g, l)
-        if pending is not None:
-            tr.check_loss(pending)
-        pending = loss
-    tr.check_loss(pending)
-    dt = (time.time() - t0) / n_steps
-    img_s = batch / dt
+    dts = []
+    for _ in range(n_windows):
+        t0 = time.time()
+        pending = None
+        for _ in range(n_steps):
+            loss = tr.step_async(g, l)
+            if pending is not None:
+                tr.check_loss(pending)
+            pending = loss
+        tr.check_loss(pending)
+        dts.append((time.time() - t0) / n_steps)
+    dt = statistics.median(dts)
     peak = float(os.environ.get("SAIS_TPU_PEAK_TFLOPS", "197"))
     mfu = dino_train_step_flops(batch) / dt / 1e12 / peak
-    return img_s, mfu
+    return batch / dt, mfu, batch / max(dts), batch / min(dts)
 
 
 def bench_flash(b: int = 8, l: int = 2000, n: int = 30):
@@ -694,9 +705,10 @@ def main():
             out["seq_train_error"] = f"{type(e).__name__}: {e}"
     if os.environ.get("SAIS_BENCH_TRAIN", "1") != "0":
         try:
-            img_s, mfu = bench_dino_train()
+            img_s, mfu, lo, hi = bench_dino_train()
             out["dino_train_img_per_s"] = round(img_s, 1)
             out["dino_train_mfu"] = round(mfu, 3)
+            out["dino_train_img_per_s_spread"] = [round(lo, 1), round(hi, 1)]
         except Exception as e:
             out["train_error"] = f"{type(e).__name__}: {e}"
         # batch-scaling point, guarded separately (a larger per-chip batch
@@ -705,7 +717,7 @@ def main():
             if over_budget():
                 break
             try:
-                img_s, mfu = bench_dino_train(batch=b)
+                img_s, mfu, _, _ = bench_dino_train(batch=b)
                 out[f"dino_train_img_per_s_b{b}"] = round(img_s, 1)
                 out[f"dino_train_mfu_b{b}"] = round(mfu, 3)
             except Exception as e:

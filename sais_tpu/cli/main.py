@@ -1403,14 +1403,20 @@ def _enable_compile_cache():
 
 
 def _apply_platform_override():
-    """SAIS_PLATFORM=<cpu|tpu|...> pins the jax backend for this process.
+    """SAIS_PLATFORM / JAX_PLATFORMS=<cpu|tpu|...> pins the jax backend
+    for this process.
 
     Needed because a PJRT plugin registered at interpreter startup (e.g.
     a sitecustomize TPU tunnel) can force jax_platforms before the CLI
     runs, at which point the JAX_PLATFORMS env var is read too late —
-    jax.config.update is the only override that still wins.  Lets the
-    CLI run on CPU-only hosts or when the accelerator is unreachable."""
-    plat = os.environ.get("SAIS_PLATFORM")
+    jax.config.update is the only override that still wins.  Honoring
+    JAX_PLATFORMS restores jax's own documented semantics for spawned
+    CLIs (the test suite runs `sais` subprocesses with
+    JAX_PLATFORMS=cpu; without this they silently grab the tunnel TPU
+    and can block on a device already held by the parent).
+    SAIS_PLATFORM wins when both are set."""
+    plat = (os.environ.get("SAIS_PLATFORM")
+            or os.environ.get("JAX_PLATFORMS"))
     if plat:
         import jax
         jax.config.update("jax_platforms", plat)

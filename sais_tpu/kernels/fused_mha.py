@@ -48,9 +48,15 @@ def _packed_mask(rows: int, lp: int, valid_len: int):
     group of rows//lp images packed along the row axis: key j is visible
     to query i iff both sit in the same image AND j's in-image position is
     < valid_len.  Short sequences (local crops, lp=48) starve per-image
-    (lp x dh) matmuls on the MXU; packing runs ONE (rows, rows) score
-    matmul per head — wasted cross-image FLOPs are ~imgs x a tiny
-    attention share (<2% of block FLOPs at L=37), repaid by full tiles."""
+    (lp x dh) matmuls on the MXU; packing `sub` images per score matmul
+    trades wasted cross-image FLOPs (the key axis covers sub*lp columns
+    of which lp are useful per query) for fuller tiles — the sweet spot
+    is a TUNED sub-group size (see _auto_packed), not the whole group.
+    Swept on v5e at lp=48/valid=37, 512 images fwd+bwd
+    (tools/packed_sub_sweep.py): sub=1 44.1 ms, sub=2 37.5, sub=4
+    35.3 (fastest), sub=8 37.2 — full-group packing pays 8x the useful
+    score FLOPs, per-image starves the MXU, 192 rows balances the
+    two."""
     row_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 0)
     col_ids = jax.lax.broadcasted_iota(jnp.int32, (rows, rows), 1)
     same_img = (row_ids // lp) == (col_ids // lp)
@@ -93,6 +99,31 @@ def _loop_attn_ctx(qkv, d: int, num_heads: int, head_dim: int,
                                 head_dim, key_mask, dtype)
                for g in range(imgs)]
     return jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
+
+
+def _sub_mask(sub: int, lp: int, valid_len: int):
+    """Additive attention mask for a sub-group of `sub` images: (1, lp)
+    broadcast key mask when sub == 1, block-diagonal (sub*lp, sub*lp)
+    otherwise."""
+    if sub <= 1:
+        key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
+        return (key_ids >= valid_len) * _NEG_INF
+    return _packed_mask(sub * lp, lp, valid_len)
+
+
+def _attn_ctx(qkv, d: int, num_heads: int, head_dim: int, dtype,
+              lp: int, imgs: int, sub: int, valid_len: int):
+    """Attention context over `imgs` packed images, computed in
+    sub-groups of `sub` images per score matmul (block-diagonal masked
+    within a sub-group).  sub=1 is the per-image loop; sub=imgs the
+    fully-packed form; in between trades cross-image score waste for
+    tile fullness (see _packed_mask)."""
+    mask = _sub_mask(sub, lp, valid_len)
+    cr = sub * lp
+    chunks = [_packed_attn_ctx(qkv[c * cr:(c + 1) * cr], d, num_heads,
+                               head_dim, mask, dtype)
+              for c in range(imgs // max(sub, 1))]
+    return jnp.concatenate(chunks, axis=0) if len(chunks) > 1 else chunks[0]
 
 
 def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
@@ -406,7 +437,7 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
                             fc1_b, fc2_w, fc2_b, ln1_s, ln1_b, ln2_s, ln2_b,
                             *rest, num_heads: int, head_dim: int,
                             valid_len: int, eps: float, imgs: int = 1,
-                            scaled: bool = False, packed: bool = False):
+                            scaled: bool = False, sub: int = 1):
     """Same math as _block_kernel but also emits the post-attention
     residual x1 (needed by the split backward).
 
@@ -416,10 +447,10 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     (vision_transformer.py:111-112's two self.drop_path calls) without
     leaving the fused path.
 
-    packed=True computes the group's attention as ONE block-diagonal
-    masked matmul per head (_packed_attn_ctx) instead of an imgs-loop —
-    the short-sequence (local-crop) regime where per-image matmuls
-    starve the MXU."""
+    sub > 1 computes the group's attention in block-diagonal masked
+    sub-groups of `sub` images per score matmul (_attn_ctx) instead of
+    an imgs-loop — the short-sequence (local-crop) regime where
+    per-image matmuls starve the MXU."""
     if scaled:
         s1_ref, s2_ref, o_ref, x1_ref = rest
     else:
@@ -428,19 +459,13 @@ def _block_fwd_train_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w,
     lp = rows // imgs
     x = x_ref[:]
     dtype = x.dtype
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
-    key_mask = (key_ids >= valid_len) * _NEG_INF
 
     y = _layer_norm_f32(x, ln1_s[:], ln1_b[:], eps).astype(dtype)
     qkv = (jax.lax.dot_general(y, qkv_w[:], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
            .astype(dtype) + qkv_b[:])
-    if packed:
-        ctx = _packed_attn_ctx(qkv, d, num_heads, head_dim,
-                               _packed_mask(rows, lp, valid_len), dtype)
-    else:
-        ctx = _loop_attn_ctx(qkv, d, num_heads, head_dim, key_mask,
-                             dtype, lp, imgs)
+    ctx = _attn_ctx(qkv, d, num_heads, head_dim, dtype, lp, imgs, sub,
+                    valid_len)
     o = (jax.lax.dot_general(ctx, proj_w[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
          .astype(dtype) + proj_b[:])
@@ -520,18 +545,18 @@ def _mlp_bwd_kernel(x1_ref, dout_ref, *rest, eps: float,
 
 def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
                      valid_len: int, eps: float, imgs: int = 1,
-                     scaled: bool = False, packed: bool = False):
+                     scaled: bool = False, sub: int = 1):
     """Backward through x1 = x + [s1 *] proj(attn(qkv(LN1(x)))).
 
     With scaled=True an extra (rows, 1) s1 input follows dx1; the branch
     chain sees dx1*s1 while the residual passthrough into dx stays
     unscaled.
 
-    packed=True recomputes and differentiates the attention as
-    block-diagonal full-rows matmuls (see _packed_attn_ctx): the
-    softmax's masked probabilities are exactly zero at cross-image /
-    invalid keys, so ds vanishes there and dq/dk/dv match the per-image
-    loop."""
+    sub > 1 recomputes and differentiates the attention in
+    block-diagonal sub-groups of `sub` images per matmul (see
+    _attn_ctx): the softmax's masked probabilities are exactly zero at
+    cross-image / invalid keys, so ds vanishes there and dq/dk/dv match
+    the per-image loop."""
     if scaled:
         (s1_ref, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b, dx_ref,
          dqkv_w, dqkv_b, dproj_w, dproj_b, dln1_s, dln1_b) = rest
@@ -555,8 +580,6 @@ def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
     dx1 = dx1_ref[:]
     dbr = dx1 * s1_ref[:] if scaled else dx1         # grad into the branch
     scale = head_dim ** -0.5
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
-    key_mask = (key_ids >= valid_len) * _NEG_INF
 
     # recompute
     xhat, rstd = _ln_fwd_stats(x.astype(jnp.float32), eps)
@@ -566,18 +589,22 @@ def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
                                preferred_element_type=jnp.float32)
            .astype(dtype) + qkv_b[:])
 
-    # ctx and its grad, head by head (p recomputed per head, never stored
-    # for more than one head at a time)
+    # ctx and its grad, sub-group by sub-group, head by head (p recomputed
+    # per head, never stored for more than one head at a time)
     dctx = jax.lax.dot_general(dbr, proj_w[:], (((1,), (1,)), ((), ())),
                                preferred_element_type=jnp.float32).astype(dtype)
-    if packed:
-        mask = _packed_mask(rows, lp, valid_len)
+    sub_ = max(sub, 1)
+    mask = _sub_mask(sub_, lp, valid_len)
+    cr = sub_ * lp
+    chunk_ctx, chunk_dqkv = [], []
+    for c in range(rows // cr):
+        sl = slice(c * cr, (c + 1) * cr)
         ctx_heads = []
         dq_heads, dk_heads, dv_heads = [], [], []
         for h in range(num_heads):
-            q = qkv[:, h * head_dim:(h + 1) * head_dim]
-            k = qkv[:, d + h * head_dim:d + (h + 1) * head_dim]
-            v = qkv[:, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
+            q = qkv[sl, h * head_dim:(h + 1) * head_dim]
+            k = qkv[sl, d + h * head_dim:d + (h + 1) * head_dim]
+            v = qkv[sl, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
             s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
                                     k.astype(jnp.float32),
                                     (((1,), (1,)), ((), ())),
@@ -587,13 +614,13 @@ def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
             ctx_heads.append(jax.lax.dot_general(
                 pb, v, (((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32).astype(dtype))
-            dc = dctx[:, h * head_dim:(h + 1) * head_dim]
+            dc = dctx[sl, h * head_dim:(h + 1) * head_dim]
             dv = jax.lax.dot_general(pb, dc, (((0,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             dp = jax.lax.dot_general(dc, v, (((1,), (1,)), ((), ())),
                                      preferred_element_type=jnp.float32)
             # p == 0 at cross-image / invalid keys -> ds vanishes there,
-            # so full-rows matmuls reproduce the per-image grads exactly
+            # so sub-group matmuls reproduce the per-image grads exactly
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
             ds = ds.astype(dtype)
             dq_heads.append((jax.lax.dot_general(
@@ -603,52 +630,13 @@ def _attn_bwd_kernel(x_ref, dx1_ref, *rest, num_heads: int, head_dim: int,
                 ds, q, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32) * scale).astype(dtype))
             dv_heads.append(dv.astype(dtype))
-        ctx = jnp.concatenate(ctx_heads, axis=-1)
-        dqkv = jnp.concatenate(dq_heads + dk_heads + dv_heads, axis=-1)
-        return _attn_bwd_tail(x, xhat, rstd, s32, y, ctx, dqkv, dbr, dx1,
-                              qkv_w, dx_ref, dqkv_w, dqkv_b, dproj_w,
-                              dproj_b, dln1_s, dln1_b)
-    img_ctx = []
-    img_dqkv = []
-    for gi in range(imgs):
-        gsl = slice(gi * lp, (gi + 1) * lp)
-        ctx_heads = []
-        dqkv_heads_q = []
-        dqkv_heads_k = []
-        dqkv_heads_v = []
-        for h in range(num_heads):
-            q = qkv[gsl, h * head_dim:(h + 1) * head_dim]
-            k = qkv[gsl, d + h * head_dim:d + (h + 1) * head_dim]
-            v = qkv[gsl, 2 * d + h * head_dim:2 * d + (h + 1) * head_dim]
-            s = jax.lax.dot_general(q.astype(jnp.float32) * scale,
-                                    k.astype(jnp.float32),
-                                    (((1,), (1,)), ((), ())),
-                                    preferred_element_type=jnp.float32)
-            p = jax.nn.softmax(s + key_mask, axis=-1)
-            pb = p.astype(dtype)
-            ctx_heads.append(jax.lax.dot_general(
-                pb, v, (((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32).astype(dtype))
-            dc = dctx[gsl, h * head_dim:(h + 1) * head_dim]
-            dv = jax.lax.dot_general(pb, dc, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            dp = jax.lax.dot_general(dc, v, (((1,), (1,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-            ds = ds.astype(dtype)
-            dq = jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
-            dk = jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
-            dqkv_heads_q.append(dq.astype(dtype))
-            dqkv_heads_k.append(dk.astype(dtype))
-            dqkv_heads_v.append(dv.astype(dtype))
-        img_ctx.append(jnp.concatenate(ctx_heads, axis=-1))
-        img_dqkv.append(jnp.concatenate(
-            dqkv_heads_q + dqkv_heads_k + dqkv_heads_v, axis=-1))
-    ctx = jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
-    dqkv = (jnp.concatenate(img_dqkv, axis=0) if imgs > 1
-            else img_dqkv[0])                          # (rows, 3d)
+        chunk_ctx.append(jnp.concatenate(ctx_heads, axis=-1))
+        chunk_dqkv.append(jnp.concatenate(
+            dq_heads + dk_heads + dv_heads, axis=-1))
+    ctx = (jnp.concatenate(chunk_ctx, axis=0) if len(chunk_ctx) > 1
+           else chunk_ctx[0])
+    dqkv = (jnp.concatenate(chunk_dqkv, axis=0) if len(chunk_dqkv) > 1
+            else chunk_dqkv[0])                        # (rows, 3d)
     _attn_bwd_tail(x, xhat, rstd, s32, y, ctx, dqkv, dbr, dx1, qkv_w,
                    dx_ref, dqkv_w, dqkv_b, dproj_w, dproj_b, dln1_s,
                    dln1_b)
@@ -692,11 +680,38 @@ def _pick_imgs(b: int, lp: int, want: int, row_cap: int) -> int:
     return 1
 
 
-def _auto_packed(packed, lp: int, imgs: int) -> bool:
-    """Default: pack short sequences (local crops) into block-diagonal
-    attention; long sequences (224 crops, lp=208) keep the per-image loop
-    whose (lp, dh) matmuls already fill the MXU."""
-    return (lp <= 64 and imgs > 1) if packed is None else packed
+def _largest_divisor(n: int, want: int) -> int:
+    for s in range(min(want, n), 0, -1):
+        if n % s == 0:
+            return s
+    return 1
+
+
+# Images per attention sub-group for short packed sequences, expressed as
+# a target ROW count (sub = _PACKED_SUB_ROWS // lp).  Swept on v5e at
+# lp=48/valid=37/512 imgs (tools/packed_sub_sweep.py, fwd+bwd):
+# sub=1 44.1 ms, sub=2 37.5, sub=4 (192 rows) 35.3, sub=8 37.2 —
+# sub-grouping keeps most of the tile-fullness win at half the
+# cross-image score waste.  See the sweep table in PERFORMANCE.md.
+_PACKED_SUB_ROWS = 192
+
+
+def _auto_packed(packed, lp: int, imgs: int) -> int:
+    """Images per attention sub-group inside one fused-block program:
+    1 = per-image loop (long sequences, lp > 64, where (lp, dh) matmuls
+    already fill the MXU); > 1 = block-diagonal packing of short
+    sequences.  `packed` may be None (auto), a bool (False -> 1,
+    True -> the whole group), or an explicit int sub-group size (clamped
+    to a divisor of imgs so chunks tile the row axis exactly)."""
+    if packed is None:
+        if lp <= 64 and imgs > 1:
+            return _largest_divisor(imgs, max(1, _PACKED_SUB_ROWS // lp))
+        return 1
+    if packed is True:
+        return imgs
+    if packed is False:
+        return 1
+    return _largest_divisor(imgs, max(1, int(packed)))
 
 
 @functools.partial(jax.jit,
@@ -723,7 +738,7 @@ def _fused_block_fwd_train(x, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
         functools.partial(_block_fwd_train_kernel, num_heads=num_heads,
                           head_dim=head_dim, valid_len=valid_len, eps=eps,
                           imgs=imgs, scaled=scaled,
-                          packed=_auto_packed(packed, lp, imgs)),
+                          sub=_auto_packed(packed, lp, imgs)),
         grid=(groups,),
         in_specs=[_img_spec(imgs * lp, d)] + [_const_spec(w.shape)
                                               for w in weights]
@@ -792,7 +807,7 @@ def _fused_block_bwd_attn(x, dx1, qkv_w, qkv_b, proj_w, proj_b, ln1_s, ln1_b,
         functools.partial(_attn_bwd_kernel, num_heads=num_heads,
                           head_dim=head_dim, valid_len=valid_len, eps=eps,
                           imgs=imgs, scaled=scaled,
-                          packed=_auto_packed(packed, lp, imgs)),
+                          sub=_auto_packed(packed, lp, imgs)),
         grid=(groups,),
         in_specs=[_img_spec(imgs * lp, d)] * 2
                  + [_img_spec(imgs * lp, 1)] * len(extra)

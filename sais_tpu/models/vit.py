@@ -283,8 +283,8 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
                                  interpret: bool = False,
                                  backward: str = "pallas",
                                  drop_path_rate: float = 0.0,
-                                 rng: Optional[jax.Array] = None
-                                 ) -> jnp.ndarray:
+                                 rng: Optional[jax.Array] = None,
+                                 packed=None) -> jnp.ndarray:
     """Differentiable fused path for training loops (DINO).
 
     backward='pallas' (default): forward AND backward run as VMEM-resident
@@ -297,7 +297,11 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
     path: the per-image Bernoulli masks (linspace-decayed probabilities,
     two independent draws per block like vision_transformer.py:111-112)
     become per-row branch scales 0 or 1/keep fed to the scaled kernels.
-    Requires backward='pallas'."""
+    Requires backward='pallas'.
+
+    packed: attention sub-group override for short sequences (None =
+    auto, bool, or images per score matmul — see fused_mha._auto_packed;
+    used by tools/packed_sub_sweep.py and fixed tests)."""
     from sais_tpu.kernels.fused_mha import (
         make_pallas_trainable_fused_block, make_trainable_fused_block)
     use_drop = drop_path_rate > 0.0 and rng is not None
@@ -314,7 +318,8 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
              else make_trainable_fused_block)
     if backward == "pallas":
         block_op = maker(cfg.num_heads, l, cfg.layernorm_eps,
-                         interpret=interpret, scaled=use_drop)
+                         interpret=interpret, scaled=use_drop,
+                         packed=packed)
     else:
         block_op = maker(cfg.num_heads, l, cfg.layernorm_eps,
                          interpret=interpret)

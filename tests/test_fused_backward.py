@@ -271,3 +271,33 @@ def test_vit_trainable_fused_no_qkv_bias():
         p, imgs, cfg, interpret=True) ** 2))(params)
     assert all(np.isfinite(np.asarray(x, np.float32)).all()
                for x in jax.tree.leaves(g))
+
+
+def test_attention_sub_group_sizes_agree():
+    """The packed-attention sub-group size (fused_mha._auto_packed /
+    the `packed` override) is a pure performance knob: forward values
+    and gradients must be identical for every sub size at the local-crop
+    geometry (lp=48, 8 images — the DINO student regime the v5e sweep
+    tunes; tools/packed_sub_sweep.py)."""
+    heads, d, lp, valid, b = 2, 64, 48, 37, 8
+    ks = jax.random.split(jax.random.key(50), 12)
+    shapes = [(d, 3 * d), (3 * d,), (d, d), (d,), (d, 4 * d), (4 * d,),
+              (4 * d, d), (d,), (d,), (d,), (d,), (d,)]
+    ws = tuple(0.05 * jax.random.normal(k, s) for k, s in zip(ks, shapes))
+    x = jax.random.normal(jax.random.key(51), (b, lp, d))
+    x = x * (jnp.arange(lp)[None, :, None] < valid)
+
+    def run(sub):
+        op = make_pallas_trainable_fused_block(heads, valid,
+                                               interpret=True, packed=sub)
+        out = op(x, *ws)
+        g = jax.grad(lambda xx: jnp.sum(op(xx, *ws)[:, :valid] ** 2))(x)
+        return np.asarray(out), np.asarray(g)
+
+    ref_out, ref_g = run(1)
+    for sub in (2, 4, 8, True, None):
+        out, g = run(sub)
+        np.testing.assert_allclose(out, ref_out, rtol=1e-5, atol=1e-5,
+                                   err_msg=f"fwd sub={sub}")
+        np.testing.assert_allclose(g, ref_g, rtol=1e-4, atol=1e-4,
+                                   err_msg=f"grad sub={sub}")
