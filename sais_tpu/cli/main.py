@@ -787,7 +787,8 @@ def cmd_pretrain(args):
     dcfg = DINOConfig(out_dim=args.out_dim, epochs=args.nepochs,
                       batch_size=bs, n_local_crops=args.local_crops,
                       warmup_epochs=min(10, max(args.nepochs // 10, 0)),
-                      drop_path_rate=args.drop_path)
+                      drop_path_rate=args.drop_path,
+                      use_bn_in_head=args.use_bn_in_head)
 
     def _frame_count(v):
         if args.source == "flows":
@@ -1384,6 +1385,11 @@ def build_parser():
                              "(main_dino.py --drop_path_rate default 0.1; "
                              "runs fused at any rate — per-image branch "
                              "scales; 0 skips the mask draws)")
+        sp.add_argument("--use-bn-in-head", action="store_true",
+                        help="BatchNorm1d after each hidden head linear "
+                             "(main_dino.py --use_bn_in_head, default "
+                             "off; batch stats sync across a dp mesh "
+                             "like SyncBatchNorm)")
     return p
 
 

@@ -380,18 +380,24 @@ def _flash_core_chunked_fwd(q, k, v, bias, scale, block_q, block_k,
     return out, (q, k, v, bias, out, lse)
 
 
-def _flash_core_chunked_bwd(scale, block_q, block_k, interpret, chunk, res,
-                            do):
-    q, k, v, bias, o, lse = res
-    b, h, lp, dhp = q.shape
-    slices = _chunk_slices(lp, chunk)
-    nc = len(slices)
+def _tiled_bwd(q, k, v, bias, o, lse, do, scale, block_q, block_k,
+               interpret, chunk):
+    """Flash backward tiled over (query chunk, key chunk) pairs so no
+    single kernel program holds more than `chunk` tokens of K/V (dq pass)
+    or Q/dO (dkv pass) in VMEM.  `lse` is the GLOBAL row logsumexp over
+    the full key axis of `k` — with it, chunkwise p = exp(s + bias - lse)
+    is the true softmax and the partial sums are exact.  Shared by the
+    chunked single-device core and the ring's beyond-VMEM local chunks
+    (parallel/sequence._flash_ring_bwd)."""
+    slices_q = _chunk_slices(q.shape[2], chunk)
+    slices_k = _chunk_slices(k.shape[2], chunk)
+    nc = len(slices_k)
     dq_parts = []
     dk_parts = [None] * nc
     dv_parts = [None] * nc
-    for sq in slices:                                     # query chunks
+    for sq in slices_q:                                   # query chunks
         dq_c = None
-        for ci, sk in enumerate(slices):                  # key chunks
+        for ci, sk in enumerate(slices_k):                # key chunks
             dq_p, dk_p, dv_p = _run_bwd(
                 q[:, :, sq], k[:, :, sk], v[:, :, sk], bias[:, sk],
                 o[:, :, sq], lse[:, :, sq], do[:, :, sq],
@@ -403,9 +409,20 @@ def _flash_core_chunked_bwd(scale, block_q, block_k, interpret, chunk, res,
             dv_parts[ci] = (dv_p.astype(jnp.float32) if dv_parts[ci] is None
                             else dv_parts[ci] + dv_p.astype(jnp.float32))
         dq_parts.append(dq_c)
-    dq = jnp.concatenate(dq_parts, axis=2).astype(q.dtype)
-    dk = jnp.concatenate(dk_parts, axis=2).astype(k.dtype)
-    dv = jnp.concatenate(dv_parts, axis=2).astype(v.dtype)
+    dq = (jnp.concatenate(dq_parts, axis=2) if len(dq_parts) > 1
+          else dq_parts[0]).astype(q.dtype)
+    dk = (jnp.concatenate(dk_parts, axis=2) if nc > 1
+          else dk_parts[0]).astype(k.dtype)
+    dv = (jnp.concatenate(dv_parts, axis=2) if nc > 1
+          else dv_parts[0]).astype(v.dtype)
+    return dq, dk, dv
+
+
+def _flash_core_chunked_bwd(scale, block_q, block_k, interpret, chunk, res,
+                            do):
+    q, k, v, bias, o, lse = res
+    dq, dk, dv = _tiled_bwd(q, k, v, bias, o, lse, do, scale, block_q,
+                            block_k, interpret, chunk)
     return dq, dk, dv, jnp.zeros_like(bias)
 
 

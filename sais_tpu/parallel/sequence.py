@@ -92,10 +92,26 @@ def _flash_ring_core(q, k, v, bias, axis_name, axis_size, scale, blk,
     return out
 
 
+def _ring_local_chunk(lp: int, dhp: int, itemsize: int, blk: int) -> int:
+    """VMEM-safe per-kernel token count for the ring's LOCAL chunk.
+
+    A device's shard can itself exceed the plain flash kernels' VMEM
+    working set (full K/V forward, full Q/dO in the backward dkv
+    program) — e.g. a 1-device 'ring' over L=8192 f32 (Lp 8704) overflows
+    scoped vmem by 1.5 MB.  Past the fitting length the per-step kernel
+    calls run the CHUNKED core (the same online-softmax merge, applied to
+    local HBM slices inside each ring step).  Returns the chunk length,
+    or 0 when the plain kernels fit."""
+    from sais_tpu.kernels.flash_attention import _vmem_chunk_tokens
+    chunk = _vmem_chunk_tokens(dhp, itemsize, blk)
+    return chunk if lp > chunk else 0
+
+
 def _flash_ring_fwd_impl(q, k, v, bias, axis_name, axis_size, scale, blk,
                          interpret):
-    from sais_tpu.kernels.flash_attention import _run_fwd
+    from sais_tpu.kernels.flash_attention import _chunked_fwd_impl, _run_fwd
     b, h, lp, dhp = q.shape
+    chunk = _ring_local_chunk(lp, dhp, q.dtype.itemsize, blk)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
     m = jnp.full((b, h, lp, 1), _NEG_INF, jnp.float32)
     l = jnp.zeros((b, h, lp, 1), jnp.float32)
@@ -106,7 +122,13 @@ def _flash_ring_fwd_impl(q, k, v, bias, axis_name, axis_size, scale, blk,
             k_nxt = jax.lax.ppermute(kc, axis_name, perm)
             v_nxt = jax.lax.ppermute(vc, axis_name, perm)
             bias_nxt = jax.lax.ppermute(bc, axis_name, perm)
-        o_c, lse_c = _run_fwd(q, kc, vc, bc, scale, blk, blk, interpret)
+        if chunk:
+            # (out, lse) of the visiting chunk, assembled from VMEM-sized
+            # slices — the same (o_c, lse_c) contract _run_fwd returns
+            o_c, lse_c = _chunked_fwd_impl(q, kc, vc, bc, scale, blk, blk,
+                                           interpret, chunk)
+        else:
+            o_c, lse_c = _run_fwd(q, kc, vc, bc, scale, blk, blk, interpret)
         lse_c = lse_c[..., None]                          # (B, H, Lp, 1)
         m_new = jnp.maximum(m, lse_c)
         alpha = jnp.exp(m - m_new)
@@ -130,8 +152,10 @@ def _flash_ring_fwd(q, k, v, bias, axis_name, axis_size, scale, blk,
 
 
 def _flash_ring_bwd(axis_name, axis_size, scale, blk, interpret, res, do):
-    from sais_tpu.kernels.flash_attention import _run_bwd
+    from sais_tpu.kernels.flash_attention import _run_bwd, _tiled_bwd
     q, k, v, bias, out, lse = res
+    b, h, lp, dhp = q.shape
+    chunk = _ring_local_chunk(lp, dhp, q.dtype.itemsize, blk)
     perm = [(i, (i + 1) % axis_size) for i in range(axis_size)]
     dq = jnp.zeros(q.shape, jnp.float32)
     # the chunk's gradients ride the ring with it (f32 accumulators);
@@ -140,8 +164,15 @@ def _flash_ring_bwd(axis_name, axis_size, scale, blk, interpret, res, do):
     dkc = jnp.zeros(k.shape, jnp.float32)
     dvc = jnp.zeros(v.shape, jnp.float32)
     for _ in range(axis_size):
-        dq_c, dk_c, dv_c = _run_bwd(q, kc, vc, bc, out, lse, do, scale,
-                                    blk, blk, interpret)
+        if chunk:
+            # lse is the ring-global row logsumexp, so the tiled partial
+            # sums are exact (same argument as the chunked local core)
+            dq_c, dk_c, dv_c = _tiled_bwd(q, kc, vc, bc, out, lse, do,
+                                          scale, blk, blk, interpret,
+                                          chunk)
+        else:
+            dq_c, dk_c, dv_c = _run_bwd(q, kc, vc, bc, out, lse, do, scale,
+                                        blk, blk, interpret)
         dq = dq + dq_c.astype(jnp.float32)
         dkc = dkc + dk_c.astype(jnp.float32)
         dvc = dvc + dv_c.astype(jnp.float32)

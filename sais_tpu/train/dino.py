@@ -71,6 +71,12 @@ class DINOConfig:
     # kernels take per-image residual-branch scales s in {0, 1/keep}
     # directly (see backbone() below); 0.0 merely skips the mask draws.
     drop_path_rate: float = 0.1
+    # --use_bn_in_head (main_dino.py:70, default off — SAIS's published
+    # recipes never set it): BatchNorm1d after each hidden head linear,
+    # batch stats in train mode, running-stat buffers outside the EMA.
+    # Under a dp mesh the batch means reduce across shards inside jit
+    # (SyncBatchNorm semantics, main_dino.py:402-403).
+    use_bn_in_head: bool = False
 
 
 def cosine_scheduler(base: float, final: float, epochs: int,
@@ -216,11 +222,21 @@ class DINOTrainer:
         self.mesh = mesh
         k1, k2 = jax.random.split(key)
         student = {"backbone": vit_init(k1, vit_cfg),
-                   "head": dino_head_init(k2, vit_cfg.embed_dim, cfg.out_dim)}
+                   "head": dino_head_init(k2, vit_cfg.embed_dim, cfg.out_dim,
+                                          use_bn=cfg.use_bn_in_head)}
         teacher = jax.tree.map(jnp.copy, student)  # teacher starts == student
         self.student = student
         self.teacher = teacher
         self.center = jnp.zeros((cfg.out_dim,))
+        # BN running stats are BUFFERS: per-network, never EMA'd, never
+        # optimized (the reference EMA walks .parameters() only)
+        if cfg.use_bn_in_head:
+            from sais_tpu.models.dino_head import dino_head_bn_init
+            self.student_bn = dino_head_bn_init()
+            self.teacher_bn = dino_head_bn_init()
+        else:
+            self.student_bn = None
+            self.teacher_bn = None
 
         epochs = cfg.epochs
         scaled_lr = cfg.lr * cfg.batch_size / 256.0
@@ -300,11 +316,15 @@ class DINOTrainer:
                 return jnp.concatenate([gfeat, lfeat], 0), gfeat.shape[0]
             return gfeat, gfeat.shape[0]
 
-        def forward(params, globals_, locals_, rng=None, infer=False):
+        def forward(params, globals_, locals_, rng=None, infer=False,
+                    bn_state=None):
             """Backbone + head over ALL rows in one call — MultiCropWrapper
             semantics (utils.py:595-631).  A per-crop head would re-read
             the 256 x out_dim weight-normed last layer (67 MB at out_dim
-            65536) once per crop list entry."""
+            65536) once per crop list entry — and with use_bn the single
+            call is also what makes the BN batch stats span every crop's
+            rows jointly, like the reference's one head(torch.cat(...)).
+            Returns (outs, new_bn_state)."""
             feats, n_gr = features(params, globals_, locals_, rng, infer)
             # the backbone hands back f32 CLS features; the cast exists
             # for REFERENCE PRECISION PARITY — the fp16 autocast covers
@@ -313,9 +333,15 @@ class DINOTrainer:
             # NOT a perf optimization: the standalone head A/B showed
             # 1.91x but the step-level win is nil (PERFORMANCE.md item 6
             # — the head grad hides behind the same HBM traffic).
-            head_out = dino_head_forward(params["head"],
-                                         feats.astype(jnp.bfloat16),
-                                         cfg.norm_last_layer)
+            if bn_state is not None:
+                head_out, new_bn = dino_head_forward(
+                    params["head"], feats.astype(jnp.bfloat16),
+                    cfg.norm_last_layer, bn_state=bn_state, train=True)
+            else:
+                head_out = dino_head_forward(params["head"],
+                                             feats.astype(jnp.bfloat16),
+                                             cfg.norm_last_layer)
+                new_bn = None
 
             def regroup(out, n):
                 # rows are image-major ([img0crop0, img0crop1, ...] —
@@ -332,7 +358,7 @@ class DINOTrainer:
             outs = regroup(head_out[:n_gr], ng)
             if locals_ is not None and cfg.n_local_crops:
                 outs += regroup(head_out[n_gr:], cfg.n_local_crops)
-            return outs
+            return outs, new_bn
 
         # fused last-layer+loss (kernels/dino_head_loss.py): the (rows,
         # out_dim) logits never touch HBM — measured 8.5 -> ~2 ms of the
@@ -346,8 +372,15 @@ class DINOTrainer:
             dp_size = mesh_lib.data_parallel_size(mesh)
         else:
             dp_size = 1
+        if fused_loss and cfg.use_bn_in_head:
+            raise ValueError(
+                "fused_loss is incompatible with use_bn_in_head: the "
+                "fused path bottlenecks the resolution groups separately, "
+                "but BN batch stats must span every student row jointly "
+                "(the reference's single head(torch.cat(...)) call)")
         use_fused_loss = (fused_loss if fused_loss is not None
                           else (jax.default_backend() == "tpu"
+                                and not cfg.use_bn_in_head
                                 and cfg.out_dim % 128 == 0
                                 and cfg.batch_size % dp_size == 0))
         self.fused_loss = use_fused_loss
@@ -426,20 +459,26 @@ class DINOTrainer:
 
         def train_step(student, teacher, center, opt_state, globals_,
                        locals_, lr, teacher_temp, momentum, wd, cancel_last,
-                       rng):
+                       rng, sbn, tbn):
             def loss_fn(student):
                 if use_fused_loss:
-                    return fused_loss_fn(student, teacher, center,
-                                         globals_, locals_, teacher_temp,
-                                         rng)
-                s_out = forward(student, globals_, locals_, rng)
-                t_out = forward(teacher, globals_, None,
-                                infer=True)[:cfg.n_global_crops]
+                    loss, batch_center = fused_loss_fn(
+                        student, teacher, center, globals_, locals_,
+                        teacher_temp, rng)
+                    return loss, (batch_center, sbn, tbn)
+                s_out, sbn2 = forward(student, globals_, locals_, rng,
+                                      bn_state=sbn)
+                t_out, tbn2 = forward(teacher, globals_, None, infer=True,
+                                      bn_state=tbn)
+                t_out = t_out[:cfg.n_global_crops]
                 loss, batch_center = dino_loss(s_out, t_out, center,
                                                teacher_temp, cfg.student_temp)
-                return loss, batch_center
+                # BN running stats carry no gradient (buffers)
+                aux = (batch_center, jax.lax.stop_gradient(sbn2),
+                       jax.lax.stop_gradient(tbn2))
+                return loss, aux
 
-            (loss, batch_center), grads = jax.value_and_grad(
+            (loss, (batch_center, sbn2, tbn2)), grads = jax.value_and_grad(
                 loss_fn, has_aux=True)(student)
             grads = clip_gradients_per_param(grads, cfg.clip_grad)
             grads = cancel_last_layer_grads(grads, cancel_last)
@@ -457,7 +496,7 @@ class DINOTrainer:
             teacher = ema_update(teacher, student, momentum)
             center2 = update_center(center, batch_center,
                                     cfg.center_momentum)
-            return student, teacher, center2, opt_state, loss
+            return student, teacher, center2, opt_state, loss, sbn2, tbn2
 
         self._train_step = jax.jit(train_step, donate_argnums=(0, 1, 2, 3))
         if mesh is not None:
@@ -466,6 +505,9 @@ class DINOTrainer:
             self.teacher = mesh_lib.replicate(self.teacher, mesh)
             self.center = mesh_lib.replicate(self.center, mesh)
             self.opt_state = mesh_lib.replicate(self.opt_state, mesh)
+            if self.student_bn is not None:
+                self.student_bn = mesh_lib.replicate(self.student_bn, mesh)
+                self.teacher_bn = mesh_lib.replicate(self.teacher_bn, mesh)
 
     def _shard_crops(self, crops):
         if crops is None or self.mesh is None:
@@ -476,9 +518,13 @@ class DINOTrainer:
     # -- checkpointable state (utils.restart_from_checkpoint equivalent) ----
 
     def state(self) -> Dict[str, Any]:
-        return {"student": self.student, "teacher": self.teacher,
-                "center": self.center, "opt_state": self.opt_state,
-                "step_idx": jnp.int32(self.step_idx)}
+        out = {"student": self.student, "teacher": self.teacher,
+               "center": self.center, "opt_state": self.opt_state,
+               "step_idx": jnp.int32(self.step_idx)}
+        if self.student_bn is not None:
+            out["student_bn"] = self.student_bn
+            out["teacher_bn"] = self.teacher_bn
+        return out
 
     def load_state(self, state: Dict[str, Any]) -> None:
         self.student = state["student"]
@@ -486,6 +532,9 @@ class DINOTrainer:
         self.center = state["center"]
         self.opt_state = state["opt_state"]
         self.step_idx = int(state["step_idx"])
+        if "student_bn" in state:
+            self.student_bn = state["student_bn"]
+            self.teacher_bn = state["teacher_bn"]
 
     def step_async(self, globals_: jnp.ndarray,
                    locals_: Optional[jnp.ndarray]) -> jnp.ndarray:
@@ -510,8 +559,10 @@ class DINOTrainer:
             jnp.float32(self.temp_sched[min(epoch, len(self.temp_sched) - 1)]),
             jnp.float32(self.mom_sched[i]), jnp.float32(self.wd_sched[i]),
             jnp.bool_(epoch < self.cfg.freeze_last_layer_epochs),
-            jax.random.key(self.step_idx))   # per-step stochastic-depth rng
-        self.student, self.teacher, self.center, self.opt_state, loss = out
+            jax.random.key(self.step_idx),   # per-step stochastic-depth rng
+            self.student_bn, self.teacher_bn)
+        (self.student, self.teacher, self.center, self.opt_state, loss,
+         self.student_bn, self.teacher_bn) = out
         self.step_idx += 1
         return loss
 

@@ -1,5 +1,7 @@
 """DINO pre-training parity + smoke tests (reference dino-main)."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 import torch
@@ -272,3 +274,101 @@ def test_dino_head_init_effective_std():
     p = dino_head_init(jax.random.key(0), 384, 4096)
     std = float(jnp.std(p["last_v"]))
     assert abs(std - 0.02) < 0.0005, std
+
+
+def test_dino_head_use_bn_parity_with_torch_train_mode():
+    """--use_bn_in_head (vision_transformer.py:264-271): BatchNorm1d after
+    each hidden linear, TRAIN mode (batch stats normalize, running stats
+    update with momentum 0.1/unbiased var — the mode both networks run in
+    throughout DINO pre-training).  Oracle: a real torch Sequential in
+    the reference layout (linears at indices 0/3/6, BN at 1/4), two
+    consecutive forwards so the running-stat update is also pinned."""
+    import torch.nn as nn
+    from sais_tpu.models.dino_head import (dino_head_bn_state_from_torch,
+                                           dino_head_bottleneck)
+
+    torch.manual_seed(11)
+    in_dim, hidden, bottleneck, out_dim = 32, 48, 16, 128
+    mlp = nn.Sequential(
+        nn.Linear(in_dim, hidden), nn.BatchNorm1d(hidden), nn.GELU(),
+        nn.Linear(hidden, hidden), nn.BatchNorm1d(hidden), nn.GELU(),
+        nn.Linear(hidden, bottleneck))
+    last = nn.utils.weight_norm(
+        nn.Linear(bottleneck, out_dim, bias=False))
+    last.weight_g.data.fill_(1)
+    mlp.train()
+
+    sd = {f"mlp.{k}": v for k, v in mlp.state_dict().items()}
+    sd["last_layer.weight_g"] = last.weight_g.detach()
+    sd["last_layer.weight_v"] = last.weight_v.detach()
+    params = dino_head_params_from_torch(sd)
+    assert "bn" in params["mlp"][0] and "bn" in params["mlp"][1]
+    assert "bn" not in params["mlp"][2]
+    bn_state = dino_head_bn_state_from_torch(sd)
+
+    x1 = torch.randn(8, in_dim)
+    x2 = torch.randn(8, in_dim)
+    with torch.no_grad():
+        g1 = torch.nn.functional.linear(
+            torch.nn.functional.normalize(mlp(x1), dim=-1, p=2),
+            last.weight_g * last.weight_v
+            / last.weight_v.norm(dim=1, keepdim=True))
+        g2 = torch.nn.functional.normalize(mlp(x2), dim=-1, p=2)
+
+    o1, bn_state = dino_head_forward(params, jnp.asarray(x1.numpy()),
+                                     bn_state=bn_state, train=True)
+    np.testing.assert_allclose(np.asarray(o1), g1.numpy(), rtol=2e-4,
+                               atol=2e-5)
+    h2, bn_state = dino_head_bottleneck(params, jnp.asarray(x2.numpy()),
+                                        bn_state=bn_state, train=True)
+    np.testing.assert_allclose(np.asarray(h2), g2.numpy(), rtol=2e-4,
+                               atol=2e-5)
+    # running buffers after two train-mode forwards match torch's
+    for i, ti in enumerate((1, 4)):
+        np.testing.assert_allclose(
+            np.asarray(bn_state[i]["mean"]),
+            mlp.state_dict()[f"{ti}.running_mean"].numpy(),
+            rtol=1e-4, atol=1e-6, err_msg=f"bn{i} mean")
+        np.testing.assert_allclose(
+            np.asarray(bn_state[i]["var"]),
+            mlp.state_dict()[f"{ti}.running_var"].numpy(),
+            rtol=1e-4, atol=1e-6, err_msg=f"bn{i} var")
+    # eval mode consumes the running stats like torch .eval()
+    mlp.eval()
+    with torch.no_grad():
+        ge = torch.nn.functional.normalize(mlp(x1), dim=-1, p=2)
+    he = dino_head_bottleneck(params, jnp.asarray(x1.numpy()),
+                              bn_state=bn_state, train=False)[0]
+    np.testing.assert_allclose(np.asarray(he), ge.numpy(), rtol=2e-4,
+                               atol=2e-5)
+
+
+def test_dino_trainer_use_bn_steps_and_resumes():
+    """use_bn_in_head end-to-end: steps run, stats evolve per network
+    (student != teacher — buffers are NOT EMA'd), state round-trips, and
+    the fused loss refuses the combination loudly."""
+    from sais_tpu.config import ViTConfig
+    from sais_tpu.train.dino import DINOConfig, DINOTrainer
+
+    vc = ViTConfig(image_size=32, patch_size=16, embed_dim=64, depth=1,
+                   num_heads=2)
+    cfg = DINOConfig(batch_size=2, out_dim=128, n_local_crops=2,
+                     global_size=32, local_size=16, use_bn_in_head=True,
+                     drop_path_rate=0.0)
+    tr = DINOTrainer(vc, cfg, niter_per_ep=4, key=jax.random.key(0))
+    g = jax.random.normal(jax.random.key(1), (4, 32, 32, 3))
+    l = jax.random.normal(jax.random.key(2), (4, 16, 16, 3))
+    tr.step(g, l)
+    tr.step(g, l)
+    s_mean = np.asarray(tr.student_bn[0]["mean"])
+    t_mean = np.asarray(tr.teacher_bn[0]["mean"])
+    assert np.abs(s_mean).mean() > 0 and np.abs(t_mean).mean() > 0
+    state = tr.state()
+    assert "student_bn" in state
+    tr2 = DINOTrainer(vc, cfg, niter_per_ep=4, key=jax.random.key(3))
+    tr2.load_state(state)
+    np.testing.assert_allclose(np.asarray(tr2.student_bn[0]["mean"]),
+                               s_mean)
+    with pytest.raises(ValueError, match="use_bn_in_head"):
+        DINOTrainer(vc, dataclasses.replace(cfg), niter_per_ep=4,
+                    key=jax.random.key(4), fused_loss=True)

@@ -429,3 +429,82 @@ def test_seq_parallel_prototypes_forward_matches(rng):
     np.testing.assert_allclose(np.asarray(sp.attn),
                                np.asarray(dense.attn[:, 0, :]),
                                atol=1e-6, rtol=1e-5)
+
+
+def test_ring_beyond_vmem_local_chunk_matches_dense(rng, monkeypatch):
+    """When a device's LOCAL shard exceeds the plain flash kernels' VMEM
+    working set, each ring step must switch to the chunked core
+    (_ring_local_chunk) — values AND gradients stay equal to the dense
+    encoder.  The chunk threshold is forced so the chunked path engages
+    at test scale (the real trigger is an 8k-token f32 shard on v5e,
+    where the un-chunked ring OOMs scoped vmem by 1.5 MB)."""
+    from sais_tpu.parallel import sequence as seq
+
+    monkeypatch.setattr(seq, "_ring_local_chunk",
+                        lambda lp, dhp, itemsize, blk: blk)
+    cfg = _tcfg(layers=1)
+    params = encoder_init(jax.random.key(21), cfg)
+    b, l = 2, 40
+    x = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+    mask = jnp.asarray(_ragged_mask(rng, b, l))
+    mesh = seq_mesh(8)
+    w = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+
+    dense_out, dense_attn = encoder_forward(params, x, cfg, mask)
+    out, cls_row = encoder_forward_seq_parallel(params, x, cfg, mask, mesh,
+                                                chunk_flash=True,
+                                                interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense_out),
+                               atol=2e-5, rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(cls_row),
+                               np.asarray(dense_attn[:, 0, :]),
+                               atol=1e-6, rtol=1e-5)
+
+    def loss_ring(p):
+        o, _ = encoder_forward_seq_parallel(p, x, cfg, mask, mesh,
+                                            chunk_flash=True,
+                                            interpret=True)
+        return jnp.sum(o * w)
+
+    def loss_dense(p):
+        o, _ = encoder_forward(p, x, cfg, mask)
+        return jnp.sum(o * w)
+
+    gd = jax.grad(loss_dense)(params)
+    gr = jax.grad(loss_ring)(params)
+    for a, b_ in zip(jax.tree.leaves(gd), jax.tree.leaves(gr)):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   atol=5e-4, rtol=5e-4)
+
+
+@pytest.mark.slow
+def test_ring_multi_slice_local_chunk_matches_dense(rng):
+    """True multi-slice regime: Lloc=600 pads to 1024 with blk=512, and
+    the real _vmem_chunk_tokens threshold (forced via a 512-token budget)
+    splits each visiting chunk into two slices inside every ring step.
+    Values and the CLS row must still match dense."""
+    from sais_tpu.parallel import sequence as seq
+
+    orig = seq._ring_local_chunk
+    cfg = _tcfg(layers=1)
+    params = encoder_init(jax.random.key(22), cfg)
+    b, l = 1, 1200
+    x = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+    mask = jnp.asarray(_ragged_mask(rng, b, l))
+    mesh = seq_mesh(2, devices=jax.devices()[:2])  # Lloc=600 -> lp=1024, blk=512
+    assert orig(1024, 128, 4, 512) in (0, 512)  # documents the real curve
+    import sais_tpu.parallel.sequence as seqmod
+    try:
+        seqmod._ring_local_chunk = lambda lp, dhp, itemsize, blk: (
+            blk if lp > blk else 0)
+        dense_out, dense_attn = encoder_forward(params, x, cfg, mask)
+        out, cls_row = encoder_forward_seq_parallel(params, x, cfg, mask,
+                                                    mesh, chunk_flash=True,
+                                                    interpret=True)
+    finally:
+        seqmod._ring_local_chunk = orig
+    np.testing.assert_allclose(np.asarray(out), np.asarray(dense_out),
+                               atol=3e-5, rtol=3e-5)
+    np.testing.assert_allclose(np.asarray(cls_row),
+                               np.asarray(dense_attn[:, 0, :]),
+                               atol=1e-6, rtol=1e-5)
