@@ -448,7 +448,6 @@ def test_ring_beyond_vmem_local_chunk_matches_dense(rng, monkeypatch):
     x = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
     mask = jnp.asarray(_ragged_mask(rng, b, l))
     mesh = seq_mesh(8)
-    w = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
 
     dense_out, dense_attn = encoder_forward(params, x, cfg, mask)
     out, cls_row = encoder_forward_seq_parallel(params, x, cfg, mask, mesh,
@@ -459,6 +458,25 @@ def test_ring_beyond_vmem_local_chunk_matches_dense(rng, monkeypatch):
     np.testing.assert_allclose(np.asarray(cls_row),
                                np.asarray(dense_attn[:, 0, :]),
                                atol=1e-6, rtol=1e-5)
+
+
+@pytest.mark.slow
+def test_ring_beyond_vmem_local_chunk_gradients_match_dense(rng,
+                                                            monkeypatch):
+    """Gradient half of the forced-chunk ring test (slow tier: the
+    interpret-mode flash backward over an 8-way mesh dominates its
+    runtime; the forward/CLS parity above stays in the fast tier)."""
+    from sais_tpu.parallel import sequence as seq
+
+    monkeypatch.setattr(seq, "_ring_local_chunk",
+                        lambda lp, dhp, itemsize, blk: blk)
+    cfg = _tcfg(layers=1)
+    params = encoder_init(jax.random.key(21), cfg)
+    b, l = 2, 40
+    x = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
+    mask = jnp.asarray(_ragged_mask(rng, b, l))
+    mesh = seq_mesh(8)
+    w = jnp.asarray(rng.normal(size=(b, l, DIM)).astype(np.float32))
 
     def loss_ring(p):
         o, _ = encoder_forward_seq_parallel(p, x, cfg, mask, mesh,
