@@ -721,7 +721,8 @@ def main():
             img_s, mfu, lo, hi = bench_dino_train()
             out["dino_train_img_per_s"] = round(img_s, 1)
             out["dino_train_mfu"] = round(mfu, 3)
-            out["dino_train_img_per_s_spread"] = [round(lo, 1), round(hi, 1)]
+            out["dino_train_img_per_s_spread"] = {
+                "min": round(lo, 1), "max": round(hi, 1), "n": 3}
         except Exception as e:
             out["train_error"] = f"{type(e).__name__}: {e}"
         # batch-scaling point, guarded separately (a larger per-chip batch
@@ -730,7 +731,7 @@ def main():
             if over_budget():
                 break
             try:
-                img_s, mfu, _, _ = bench_dino_train(batch=b)
+                img_s, mfu, _, _ = bench_dino_train(batch=b, n_windows=1)
                 out[f"dino_train_img_per_s_b{b}"] = round(img_s, 1)
                 out[f"dino_train_mfu_b{b}"] = round(mfu, 3)
             except Exception as e:

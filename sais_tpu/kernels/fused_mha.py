@@ -17,7 +17,7 @@ attention for the local-crop regime).
 
 The attention context math lives in exactly two helpers shared by every
 forward kernel — `_packed_attn_ctx` (one masked (rows, rows) matmul per
-head) and `_loop_attn_ctx` (per-image loop) — plus the interleaved
+head) and `_attn_ctx` (sub-grouped / per-image loop) — plus the interleaved
 recompute inside `_attn_bwd_kernel`; test_fused_backward's agreement
 assertions guard the pair.
 """
@@ -89,18 +89,6 @@ def _packed_attn_ctx(qkv, d: int, num_heads: int, head_dim: int,
     return jnp.concatenate(ctx_heads, axis=-1)
 
 
-def _loop_attn_ctx(qkv, d: int, num_heads: int, head_dim: int,
-                   key_mask, dtype, lp: int, imgs: int):
-    """Per-image attention context over `imgs` images packed along the
-    row axis — the long-sequence regime (global crops, lp=208) where
-    per-image (lp, dh) matmuls already fill the MXU.  key_mask: (1, lp)
-    additive f32 (-1e30 at padded keys), broadcast across queries."""
-    img_ctx = [_packed_attn_ctx(qkv[g * lp:(g + 1) * lp], d, num_heads,
-                                head_dim, key_mask, dtype)
-               for g in range(imgs)]
-    return jnp.concatenate(img_ctx, axis=0) if imgs > 1 else img_ctx[0]
-
-
 def _sub_mask(sub: int, lp: int, valid_len: int):
     """Additive attention mask for a sub-group of `sub` images: (1, lp)
     broadcast key mask when sub == 1, block-diagonal (sub*lp, sub*lp)
@@ -132,10 +120,11 @@ def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
                   eps: float, imgs: int = 1):
     """One full pre-norm ViT block for `imgs` images, entirely in VMEM.
 
-    Attention context comes from the shared _loop_attn_ctx /
-    _packed_attn_ctx helpers; the only other copy of the attention math
-    is the interleaved recompute in _attn_bwd_kernel, guarded by
-    test_fused_backward's forward/gradient agreement assertions.
+    Attention context comes from the shared _attn_ctx / _packed_attn_ctx
+    helpers (per-image loop = sub=1); the only other copy of the
+    attention math is the interleaved recompute in _attn_bwd_kernel,
+    guarded by test_fused_backward's forward/gradient agreement
+    assertions.
 
     With imgs > 1 the qkv / proj / MLP matmuls run over all images' rows at
     once ((imgs*Lp, D) operands feed the MXU with taller tiles) while the
@@ -145,15 +134,13 @@ def _block_kernel(x_ref, qkv_w, qkv_b, proj_w, proj_b, fc1_w, fc1_b,
     lp = rows // imgs
     x = x_ref[:]
     dtype = x.dtype
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
-    key_mask = (key_ids >= valid_len) * _NEG_INF
 
     y = _layer_norm_f32(x, ln1_s[:], ln1_b[:], eps).astype(dtype)
     qkv = (jax.lax.dot_general(y, qkv_w[:], (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
            .astype(dtype) + qkv_b[:])
-    ctx = _loop_attn_ctx(qkv, d, num_heads, head_dim, key_mask, dtype,
-                         lp, imgs)
+    ctx = _attn_ctx(qkv, d, num_heads, head_dim, dtype, lp, imgs, 1,
+                    valid_len)
     o = (jax.lax.dot_general(ctx, proj_w[:], (((1,), (0,)), ((), ())),
                              preferred_element_type=jnp.float32)
          .astype(dtype) + proj_b[:])
@@ -210,13 +197,11 @@ def _block_kernel_int8(x_ref, qkv_wq, qkv_ws, qkv_b, proj_wq, proj_ws,
     lp = rows // imgs
     x = x_ref[:]
     dtype = x.dtype
-    key_ids = jax.lax.broadcasted_iota(jnp.int32, (1, lp), 1)
-    key_mask = (key_ids >= valid_len) * _NEG_INF
 
     yq, rs = _quant_rows(_layer_norm_f32(x, ln1_s[:], ln1_b[:], eps))
     qkv = _int8_mm(yq, rs, qkv_wq, qkv_ws, qkv_b).astype(dtype)
-    ctx = _loop_attn_ctx(qkv, d, num_heads, head_dim, key_mask, dtype,
-                         lp, imgs)
+    ctx = _attn_ctx(qkv, d, num_heads, head_dim, dtype, lp, imgs, 1,
+                    valid_len)
     cq, cs = _quant_rows(ctx.astype(jnp.float32))
     x = x + _int8_mm(cq, cs, proj_wq, proj_ws, proj_b).astype(dtype)
 

@@ -160,11 +160,14 @@ def dino_head_init(key: jax.Array, in_dim: int, out_dim: int,
     }
 
 
-def dino_head_bn_init(hidden: int = 2048, n_bn: int = 2):
-    """Fresh BatchNorm running stats (mean 0, var 1 — torch defaults).
-    One entry per "bn"-carrying layer, in layer order."""
-    return [{"mean": jnp.zeros((hidden,)), "var": jnp.ones((hidden,))}
-            for _ in range(n_bn)]
+def dino_head_bn_init(params: Params):
+    """Fresh BatchNorm running stats (mean 0, var 1 — torch defaults),
+    one entry per "bn"-carrying layer in layer order, shapes DERIVED from
+    the head params so a non-default hidden size can never produce a
+    mismatched state."""
+    return [{"mean": jnp.zeros_like(layer["bn"]["scale"]),
+             "var": jnp.ones_like(layer["bn"]["scale"])}
+            for layer in params["mlp"] if "bn" in layer]
 
 
 def dino_head_params_from_torch(sd: Mapping[str, Any],

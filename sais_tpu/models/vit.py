@@ -308,6 +308,10 @@ def vit_features_trainable_fused(params: Params, images: jnp.ndarray,
     if use_drop and backward != "pallas":
         raise ValueError("drop_path on the fused path requires "
                          "backward='pallas'")
+    if packed is not None and backward != "pallas":
+        raise ValueError("the packed sub-group override requires "
+                         "backward='pallas' (the XLA-backward block has "
+                         "no packed attention path)")
     params = jax.tree.map(lambda a: a.astype(jnp.bfloat16), params)
     x = prepare_tokens(params, images.astype(jnp.bfloat16), cfg)
     b, l, d = x.shape

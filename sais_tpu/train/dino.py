@@ -232,8 +232,8 @@ class DINOTrainer:
         # optimized (the reference EMA walks .parameters() only)
         if cfg.use_bn_in_head:
             from sais_tpu.models.dino_head import dino_head_bn_init
-            self.student_bn = dino_head_bn_init()
-            self.teacher_bn = dino_head_bn_init()
+            self.student_bn = dino_head_bn_init(student["head"])
+            self.teacher_bn = dino_head_bn_init(teacher["head"])
         else:
             self.student_bn = None
             self.teacher_bn = None
